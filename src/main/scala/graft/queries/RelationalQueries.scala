@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage (SURVEY.md §2.4–2.7): filters with parquet
+  * pushdown, broadcast dimension joins (J1), semi/anti joins (J2/J3),
+  * aggregation (A3–A5), window ranking (L4), rollup (A2's shape), tumbling
+  * time windows (W1), JSON extraction (O15's shape).
+  *
+  * Determinism contract shared with the DuckDB oracle: every double
+  * aggregate is `round(_, 4)`; every query ends in a total order on its
+  * group keys (Spark default asc_nulls_first == oracle `NULLS FIRST`).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary: map-side partial agg, one shuffle on
+    * the two low-cardinality keys. Reference analog: success/fail tallies
+    * A3 (`src/base.py:94-97`) generalized to full agg. */
+  val q01PricingSummary: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q6-shaped filtered revenue: all predicates reach the parquet
+    * scan (PushedFilters), projection pruned to 4 columns. */
+  val q02FilteredRevenue: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+  }
+
+  /** Revenue per region/nation: three broadcast hash joins against small
+    * dims (J1 `general_utils.py:67-91` shape) — no shuffle for the joins,
+    * one shuffle for the final agg. */
+  val q03RegionRevenue: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    val reg = Tables(s, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join (J2 universe membership, `reddit.py:89`): customers
+    * having at least one high-value order. Orders side is aggregated to
+    * distinct keys by the semi join itself. */
+  val q04SemiJoin: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (J3 existence anti-join, `workqueue_setup.py:35-36`):
+    * customers with no orders at all, counted per segment. */
+  val q05AntiJoin: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window ranking (L4 top-1 mode generalized): top-3 orders by price per
+    * priority class, ties broken by key for determinism. */
+  val q06WindowTopK: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Distinct aggregation (A4 `distinct('ticker_symbol')`): exact distinct
+    * per group — expands to two-phase agg under the hood. */
+  val q07DistinctAgg: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    cust.groupBy("c_mktsegment")
+      .agg(countDistinct("c_nationkey").as("n_nations"),
+           count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Hierarchical rollup (A2 ICB-hierarchy majority coarsening is a rollup
+    * along region→nation): one pass computes all levels. */
+  val q08RollupRevenue: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    val reg = Tables(s, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .createOrReplaceTempView("q08_joined")
+    // SQL form: the Dataset-API rollup after a join trips Spark 4.1's
+    // ambiguous-self-join analyzer check; GROUP BY ROLLUP does not.
+    s.sql("""SELECT r_name, n_name,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      FROM q08_joined GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name, n_name""")
+  }
+
+  /** Tumbling 1-hour windows (W1 `reddit.py:92-101`): hourly event counts.
+    * Expressed as date_trunc so the grouping key is a plain timestamp
+    * (identical semantics to window().start, oracle-friendly). */
+  val q09EventsHourly: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Majority vote with 2/3 threshold (A1 `get_sector`,
+    * `general_utils.py:126-147`): per user, the dominant event_type if its
+    * share exceeds 2/3, else null. Ties broken lexicographically. */
+  val q10MajorityVote: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val counts = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+    val ranked = counts
+      .withColumn("total", sum("cnt").over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("cnt").desc, col("event_type").asc)))
+    ranked.filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("cnt") * 3 > col("total") * 2, col("event_type"))
+          .otherwise(lit(null)).as("majority_event"),
+        col("cnt").as("top_cnt"), col("total"))
+      .orderBy("user_id")
+  }
+
+  /** JSON field extraction (O15 JSONP-strip + parse, `eastmoney.py:72-75`):
+    * pull props.k out of the JSON string column and aggregate. */
+  val q11JsonExtract: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"),
+           sum("k").as("sum_k"),
+           count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filtered_revenue" -> q02FilteredRevenue,
+    "q03_region_revenue" -> q03RegionRevenue,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_anti_join" -> q05AntiJoin,
+    "q06_window_topk" -> q06WindowTopK,
+    "q07_distinct_agg" -> q07DistinctAgg,
+    "q08_rollup_revenue" -> q08RollupRevenue,
+    "q09_events_hourly" -> q09EventsHourly,
+    "q10_majority_vote" -> q10MajorityVote,
+    "q11_json_extract" -> q11JsonExtract,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_filtered_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07
+           AND l_quantity < 24""",
+    "q03_region_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY 1 ORDER BY 1""",
+    "q06_window_topk" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
+    "q07_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+         count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q08_rollup_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q09_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q10_majority_vote" ->
+      """WITH counts AS (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT user_id, event_type, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY cnt DESC, event_type ASC) AS rn
+           FROM counts)
+         SELECT user_id,
+           CASE WHEN cnt * 3 > total * 2 THEN event_type ELSE NULL END AS majority_event,
+           cnt AS top_cnt, total
+         FROM ranked WHERE rn = 1 ORDER BY user_id""",
+    "q11_json_extract" ->
+      """SELECT event_type, round(avg(k), 4) AS avg_k,
+         CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS cnt
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events) t
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle results (sorted columns, sorted rows, exact
+value equality). Usage: check.py <sfDir> <verifyOutDir>"""
+import duckdb, json, sys, math, os
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return repr(v)
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        path = f"{outdir}/{name}"
+        if not os.path.isdir(path):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{path}/*.parquet'").fetchdf()
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        gc, gr = canon(got); wc, wr = canon(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}"); n_fail += 1; continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}"); n_fail += 1; continue
+        if gr != wr:
+            bad = next(i for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+            print(f"FAIL {name}: first diff at sorted row {bad}:")
+            print(f"  spark:  {gr[bad]}")
+            print(f"  oracle: {wr[bad]}")
+            n_fail += 1; continue
+        print(f"ok   {name} ({len(gr)} rows)"); n_ok += 1
+    # queries with no oracle → rows-only check
+    for name in sorted(os.listdir(outdir)):
+        if name not in oracle and os.path.isdir(f"{outdir}/{name}"):
+            n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            print(f"rows {name}: {n} rows (no oracle)")
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
