@@ -18,8 +18,13 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read it as raw long nanos and truncate to micros
-      // (exactly what DuckDB/Arrow do when narrowing ns → us).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (exactly what DuckDB/Arrow do when narrowing ns → us). Requires
+      // spark.sql.legacy.parquet.nanosAsLong=true, set at session build
+      // time by every entry point (Verify/Bench/Scratch/test harness) —
+      // not here, to keep table loading side-effect free.
+      require(
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

