@@ -1,0 +1,56 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Corpus text-analysis operators for an LLM training-data pipeline:
+  * token statistics, quality scoring, and document fingerprinting. All
+  * built-in-function composition (codegen'd, per-row, no shuffle), designed
+  * to run inside the scan stage at 100 TB.
+  *
+  * The reference's analogs are its per-row text gates
+  * (`/root/reference/src/utils/general_utils.py:187-206`) and the external
+  * NLU calls (SURVEY.md N1–N10) whose signatures we reproduce locally.
+  */
+object TextAnalysis {
+
+  /** Whitespace/punct/alpha composition counts used by quality scoring. */
+  def charLen(text: Column): Column = length(text)
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", ""))
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+
+  /** Sum of token lengths (for mean-token-length stats). */
+  def tokenCharSum(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Heuristic quality score in [0,1]: long-enough, mostly-alpha, low-punct
+    * text scores high. Deterministic arithmetic, oracle-reproducible. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = TextOps.tokens(text)
+    val n = size(toks).cast("double")
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val alphaRatio = alphaCount(text).cast("double") /
+      greatest(charLen(text).cast("double"), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(charLen(text).cast("double"), lit(1.0))
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(n, lit(1.0))
+    round(lit(0.25) * lenScore + lit(0.35) * alphaRatio +
+      lit(0.25) * (lit(1.0) - least(punctRatio * 5, lit(1.0))) +
+      lit(0.15) * least(stopRatio * 5, lit(1.0)), 6)
+  }
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * fp = fold(tokens, 0, (acc, t) -> (acc*31 + md5Int32(t)) mod 2^31-1).
+    * Order-sensitive (unlike a bag-of-words hash) so token reordering
+    * changes the fingerprint; cross-engine stable via md5Int32. */
+  def fingerprint(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), t => TextOps.md5Int32(t))
+    aggregate(hashes, lit(0L), (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
+  }
+}

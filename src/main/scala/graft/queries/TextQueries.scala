@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{LangId, TextOps}
+import graft.analysis.TextAnalysis
+
+/** Text-operator coverage over the `documents` table (SURVEY.md §2.3
+  * O1–O17 + the training-data-pipeline text-analysis operators). Every
+  * query is per-row built-in-function composition followed by one
+  * aggregation — scan-stage work that scales linearly, no extra shuffles.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token statistics per language: tokenization (O7's split), distinct
+    * counts, mean token length. */
+  val q12TokenStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    d.select(col("lang"),
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_distinct"),
+        TextAnalysis.tokenCharSum(toks).as("tok_chars"),
+        length(col("text")).as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_toks"), 4).as("avg_tokens"),
+        round(avg("n_distinct"), 4).as("avg_distinct"),
+        round(sum("tok_chars").cast("double") / sum("n_toks"), 4).as("avg_token_len"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** Cleanup chain (O7 scrub → O4 punct collapse → O5 normalize) + the
+    * min-length gate (F10), with a per-row deterministic hash (O2) so the
+    * oracle verifies every byte of the cleaned text. */
+  val q13TextClean: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val cleaned = TextOps.normalizeWhitespace(
+      TextOps.collapsePunctRuns(TextOps.scrubText(col("text")), Seq("!", "?", ",", ";")))
+    d.select(col("doc_id"), cleaned.as("clean"))
+      .filter(TextOps.minWordGate(col("clean")))
+      .select(col("doc_id"), md5(col("clean")).as("clean_hash"),
+        TextOps.wordCount(col("clean")).as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Term extraction (O16's regexp_extract_all shape) + explode + grouped
+    * tallies with a distinct-doc count (A3/A4). */
+  val q14TermExtract: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(col("text"),
+          lit("\\b(key|hash|join|scan|merge|filter)\\b"), lit(0))).as("term"))
+      .groupBy("term", "lang")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("term", "lang")
+  }
+
+  /** Language-ID heuristic: stopword-profile argmax vs the declared lang —
+    * a confusion-matrix-shaped output. */
+  val q15LangProfile: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    d.select(col("lang"), LangId.predict(toks).as("pred"),
+        LangId.score(toks, LangId.profiles.head._2).as("en_hits"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("en_hits"), 4).as("avg_en_hits"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Per-document rolling-hash fingerprint + quality score — order-
+    * sensitive content identity and filter scoring for corpus curation. */
+  val q16Fingerprint: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(col("text"), LangId.profiles.head._2).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q12_token_stats" -> q12TokenStats,
+    "q13_text_clean" -> q13TextClean,
+    "q14_term_extract" -> q14TermExtract,
+    "q15_lang_profile" -> q15LangProfile,
+    "q16_fingerprint" -> q16Fingerprint,
+  )
+
+  // DuckDB notes: regexp_* is RE2 with per-call 'g' flag needed for
+  // replace-all; list_filter/list_transform/list_reduce mirror Spark HOFs;
+  // ('0x'||substr(md5(x),1,8))::BIGINT mirrors TextOps.md5Int32.
+  val oracles: Map[String, String] = Map(
+    "q12_token_stats" ->
+      """WITH t AS (
+           SELECT lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n_chars
+           FROM documents),
+         s AS (SELECT lang, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
+                 list_sum(list_transform(toks, x -> len(x))) AS tok_chars, n_chars FROM t)
+         SELECT lang, count(*) AS n_docs,
+           round(avg(n_toks), 4) AS avg_tokens,
+           round(avg(n_distinct), 4) AS avg_distinct,
+           round(CAST(sum(tok_chars) AS DOUBLE) / sum(n_toks), 4) AS avg_token_len,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q13_text_clean" ->
+      """WITH c AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, 'https?://[^\s]+', '', 'g'),
+                         '\$[a-zA-Z]+', '', 'g'),
+                       '\!{2,}', '!', 'g'),
+                     '\?{2,}', '?', 'g'),
+                   '\,{2,}', ',', 'g'),
+                 '\;{2,}', ';', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM documents)
+         SELECT doc_id, md5(clean) AS clean_hash,
+           len(list_filter(string_split_regex(trim(clean), '\s+'), x -> len(x) > 0)) AS n_words
+         FROM c
+         WHERE len(list_filter(string_split_regex(trim(clean), '\s+'), x -> len(x) > 0)) > 5
+         ORDER BY doc_id""",
+    "q14_term_extract" ->
+      """SELECT term, lang, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, lang,
+                 unnest(regexp_extract_all(text, '\b(key|hash|join|scan|merge|filter)\b')) AS term
+               FROM documents) t
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q15_lang_profile" ->
+      """WITH t AS (SELECT lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sc AS (SELECT lang,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('el','los','las','es','una','que'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','les','et','est','une','dans'))) AS s_fr
+          FROM t)
+         SELECT lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+           count(*) AS n_docs, round(avg(s_en), 4) AS avg_en_hits
+         FROM sc GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q16_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         h AS (SELECT doc_id, text, toks,
+             list_transform(toks, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+           FROM t)
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+           round(0.25 * least(len(toks) / 100.0, 1.0)
+               + 0.35 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / greatest(CAST(len(text) AS DOUBLE), 1.0))
+               + 0.25 * (1.0 - least((CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+                         / greatest(CAST(len(text) AS DOUBLE), 1.0)) * 5, 1.0))
+               + 0.15 * least((CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 5, 1.0), 6) AS quality
+         FROM h ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Heuristic language identification (training-data-pipeline operator; the
+  * reference routes documents by a declared language config key —
+  * `deploy/configmaps/configs.yaml:10-44` — it never infers one, so this is
+  * the generalized operator a 100 TB text pipeline needs).
+  *
+  * Method: stopword-profile scoring. For each candidate language, count
+  * tokens that are members of a small high-frequency function-word set;
+  * predict the argmax with a fixed tie order, `und` (undetermined) when no
+  * profile matches. Pure built-in HOFs — codegen'd, no UDF — and exactly
+  * reproducible in a DuckDB oracle (`list_filter` + `IN`).
+  */
+object LangId {
+
+  /** Tiny function-word profiles. Deliberately small and disjoint-ish:
+    * the operator contract is the scoring mechanism, not lexicon quality. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+  )
+
+  /** Per-language stopword hit count over a token array column. */
+  def score(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  /** Predicted language for a token array: argmax score, ties resolved in
+    * `profiles` order, `und` when every score is 0. */
+  def predict(toks: Column): Column = {
+    val scores = profiles.map { case (lang, words) => lang -> score(toks, words) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // cascade: first language whose score is >= all later ones
+    val cascade = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), rest) =>
+        val laterMax = scores.drop(i + 1).map(_._2)
+        if (laterMax.isEmpty) rest
+        else when(laterMax.map(s >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+    when(allZero, lit("und")).otherwise(cascade)
+  }
+}

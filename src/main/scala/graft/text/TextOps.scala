@@ -1,0 +1,166 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Text transform library (SURVEY.md §2.3, O1–O17), re-expressed as Spark
+  * Column functions. Everything here except `strQ2B` and `htmlStrip` is
+  * built-in-function composition — fully codegen'd inside whole-stage
+  * codegen, no UDF boundary in the hot path.
+  *
+  * Reference behaviors reproduced (citations into /root/reference):
+  * concat `src/base.py:142-153`; hash `src/lurkers/newsfilter.py:167`;
+  * strQ2B `src/lurkers/etnet.py:129-142`; punct collapse `etnet.py:144-154`;
+  * whitespace squash `etnet.py:224`; scrub+min-length
+  * `src/utils/general_utils.py:187-206`; HTML strip `src/utils/wiki_utils.py:9-25`;
+  * ticker pad/suffix `src/lurkers/aastocks.py:77-80`,
+  * `src/utils/hkscraper_utils.py:1-12`; id extract `aastocks.py:117-121`;
+  * JSONP strip `src/lurkers/eastmoney.py:72-75`; EN ticker extraction
+  * `src/lurkers/reddit.py:72-90`; CJK ticker extraction `etnet.py:233-239`.
+  */
+object TextOps {
+
+  // ---- O1: document text assembly -----------------------------------------
+  /** `get_text` concat of present parts, single-space separated. The
+    * reference concatenates raw strings (`title + description + text`); we
+    * define the separator explicitly so the result is whitespace-stable. */
+  def getText(parts: Column*): Column = concat_ws(" ", parts: _*)
+
+  // ---- O2: deterministic text hashing -------------------------------------
+  /** The reference uses Python `hash()` — salted per process, useless as a
+    * dedup key. We *define* the semantic as a deterministic content hash. */
+  def textHashHex(c: Column): Column = md5(c)
+
+  /** 64-bit xxhash for internal hot paths (codegen'd, no hex round-trip). */
+  def textHash64(c: Column): Column = xxhash64(c)
+
+  /** 32-bit int from the md5 hex prefix. Cross-engine stable: equals
+    * DuckDB `('0x' || substr(md5(x),1,8))::BIGINT` — used whenever an
+    * oracle must recompute the same hash. */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded family for MinHash: h_i(x) = md5Int32(x + "#" + i). */
+  def md5Int32Seeded(c: Column, seed: Column): Column =
+    md5Int32(concat(c, lit("#"), seed.cast("string")))
+
+  // ---- O3: full-width → half-width CJK normalization ----------------------
+  /** `strQ2B`: U+3000 → space; U+FF01..U+FF5E shifted down by 0xFEE0.
+    * Codepoint-mapping has no built-in equivalent → scalar UDF. */
+  val strQ2B: UserDefinedFunction = udf { (s: String) =>
+    if (s == null) null
+    else s.map { ch =>
+      if (ch == '　') ' '
+      else if (ch >= '！' && ch <= '～') (ch - 0xFEE0).toChar
+      else ch
+    }
+  }
+
+  // ---- O4: collapse runs of repeated punctuation --------------------------
+  /** Collapse runs of each given punctuation char to a single occurrence
+    * (the reference keeps `.` runs — pass the chars you want collapsed).
+    * One regexp_replace per char, RE2-safe (no backreferences) so a DuckDB
+    * oracle can reproduce it exactly. */
+  def collapsePunctRuns(c: Column, chars: Seq[String] = Seq("!", "?", ",", ";", "、")): Column =
+    chars.foldLeft(c)((acc, ch) => regexp_replace(acc, "\\" + ch + "{2,}", ch))
+
+  // ---- O5/O6: whitespace handling -----------------------------------------
+  /** CJK convention: remove ALL whitespace (`"".join(text.split())`). */
+  def squashWhitespaceCjk(c: Column): Column = regexp_replace(c, "\\s+", "")
+
+  /** Western convention: squeeze runs to one space and trim. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  // ---- O7/F10: scrub + min-length gate ------------------------------------
+  /** Remove `$TICKER` mentions and URLs (`process_text`). */
+  def scrubText(c: Column): Column =
+    regexp_replace(regexp_replace(c, "https?://[^\\s]+", ""), "\\$[a-zA-Z]+", "")
+
+  /** Tokenize on whitespace, dropping empty tokens. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** The ≤5-words → ignore gate as a predicate. */
+  def minWordGate(c: Column, minWords: Int = 5): Column = wordCount(c) > minWords
+
+  // ---- O9: HTML strip ------------------------------------------------------
+  /** Tag strip: drop script/style subtrees, then all tags, then entities
+    * we care about, then normalize whitespace. Regex-based (jsoup is not on
+    * the offline classpath); good for the fixture-shaped inputs we parse. */
+  def htmlStrip(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    normalizeWhitespace(entities)
+  }
+
+  // ---- O10/O11: ticker code normalization ---------------------------------
+  def tickerZeroPad(c: Column, width: Int = 5): Column =
+    lpad(c.cast("string"), width, "0")
+
+  /** len==6 → ".SZ" suffix; len==5 → drop first char + ".HK"; else as-is. */
+  def tickerSuffix(c: Column): Column =
+    when(length(c) === 6, concat(c, lit(".SZ")))
+      .when(length(c) === 5, concat(substring(c, 2, 4), lit(".HK")))
+      .otherwise(c)
+
+  // ---- O12: per-source date parsing ---------------------------------------
+  /** Parse a timestamp string with a per-source format, epoch-seconds for
+    * sources that ship unix times. `formats` maps source → pattern. */
+  def parseTimeBySource(value: Column, source: Column,
+                        formats: Map[String, String],
+                        epochSources: Set[String] = Set.empty): Column = {
+    val base: Column = lit(null).cast("timestamp")
+    val withFmt = formats.foldLeft(base) { case (acc, (src, fmt)) =>
+      when(source === src, to_timestamp(value, fmt)).otherwise(acc)
+    }
+    epochSources.foldLeft(withFmt) { (acc, src) =>
+      when(source === src, timestamp_seconds(value.cast("long"))).otherwise(acc)
+    }
+  }
+
+  // ---- O14: regex id extraction -------------------------------------------
+  def extractId(c: Column, pattern: String): Column = regexp_extract(c, pattern, 1)
+
+  // ---- O15: JSONP strip ----------------------------------------------------
+  /** `cb({...})` → `{...}`: strip the callback wrapper, keep the payload.
+    * Pair with `from_json(schema)` for the typed parse. */
+  def jsonpStrip(c: Column): Column =
+    regexp_extract(c, "^[^(]*\\((.*)\\)[\\s;]*$", 1)
+
+  // ---- O16: EN ticker extraction ------------------------------------------
+  /** `$tsla`-style cashtags (uppercased) ∪ bare ALL-CAPS words. */
+  def extractTickersEn(c: Column): Column =
+    array_distinct(concat(
+      transform(regexp_extract_all(c, lit("\\$([a-zA-Z]+)"), lit(1)), t => upper(t)),
+      regexp_extract_all(c, lit("\\b[A-Z][A-Z]+\\b"), lit(0))))
+
+  // ---- O17: CJK ticker extraction -----------------------------------------
+  /** Parenthesized numeric codes; fall back to the job's ticker if none. */
+  def extractTickersCjk(c: Column, fallback: Column): Column = {
+    val nums = filter(regexp_extract_all(c, lit("\\(([^)]*)\\)"), lit(1)),
+      x => x.rlike("^[0-9]+$"))
+    when(size(nums) > 0, array_distinct(nums)).otherwise(array(fallback))
+  }
+
+  // ---- shingling (dedup/minhash building blocks) --------------------------
+  /** Distinct k-word shingles; docs shorter than k words collapse to one
+    * whole-doc shingle. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", array_join(toks, " "))))
+
+  /** Distinct k-char shingles of a string. */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(transform(sequence(lit(0), length(c) - k),
+        i => c.substr(i + 1, lit(k)))))
+      .otherwise(array(c))
+}
