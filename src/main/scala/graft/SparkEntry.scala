@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (RelationalQueries.defs, RelationalQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
+      (DedupQueries.defs, DedupQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** MinHash + LSH banding near-duplicate detection (the north-star corpus
+  * dedup operator; the reference's closest analog is its text-similarity
+  * API `/root/reference/src/utils/tencent_api.py:111-123`).
+  *
+  * Pipeline: shingles → MinHash signature (universal-hash family over one
+  * md5 base hash per shingle) → band keys → equi-join on (band, key) for
+  * candidate pairs → exact Jaccard verify on candidates only.
+  *
+  * 100 TB design notes: candidate generation is an equi-join on band keys
+  * (shuffle hash-partitioned on the key, NO cross join anywhere); the
+  * signature is computed scan-side with one md5 per shingle plus cheap
+  * affine derivations (not numHashes md5s); the final Jaccard touches only
+  * candidate pairs, whose count LSH keeps near-linear. A hot band key
+  * (thousands of identical docs) produces a quadratic bucket — callers
+  * dealing with boilerplate-heavy corpora should pre-dedup exact hashes
+  * first (ExactDedup), which bounds bucket sizes by construction.
+  */
+object MinHashLSH {
+
+  /** Large Mersenne prime for the affine hash family. */
+  val P: Long = 2147483647L
+
+  /** Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod P. */
+  private def coeffs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  /** MinHash signature (array<bigint> of length numHashes) of a distinct
+    * shingle array column. One md5 per shingle; numHashes affine maps. */
+  def signature(shingles: Column, numHashes: Int): Column = {
+    val base = transform(shingles, s => pmod(TextOps.md5Int32(s), lit(P)))
+    val mins = coeffs(numHashes).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * a + b, lit(P))))
+    }
+    array(mins: _*)
+  }
+
+  /** Band keys: numBands hashes, each over rowsPerBand consecutive
+    * signature entries. Returned as array<struct<band:int, key:bigint>>. */
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+
+  /** Candidate pairs (a < b) sharing at least one band bucket. */
+  def candidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
+                     numBands: Int, rowsPerBand: Int): DataFrame = {
+    val exploded = sigs
+      .select(col(idCol), explode(bandKeys(col(sigCol), numBands, rowsPerBand)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = exploded.toDF("a", "band", "key")
+    val r = exploded.toDF("b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over two set-valued (distinct) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** End-to-end near-dup pairs over (id, shingles): LSH candidates, then
+    * exact-Jaccard filter at `threshold`. Output: (doc_a, doc_b, jaccard). */
+  def nearDupPairs(shingled: DataFrame, idCol: String, shCol: String,
+                   numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+    val sigs = shingled.select(col(idCol),
+      signature(col(shCol), numHashes).as("__sig"))
+    val cands = candidatePairs(sigs, idCol, "__sig", numBands, r)
+    val setsA = shingled.select(col(idCol).as("a"), col(shCol).as("__sh_a"))
+    val setsB = shingled.select(col(idCol).as("b"), col(shCol).as("__sh_b"))
+    cands.join(setsA, "a").join(setsB, "b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+  }
+}

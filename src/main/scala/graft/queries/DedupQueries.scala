@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.{ExactDedup, MinHashLSH, SimHash}
+import graft.text.TextOps
+
+/** Deduplication operator coverage over `documents` (SURVEY.md F8/W4 +
+  * the north-star corpus-dedup operators). Every oracle is ground truth
+  * computed independently in DuckDB (all-pairs at sf0.01), so the Spark
+  * side's LSH/banding must achieve exact recall at the declared
+  * thresholds — which the band/chunk parameters guarantee (see each
+  * library's scaladoc for the probability/pigeonhole argument).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F8 dedup gate: src0 is the 7-day history, src1..9 the incoming batch.
+    * Within-batch keeper selection (deterministic min doc_id per hash),
+    * then left-anti join against history hashes. Exercises O2 + J3 + F8. */
+  val q17DedupGate: Q = (s, dir) => {
+    val d = ExactDedup.withTextHash(Tables(s, dir, "documents"), "text")
+    val history = d.filter(col("source") === "src0")
+    val batch = d.filter(col("source") =!= "src0")
+    val kept = ExactDedup.keepers(batch, "text_hash", "doc_id")
+    ExactDedup.dedupGate(kept, history, "text_hash")
+      .select("doc_id", "text_hash")
+      .orderBy("doc_id")
+  }
+
+  /** MinHash+LSH near-dup pairs at Jaccard >= 0.8 over 3-word shingles.
+    * 64 hashes, 16 bands x 4 rows: a J=0.9 pair is missed with prob
+    * (1 - 0.9^4)^16 ~ 4e-8; the data's non-dup pairs sit below J=0.3 —
+    * the verify stage computes exact Jaccard on candidates only. */
+  val q18MinhashPairs: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+    MinHashLSH.nearDupPairs(sh, "doc_id", "sh",
+        numHashes = 64, numBands = 16, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 48-bit SimHash — cross-engine bit-exact (md5-derived
+    * token hashes, majority vote per bit). */
+  val q19Simhash: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+        SimHash.simhash(TextOps.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs within Hamming distance 3, via the pigeonhole
+    * 4-chunk banded join (exact recall, no cross join). Oracle is the
+    * all-pairs ground truth. */
+  val q20SimhashPairs: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sims = d.select(col("doc_id"),
+      SimHash.simhash(TextOps.tokens(col("text"))).as("simhash"))
+    SimHash.hammingPairs(sims, "doc_id", "simhash", maxDist = 3)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q17_dedup_gate" -> q17DedupGate,
+    "q18_minhash_pairs" -> q18MinhashPairs,
+    "q19_simhash" -> q19Simhash,
+    "q20_simhash_pairs" -> q20SimhashPairs,
+  )
+
+  private val shinglesCte =
+    """W AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+             FROM documents),
+       SH AS (SELECT doc_id,
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+                     ELSE [array_to_string(ws, ' ')] END AS s
+              FROM W)"""
+
+  private val simhashCte =
+    """T AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+             FROM documents),
+       H AS (SELECT doc_id, list_transform(toks, w -> CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT)) AS hs
+             FROM T),
+       SIM AS (SELECT doc_id,
+                 list_sum([CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+                           for j in range(0, 48)]) AS simhash
+               FROM H)"""
+
+  val oracles: Map[String, String] = Map(
+    "q17_dedup_gate" ->
+      """WITH b AS (SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+                    FROM documents WHERE source <> 'src0' GROUP BY 1)
+         SELECT doc_id, text_hash FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM documents h
+                           WHERE h.source = 'src0' AND md5(h.text) = b.text_hash)
+         ORDER BY doc_id""",
+    "q18_minhash_pairs" ->
+      s"""WITH $shinglesCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         ORDER BY 1, 2""",
+    "q19_simhash" ->
+      s"""WITH $simhashCte
+         SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM SIM ORDER BY doc_id""",
+    "q20_simhash_pairs" ->
+      s"""WITH $simhashCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM SIM a JOIN SIM b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY 1, 2""",
+  )
+}

@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.text.TextOps
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---- F8 gate: the reference's one real invariant (test_reddit.py:12-15) ----
+
+  test("dedupGate: ingest is idempotent — second run adds zero rows") {
+    val batch = ExactDedup.withTextHash(
+      docs(1L -> "alpha beta", 2L -> "gamma delta"), "text")
+    val history0 = batch.limit(0)
+    val history1 = ExactDedup.ingest(batch, history0, "text_hash")
+    assert(history1.count() == 2)
+    val history2 = ExactDedup.ingest(batch, history1, "text_hash")
+    assert(history2.count() == 2) // run twice → all skipped
+  }
+
+  test("dedupGate drops only hashes present in history") {
+    val batch = ExactDedup.withTextHash(docs(1L -> "seen", 2L -> "new"), "text")
+    val history = ExactDedup.withTextHash(docs(99L -> "seen"), "text")
+    val out = ExactDedup.dedupGate(batch, history, "text_hash")
+      .select("doc_id").as[Long].collect()
+    assert(out.sameElements(Array(2L)))
+  }
+
+  test("keepers: deterministic min-key survivor per hash") {
+    val d = ExactDedup.withTextHash(
+      docs(5L -> "dup", 3L -> "dup", 9L -> "other"), "text")
+    val out = ExactDedup.keepers(d, "text_hash", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.sameElements(Array(3L, 9L)))
+  }
+
+  test("pruneHistory keeps only rows within the 7-day horizon (W4)") {
+    val h = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-02-10 00:00:00")),
+    ).toDF("id", "ts")
+    val now = lit(java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
+    val kept = ExactDedup.pruneHistory(h, "ts", now).select("id").as[Long].collect()
+    assert(kept.sameElements(Array(1L)))
+  }
+
+  // ---- MinHash LSH ----
+
+  test("minhash LSH finds a planted near-dup pair and not the unrelated doc") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 80).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+      .select(col("doc_id"), TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "sh", 64, 16, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.sameElements(Array((1L, 2L))))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val d = docs(1L -> "a b c d e f g h")
+      .select(TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val s1 = d.select(MinHashLSH.signature(col("sh"), 16).as("s")).as[Seq[Long]].collect()(0)
+    val s2 = d.select(MinHashLSH.signature(col("sh"), 16).as("s")).as[Seq[Long]].collect()(0)
+    assert(s1 == s2 && s1.length == 16)
+  }
+
+  test("jaccard: identical sets 1.0, disjoint sets 0.0") {
+    val d = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val row = d.select(
+      MinHashLSH.jaccard(col("x"), col("y")).as("same"),
+      MinHashLSH.jaccard(col("x"), col("z")).as("disj")).collect()(0)
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
+  }
+
+  // ---- SimHash ----
+
+  test("simhash: identical docs collide, near-dups land within small hamming") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "x" else s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> near)
+      .select(col("doc_id"), SimHash.simhash(TextOps.tokens(col("text"))).as("sim"))
+    val sims = d.orderBy("doc_id").select("sim").as[Long].collect()
+    assert(sims(0) == sims(1))
+    val dist = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    assert(dist > 0 && dist <= 10, s"near-dup hamming was $dist")
+  }
+
+  test("hammingPairs recalls all pairs within maxDist (pigeonhole banding)") {
+    // signatures with known distances: 0b0, 0b111 (d=3), 0b1111111 (d=7 from 0)
+    val d = Seq((1L, 0L), (2L, 7L), (3L, 127L)).toDF("id", "sim")
+    val pairs = SimHash.hammingPairs(d, "id", "sim", maxDist = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
+    // d(0,7)=3 ok; d(0,127)=7 no; d(7,127)=4 no
+    assert(pairs.sameElements(Array((1L, 2L, 3))))
+  }
+}
