@@ -16,6 +16,7 @@ object SparkEntry {
       (RelationalQueries.defs, RelationalQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
       (DedupQueries.defs, DedupQueries.oracles),
+      (SimilarityQueries.defs, SimilarityQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TopK
+import graft.similarity.{Cosine, RandomHyperplaneLSH}
+
+/** Similarity-search operator coverage over `embeddings` (north-star ANN
+  * operators; reference analog N8/N9 `tencent_api.py:111-136`).
+  *
+  * q21 is the exact baseline: brute-force cosine top-k with the query set
+  * broadcast (corpus is never shuffled; per-group top-k is the salted
+  * two-phase TopK, so no low-cardinality window over raw rows). Its oracle
+  * is ground truth.
+  *
+  * q22 is the scale path: random-hyperplane LSH bucketing. Its oracle
+  * replicates the *identical deterministic algorithm* (md5-derived
+  * hyperplanes) in DuckDB — implementation parity, since exact-recall of an
+  * ANN cannot be guaranteed on unstructured data. Empirical recall vs the
+  * exact baseline is asserted separately in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dims = 64
+  val K = 5
+  val NumTables = 8
+  val Bits = 6
+
+  private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+    (e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10))
+  }
+
+  /** Exact brute-force cosine top-5 for 10 query vectors. */
+  val q21CosineTopK: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    val scored = corpus.crossJoin(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("vec").as("qvec"))))
+      .withColumn("sim", Cosine.cosine(col("qvec"), col("vec")))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("vec_id").asc), K, saltOn = hash(col("vec_id")),
+        rankCol = "rank")
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-1 per query (deterministic buckets). */
+  val q22AnnLsh: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    val cands = RandomHyperplaneLSH.candidates(
+      queries, corpus, "vec_id", "vec", NumTables, Bits, Dims)
+    val scored = cands
+      .join(queries.select(col("vec_id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(corpus.select(col("vec_id").as("cand_id"), col("vec").as("cvec")), "cand_id")
+      .withColumn("sim", Cosine.cosine(col("qvec"), col("cvec")))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("cand_id").asc), 1, saltOn = hash(col("cand_id")),
+        rankCol = "rank")
+      .select(col("query_id"), col("cand_id").as("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q21_cosine_topk" -> q21CosineTopK,
+    "q22_ann_lsh" -> q22AnnLsh,
+  )
+
+  private val cosineParts =
+    """Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+             FROM embeddings WHERE vec_id < 10),
+       C AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+             FROM embeddings WHERE vec_id >= 10)"""
+
+  val oracles: Map[String, String] = Map(
+    "q21_cosine_topk" ->
+      s"""WITH $cosineParts,
+         sims AS (SELECT q.query_id, c.vec_id,
+             list_inner_product(q.qvec, c.cvec)
+               / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+           FROM Q q, C c),
+         ranked AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY 1, 2""",
+    "q22_ann_lsh" ->
+      s"""WITH $cosineParts,
+         pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
+             CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+           FROM range(0, 8) t, range(0, 6) b, range(0, 64) d),
+         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
+           FROM allv a, pl p GROUP BY 1, 2, 3),
+         sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
+           FROM dots GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cand_id
+           FROM sigs qs JOIN sigs cs ON qs.t = cs.t AND qs.sig = cs.sig
+           WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
+         scored AS (SELECT cand.query_id, cand.cand_id,
+             list_inner_product(q.qvec, c.cvec)
+               / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+           FROM cand
+           JOIN Q q ON q.query_id = cand.query_id
+           JOIN C c ON c.vec_id = cand.cand_id),
+         ranked AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+           FROM scored)
+         SELECT query_id, cand_id AS vec_id, round(sim, 6) AS sim
+         FROM ranked WHERE rn = 1 ORDER BY query_id""",
+  )
+}

@@ -1,0 +1,30 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as built-in
+  * higher-order functions (codegen'd; no UDF, no MLlib dependency).
+  * Computation is in double: cast once with `toDouble`, then fold.
+  *
+  * Reference analog: the text-similarity / sentence-embedding API surface
+  * (`/root/reference/src/utils/tencent_api.py:111-136`, N8/N9) — re-expressed
+  * as columnar operators a 100 TB pipeline can run scan-side.
+  */
+object Cosine {
+
+  /** Cast an array<float> to array<double> (do this once per scan). */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (for IVF-style assignment). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+}

@@ -1,0 +1,62 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (sign) LSH for approximate cosine similarity search —
+  * the scale path for ANN over an embedding column (north-star operator;
+  * brute force is the baseline, see SimilarityQueries.q21).
+  *
+  * Sketch: `numTables` independent signatures of `bits` sign-bits each;
+  * vectors sharing a (table, signature) bucket with a query become
+  * candidates; exact cosine runs on candidates only. Candidate generation
+  * is an equi-join on the bucket key — hash-partitioned shuffle, never a
+  * cross join — so the plan scales to any corpus size; recall/cost is
+  * tuned by (numTables, bits).
+  *
+  * Determinism: hyperplane weights derive from md5 — weight(t,b,d) =
+  * int(md5("rp:t:b:d")[0:8 hex]) / 2^31 - 1, uniform in [-1, 1) and exactly
+  * reproducible in any engine with md5 (the DuckDB oracle recomputes the
+  * identical buckets; division by the dyadic 2^31 is exact in ieee754).
+  */
+object RandomHyperplaneLSH {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic hyperplane weight, cross-engine reproducible. */
+  def planeWeight(table: Int, bit: Int, dim: Int): Double =
+    java.lang.Long.parseLong(md5hex(s"rp:$table:$bit:$dim").substring(0, 8), 16) /
+      2147483648.0 - 1.0
+
+  private def planeLit(table: Int, bit: Int, dims: Int): Column =
+    array((0 until dims).map(d => lit(planeWeight(table, bit, d))): _*)
+
+  /** Signature of a double-array vector column for one table: an int whose
+    * bit b is sign(dot(vec, plane_{table,b})). */
+  def signature(vec: Column, table: Int, bits: Int, dims: Int): Column =
+    (0 until bits)
+      .map(b => when(Cosine.dot(vec, planeLit(table, b, dims)) > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** (id, table, sig) bucket rows for every vector. */
+  def buckets(df: DataFrame, idCol: String, vecCol: String,
+              numTables: Int, bits: Int, dims: Int): DataFrame = {
+    val sigs = array((0 until numTables).map { t =>
+      struct(lit(t).as("table"), signature(col(vecCol), t, bits, dims).as("sig"))
+    }: _*)
+    df.select(col(idCol), explode(sigs).as("ts"))
+      .select(col(idCol), col("ts.table").as("table"), col("ts.sig").as("sig"))
+  }
+
+  /** Distinct (queryId, candidateId) pairs sharing any bucket. */
+  def candidates(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                 numTables: Int, bits: Int, dims: Int): DataFrame = {
+    val qb = buckets(queries, idCol, vecCol, numTables, bits, dims)
+      .withColumnRenamed(idCol, "query_id")
+    val cb = buckets(corpus, idCol, vecCol, numTables, bits, dims)
+      .withColumnRenamed(idCol, "cand_id")
+    qb.join(cb, Seq("table", "sig")).select("query_id", "cand_id").distinct()
+  }
+}

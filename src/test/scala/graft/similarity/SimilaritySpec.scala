@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.SimilarityQueries
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine: hand-checked values") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+      .select(Cosine.toDouble(col("a")).as("a"), Cosine.toDouble(col("b")).as("b"))
+    val row = df.select(
+      Cosine.dot(col("a"), col("b")).as("d"),
+      Cosine.norm(col("a")).as("na"),
+      Cosine.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(row.getDouble(0) == 2.0)
+    assert(row.getDouble(1) == 3.0)
+    assert(math.abs(row.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1.0 (within fp)") {
+    val df = Seq(Seq(0.3f, -0.7f, 0.2f)).toDF("a")
+      .select(Cosine.toDouble(col("a")).as("a"))
+    val c = df.select(Cosine.cosine(col("a"), col("a")).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("planeWeight is deterministic and in [-1, 1)") {
+    val w1 = RandomHyperplaneLSH.planeWeight(3, 2, 17)
+    val w2 = RandomHyperplaneLSH.planeWeight(3, 2, 17)
+    assert(w1 == w2 && w1 >= -1.0 && w1 < 1.0)
+    assert(RandomHyperplaneLSH.planeWeight(0, 0, 0) != RandomHyperplaneLSH.planeWeight(0, 0, 1))
+  }
+
+  test("LSH buckets: identical vectors share every bucket; candidates include self-similar pair") {
+    val v = Seq.tabulate(8)(i => 0.1f * (i + 1))
+    val df = Seq((0L, v), (10L, v), (11L, v.map(x => -x))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+    val q = df.filter(col("vec_id") < 10)
+    val c = df.filter(col("vec_id") >= 10)
+    val cands = RandomHyperplaneLSH.candidates(q, c, "vec_id", "vec",
+      numTables = 4, bits = 4, dims = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 10L)))      // identical vector always collides
+    assert(!cands.contains((0L, 11L)))     // antipodal vector never collides
+  }
+
+  test("ANN recall vs exact baseline on sf0.001 (report + floor)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SimilarityQueries.q21CosineTopK(spark, dir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+    val ann = SimilarityQueries.q22AnnLsh(spark, dir)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, v) => ann.get(q).contains(v) }
+    info(s"ANN top-1 recall: $hits/${exact.size} (candidates found for ${ann.size}/10 queries)")
+    // random 64-dim data has no planted neighbors; assert the machinery
+    // produces candidates for most queries and some true top-1 hits
+    assert(ann.size >= 8, s"only ${ann.size} queries had any candidates")
+    assert(hits >= 2, s"ANN recalled only $hits true top-1s")
+  }
+
+  test("q21 brute-force top-k: ranks are 1..5 per query and sims non-increasing") {
+    val out = SimilarityQueries.q21CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("query_id", "rank", "sim").as[(Long, Int, Double)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to 5))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+}
