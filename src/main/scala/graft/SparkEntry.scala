@@ -17,6 +17,8 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (DedupQueries.defs, DedupQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
+      (EnrichQueries.defs, EnrichQueries.oracles),
+      (PipelineQueries.defs, PipelineQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.enrich.SectorVote
+
+/** Sector-vote enrichment with the reference's real semantics (A1 2/3
+  * majority, A2 hierarchical 1/2-threshold coarsening) over the TPC-H
+  * star: each order "document" votes with its parts (broadcast dimension
+  * join J1 feeding the vote). */
+object EnrichQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Synthetic 8-digit ICB-like code with a real 4-level hierarchy derived
+    * from part attributes — trimming two digits coarsens the sector. */
+  private def icb8(partkey: Column, size: Column): Column =
+    (pmod(size, lit(5)) + 1) * 1000000L +
+      pmod(partkey, lit(5)) * 10000L +
+      pmod(partkey, lit(3)) * 100L +
+      pmod(partkey, lit(2))
+
+  /** A1: per-order 2/3-majority vote on part brand. */
+  val q23MajoritySector: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    SectorVote.majority(pairs, "l_orderkey", "p_brand")
+      .select(col("l_orderkey"), col("majority").as("majority_brand"),
+        col("cnt").as("top_cnt"), col("total"))
+      .orderBy("l_orderkey")
+  }
+
+  /** A2: per-order hierarchical ICB vote (threshold 1/2, trim 8→6→4→2). */
+  val q24SectorRollup: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), icb8(col("p_partkey"), col("p_size")).as("icb"))
+    SectorVote.hierarchical(pairs, "l_orderkey", "icb")
+      .orderBy("l_orderkey")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q23_majority_sector" -> q23MajoritySector,
+    "q24_sector_rollup" -> q24SectorRollup,
+  )
+
+  // DuckDB has no pmod; all operands here are non-negative so % agrees
+  private val icbSql =
+    """(p_size % 5 + 1) * 1000000 + (p_partkey % 5) * 10000
+       + (p_partkey % 3) * 100 + (p_partkey % 2)"""
+
+  val oracles: Map[String, String] = Map(
+    "q23_majority_sector" ->
+      """WITH j AS (SELECT l_orderkey, p_brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+         c AS (SELECT l_orderkey, p_brand, count(*) AS cnt FROM j GROUP BY 1, 2),
+         r AS (SELECT l_orderkey, p_brand, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY l_orderkey) AS BIGINT) AS total,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY cnt DESC, p_brand ASC) AS rn
+               FROM c)
+         SELECT l_orderkey,
+           CASE WHEN cnt * 3 > total * 2 THEN p_brand END AS majority_brand,
+           cnt AS top_cnt, total
+         FROM r WHERE rn = 1 ORDER BY l_orderkey""",
+    "q24_sector_rollup" ->
+      s"""WITH j AS (SELECT l_orderkey, $icbSql AS icb
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+         base AS (SELECT l_orderkey, icb AS code, count(*) AS cnt FROM j GROUP BY 1, 2),
+         tot AS (SELECT l_orderkey, CAST(sum(cnt) AS BIGINT) AS total FROM base GROUP BY 1),
+         l0 AS (SELECT l_orderkey, code AS lvl_code, sum(cnt) AS lcnt,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY sum(cnt) DESC, code ASC) AS rn
+                FROM base GROUP BY 1, 2),
+         l1 AS (SELECT l_orderkey, code // 100 AS lvl_code, sum(cnt) AS lcnt,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY sum(cnt) DESC, code // 100 ASC) AS rn
+                FROM base GROUP BY 1, 2),
+         l2 AS (SELECT l_orderkey, code // 10000 AS lvl_code, sum(cnt) AS lcnt,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY sum(cnt) DESC, code // 10000 ASC) AS rn
+                FROM base GROUP BY 1, 2),
+         l3 AS (SELECT l_orderkey, code // 1000000 AS lvl_code, sum(cnt) AS lcnt,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY sum(cnt) DESC, code // 1000000 ASC) AS rn
+                FROM base GROUP BY 1, 2)
+         SELECT t.l_orderkey,
+           CAST(CASE WHEN w0.lcnt * 2 > t.total THEN w0.lvl_code
+                WHEN w1.lcnt * 2 > t.total THEN w1.lvl_code
+                WHEN w2.lcnt * 2 > t.total THEN w2.lvl_code
+                WHEN w3.lcnt * 2 > t.total THEN w3.lvl_code END AS BIGINT) AS sector,
+           CASE WHEN w0.lcnt * 2 > t.total THEN '8'
+                WHEN w1.lcnt * 2 > t.total THEN '6'
+                WHEN w2.lcnt * 2 > t.total THEN '4'
+                WHEN w3.lcnt * 2 > t.total THEN '2' END AS level
+         FROM tot t
+         LEFT JOIN (SELECT * FROM l0 WHERE rn = 1) w0 USING (l_orderkey)
+         LEFT JOIN (SELECT * FROM l1 WHERE rn = 1) w1 USING (l_orderkey)
+         LEFT JOIN (SELECT * FROM l2 WHERE rn = 1) w2 USING (l_orderkey)
+         LEFT JOIN (SELECT * FROM l3 WHERE rn = 1) w3 USING (l_orderkey)
+         ORDER BY t.l_orderkey""",
+  )
+}
