@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` payloads with typed metadata; decode/feature-extraction runs
+  * per partition in batches (the Scala analog of an arrow-batched UDF).
+  *
+  * The decode itself is a clearly-marked deterministic STAND-IN — codec
+  * libraries are not on this offline classpath — but everything Spark
+  * cares about is real: the schema, the per-partition batch iteration,
+  * the partitioning (decode is scan-side, no shuffle), and the typed
+  * output. Swap `fakeDecode` for a jpeg/pcm decoder in production.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int, digest: Long,
+      width: Int, height: Int, duration_ms: Long, feature: Array[Float])
+
+  /** STAND-IN decoder: derives deterministic pseudo-features from the
+    * payload bytes (xxhash-seeded). Replace with a real codec. */
+  def fakeDecode(r: MediaRow): MediaFeatures = {
+    val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+    val w = (math.abs(h) % 1920 + 1).toInt
+    val feat = Array.tabulate(8)(i => ((h >> (i * 8)) & 0xff).toFloat / 255f)
+    MediaFeatures(r.media_id, r.kind, r.payload.length, h,
+      width = w, height = (w * 9) / 16,
+      duration_ms = if (r.kind == "audio") math.abs(h) % 300000 else 0L,
+      feature = feat)
+  }
+
+  /** Batched per-partition decode: one pass per partition, constant
+    * memory, output is a typed Dataset ready for columnar ops. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Build a media Dataset from any table with a binary-able column —
+    * test harness for the decode path. */
+  def fromText(df: DataFrame, idCol: String, textCol: String,
+               kind: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), lit(kind), col(textCol).cast("binary"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, k, b) => MediaRow(id, k, b) }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.dedup.ExactDedup
+import graft.schema.Doc
+import graft.text.TextOps
+
+/** The engine's spine: the reference's main ingest path (SURVEY.md §3.2)
+  * as one declarative pipeline —
+  *
+  *   posts → drop removed/empty (F2, F3) → ticker extraction (O16) →
+  *   universe semi-join minus stop-tickers (F5/J2) → no-ticker filter (F4)
+  *   → dedup gate vs history (F8) → typed doc assembly (O18).
+  *
+  * Reference: `src/lurkers/reddit.py:72-90,156-174` + `src/base.py:210-218`.
+  * Scale shape: the universe join is broadcast (dimension stays tiny); the
+  * ticker explode shuffles on the doc key only for the collect_set — and
+  * the dedup gate shuffles on the uniformly-distributed hash. Hot tickers
+  * (AAPL/TSLA skew) live inside a doc's array, never as a join key.
+  */
+object Ingest {
+
+  /** F2 + F3: drop moderator-removed and empty/placeholder bodies. */
+  def filterValidPosts(posts: DataFrame): DataFrame =
+    posts
+      .filter(col("removed_by_category").isNull)
+      .filter(col("selftext").isNotNull &&
+        !col("selftext").isin("unknown", "[removed]"))
+
+  /** O16 + F5/J2: extract candidate tickers from text, drop stop-tickers
+    * (`reddit.py:89`: `- {'DD','ARE'}`), keep only universe members.
+    * Returns (idCol, tickers) for docs with ≥1 valid ticker (F4). */
+  def resolveTickers(docs: DataFrame, idCol: String, textCol: Column,
+                     universe: DataFrame, symbolCol: String,
+                     stopTickers: Seq[String] = Seq("DD", "ARE")): DataFrame = {
+    val raw = TextOps.extractTickersEn(textCol)
+    val pruned = array_except(raw, array(stopTickers.map(lit): _*))
+    docs.select(col(idCol), explode(pruned).as("__t"))
+      .join(broadcast(universe.select(col(symbolCol).as("__t"))), Seq("__t"), "left_semi")
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("__t"))).as("tickers"))
+  }
+
+  /** Full ingest: returns the typed documents that survive every gate.
+    * `history` holds previously-ingested text hashes; `retrievalTime` is
+    * the injected clock (never `now()` — determinism, SURVEY §7.4). */
+  def ingest(posts: DataFrame, universe: DataFrame, history: DataFrame,
+             retrievalTime: Column): Dataset[Doc] = {
+    val valid = filterValidPosts(posts)
+    val withText = valid.withColumn("__text",
+      TextOps.getText(col("title"), col("selftext")))
+    val tickers = resolveTickers(withText, "id", col("__text"), universe, "ticker_symbol")
+    val docs = withText.join(tickers, "id") // inner join == F4 (≥1 ticker)
+      .withColumn("text_hash", TextOps.textHashHex(col("__text")))
+    val fresh = ExactDedup.dedupGate(
+      ExactDedup.keepers(docs, "text_hash", "id",
+        carryCols = Seq("source", "title", "selftext", "__text", "tickers",
+          "created_utc", "url")),
+      history, "text_hash")
+    import posts.sparkSession.implicits._
+    fresh.select(Doc.assemble(
+        id = col("id"), source = col("source"), title = col("title"),
+        text = col("selftext"), tickers = col("tickers"),
+        time = timestamp_seconds(col("created_utc")),
+        sourceLink = col("url"), retrievalTime = retrievalTime).as("doc"))
+      .select(col("doc.*"))
+      .as[Doc]
+  }
+}

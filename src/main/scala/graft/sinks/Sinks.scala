@@ -1,0 +1,64 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch sinks (SURVEY.md K1–K4), parquet-backed. The contracts the
+  * reference encodes — and the Spark re-expressions:
+  *
+  * - K1 `insert_many(ordered=False)` once per job (`src/base.py:270-275`):
+  *   an idempotent partitioned append. We use dynamic partition overwrite
+  *   so re-running a job (Spark task/job retry, at-least-once queue
+  *   redelivery Q4) replaces its own partitions instead of double-
+  *   appending — the "at-least-once + dedup = exactly-once effect"
+  *   requirement of SURVEY §7.4.
+  * - K2 universe upsert-if-absent (`src/workqueue_setup.py:34-46`):
+  *   left-anti on the key then append (Delta MERGE WHEN NOT MATCHED in a
+  *   lakehouse deployment; the anti-join form is engine-pure).
+  * - K4 staging flag reset (`src/utils/database_utils.py:66-81`): the
+  *   reference resets ALL staged docs — acking even failed migrations
+  *   (its own TODO at `database_utils.py:65`). We fix the semantic: flip
+  *   `just_insert` only for acked ids.
+  */
+object Sinks {
+
+  /** K1: write `df` partitioned by `partitionCols`; re-running the same
+    * logical job overwrites only the partitions it produces. */
+  def idempotentAppend(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** K2: append only rows whose `keyCol` is absent from the existing
+    * table. Returns the number of rows appended. */
+  def mergeUpsert(spark: SparkSession, incoming: DataFrame, path: String,
+                  keyCol: String): Long = {
+    val newRows =
+      if (!new java.io.File(path).exists()) incoming
+      else {
+        val existing = spark.read.parquet(path).select(keyCol)
+        incoming.join(existing, Seq(keyCol), "left_anti")
+      }
+    val toWrite = newRows.cache()
+    val n = toWrite.count()
+    if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(path)
+    toWrite.unpersist()
+    n
+  }
+
+  /** K4 (fixed semantics): flip `just_insert` to false ONLY for ids in
+    * `acked`; failed docs stay staged for retry. Returns the updated
+    * staging table (caller persists it transactionally — Delta UPDATE in
+    * a lakehouse deployment). */
+  def resetJustInsert(staging: DataFrame, acked: DataFrame, idCol: String): DataFrame = {
+    val ackedIds = acked.select(col(idCol)).distinct()
+      .withColumn("__acked", lit(true))
+    staging.join(ackedIds, Seq(idCol), "left")
+      .withColumn("just_insert",
+        when(col("__acked") && col("just_insert"), lit(false))
+          .otherwise(col("just_insert")))
+      .drop("__acked")
+  }
+}

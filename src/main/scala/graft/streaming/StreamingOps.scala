@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming re-expressions of the reference's queue/stream
+  * semantics (SURVEY.md §2.8 Q1–Q8, W1, W4).
+  *
+  * The Redis queue/lease/GC machinery (~480 LoC of `rediswq.py` +
+  * `redislease.py` + `garbage_collector.py`) is deleted, not ported:
+  * Spark's scheduler + checkpointing subsume lease/redelivery (Q1–Q5),
+  * and the dedup gate becomes state-store dedup with a watermark TTL.
+  *
+  * Semantics decision (SURVEY §7.4): the reference's dedup TTL is
+  * wall-clock relative to arrival; `dropDuplicatesWithinWatermark` is
+  * event-time relative to the max seen timestamp. Within-horizon
+  * duplicates are dropped in both; the difference is only when event time
+  * lags arrival by more than the horizon — documented, not hidden.
+  */
+object StreamingOps {
+
+  /** F8/W4 streaming dedup gate: keep-first within a 7-day event-time
+    * horizon (Q8: duplicates skipped, never updated; late data accepted
+    * any time inside the horizon). */
+  def dedupStream(df: DataFrame, tsCol: String, keyCol: String,
+                  horizon: String = "7 days"): DataFrame =
+    df.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** W1: tumbling 1-hour event counts with a watermark so state is
+    * dropped once windows close. */
+  def hourlyCounts(df: DataFrame, tsCol: String, keyCol: String,
+                   lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col(keyCol), col("n_events"))
+}

@@ -1,0 +1,45 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  test("idempotentAppend: re-running the same job does not double-append (K1)") {
+    val path = tmp()
+    val batch = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")).toDF("id", "v", "part")
+    Sinks.idempotentAppend(batch, path, Seq("part"))
+    Sinks.idempotentAppend(batch, path, Seq("part")) // retry/redelivery
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("idempotentAppend: a new job's partitions append, others untouched (K1)") {
+    val path = tmp()
+    Sinks.idempotentAppend(Seq((1L, "p1")).toDF("id", "part"), path, Seq("part"))
+    Sinks.idempotentAppend(Seq((9L, "p2")).toDF("id", "part"), path, Seq("part"))
+    val got = spark.read.parquet(path).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 9L))
+  }
+
+  test("mergeUpsert inserts only absent keys (K2, workqueue_setup.py:34-46)") {
+    val path = tmp()
+    val n1 = Sinks.mergeUpsert(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "v"), path, "k")
+    val n2 = Sinks.mergeUpsert(spark, Seq((2L, "y2"), (3L, "z")).toDF("k", "v"), path, "k")
+    assert(n1 == 2 && n2 == 1)
+    val rows = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "x", 2L -> "y", 3L -> "z")) // 2 kept original
+  }
+
+  test("resetJustInsert flips only acked ids (K4 with the reference's TODO fixed)") {
+    val staging = Seq((1L, true), (2L, true), (3L, false)).toDF("id", "just_insert")
+    val acked = Seq(1L).toDF("id")
+    val out = Sinks.resetJustInsert(staging, acked, "id")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupStream keeps first occurrence within the watermark horizon (F8/W4/Q8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingOps.dedupStream(
+      input.toDF().toDF("ts", "key"), "ts", "key")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-03-01 10:00:00"), "a"),
+        (ts("2024-03-01 10:05:00"), "a"), // dup within horizon
+        (ts("2024-03-01 11:00:00"), "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-03-02 09:00:00"), "a")) // still within 7d
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select("key").as[String].collect().toSeq
+      assert(keys.sorted == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts: tumbling windows with watermark (W1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.hourlyCounts(
+      input.toDF().toDF("ts", "etype"), "ts", "etype")
+    val q = counts.writeStream.format("memory")
+      .queryName("hourly_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-03-01 10:10:00"), "click"),
+        (ts("2024-03-01 10:40:00"), "click"),
+        (ts("2024-03-01 11:10:00"), "view"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData((ts("2024-03-01 14:00:00"), "late"))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("hour", "etype", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2024-03-01 10:00:00"), "click", 2L)))
+      assert(rows.contains((ts("2024-03-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+}
