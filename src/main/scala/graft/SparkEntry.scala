@@ -19,6 +19,7 @@ object SparkEntry {
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (EnrichQueries.defs, EnrichQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
+      (NlpQueries.defs, NlpQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

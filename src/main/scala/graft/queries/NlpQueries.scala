@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.nlp.NlpFunctions
+import graft.similarity.Cosine
+import graft.text.TextOps
+
+/** NLP function-surface coverage (SURVEY.md §2.9 N1–N9) over `documents`.
+  * All scoring is exact integer/rational arithmetic over lexicon hits and
+  * md5-derived hashes, so the DuckDB oracles reproduce results bit-for-bit
+  * (the one float op, TF-IDF's ln, is verified to 4 decimals). */
+object NlpQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Pos = Seq("fast", "big", "value")
+  private val Neg = Seq("slow", "small", "error")
+  private val Topics = Seq(
+    "storage" -> Seq("table", "row", "column", "part", "data"),
+    "compute" -> Seq("query", "join", "agg", "scan", "filter", "sort", "merge", "group", "hash", "key"),
+    "streaming" -> Seq("stream", "window", "batch", "event"),
+  )
+
+  /** N3: corpus TF-IDF top-3 keywords per document. */
+  val q29TfidfKeywords: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val n = d.count()
+    NlpFunctions.tfidfKeywords(d, "doc_id", TextOps.tokens(col("text")), k = 3, corpusSize = n)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** N1/N2: lexicon sentiment, aggregated per source. */
+  val q30Sentiment: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val score = NlpFunctions.sentimentScore(TextOps.tokens(col("text")), Pos, Neg)
+    d.select(col("source"), score.as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score"), 4).as("avg_score"),
+        sum(when(col("score") > 0.2, 1).otherwise(0)).as("n_pos"),
+        sum(when(col("score") < -0.2, 1).otherwise(0)).as("n_neg"))
+      .orderBy("source")
+  }
+
+  /** N4: keyword-profile topic classification, topic × lang tallies. */
+  val q31Topic: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("lang"), NlpFunctions.topic(TextOps.tokens(col("text")), Topics).as("topic"))
+      .groupBy("topic", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("topic", "lang")
+  }
+
+  /** N6: pairwise word similarity over the corpus vocabulary (edit
+    * distance ≤ 2). The vocabulary is aggregated first (tiny, broadcast);
+    * at scale the pair join gets a length-bucket prefilter. */
+  val q32WordSimilarity: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val terms = d.select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 3).distinct()
+    val a = terms.select(col("term").as("term_a"))
+    val b = terms.select(col("term").as("term_b"))
+    a.join(broadcast(b),
+        col("term_a") < col("term_b") &&
+        abs(length(col("term_a")) - length(col("term_b"))) <= 2 &&
+        levenshtein(col("term_a"), col("term_b")) <= 2)
+      .select(col("term_a"), col("term_b"),
+        levenshtein(col("term_a"), col("term_b")).as("lev"),
+        round(NlpFunctions.wordSimilarity(col("term_a"), col("term_b")), 4).as("sim"))
+      .orderBy("term_a", "term_b")
+  }
+
+  /** N7/N9: 16-dim feature-hash embedding per doc (exact ±1 integer
+    * components — bit-reproducible cross-engine), with its norm. */
+  val q33HashEmbedding: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val e = NlpFunctions.hashEmbedding(TextOps.tokens(col("text")), 16)
+    d.select(col("doc_id"), e.as("e"))
+      .select(col("doc_id"),
+        element_at(col("e"), 1).as("c0"),
+        element_at(col("e"), 2).as("c1"),
+        round(Cosine.norm(col("e")), 4).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q29_tfidf_keywords" -> q29TfidfKeywords,
+    "q30_sentiment" -> q30Sentiment,
+    "q31_topic" -> q31Topic,
+    "q32_word_similarity" -> q32WordSimilarity,
+    "q33_hash_embedding" -> q33HashEmbedding,
+  )
+
+  private val toksCte =
+    """T AS (SELECT doc_id, lang, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+    "q29_tfidf_keywords" ->
+      s"""WITH $toksCte,
+         n AS (SELECT count(*) AS c FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM T) GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, unnest(toks) AS term FROM T) GROUP BY 1),
+         scored AS (SELECT tf.doc_id, tf.term,
+                      tf.tf * ln(CAST(n.c AS DOUBLE) / df.df) AS score
+                    FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rank
+                    FROM scored)
+         SELECT doc_id, term, round(score, 4) AS score, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q30_sentiment" ->
+      s"""WITH $toksCte,
+         sc AS (SELECT source,
+             (CAST(len(list_filter(toks, x -> x IN ('fast','big','value'))) AS DOUBLE)
+              - len(list_filter(toks, x -> x IN ('slow','small','error'))))
+             / greatest(CAST(len(list_filter(toks, x -> x IN ('fast','big','value'))) AS DOUBLE)
+                        + len(list_filter(toks, x -> x IN ('slow','small','error'))), 1.0) AS score
+           FROM T)
+         SELECT source, count(*) AS n_docs, round(avg(score), 4) AS avg_score,
+           CAST(sum(CASE WHEN score > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN score < -0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         FROM sc GROUP BY 1 ORDER BY 1""",
+    "q31_topic" ->
+      s"""WITH $toksCte,
+         sc AS (SELECT lang,
+           len(list_filter(toks, x -> x IN ('table','row','column','part','data'))) AS s_storage,
+           len(list_filter(toks, x -> x IN ('query','join','agg','scan','filter','sort','merge','group','hash','key'))) AS s_compute,
+           len(list_filter(toks, x -> x IN ('stream','window','batch','event'))) AS s_streaming
+          FROM T)
+         SELECT CASE WHEN s_storage = 0 AND s_compute = 0 AND s_streaming = 0 THEN 'other'
+                     WHEN s_storage >= s_compute AND s_storage >= s_streaming THEN 'storage'
+                     WHEN s_compute >= s_streaming THEN 'compute'
+                     ELSE 'streaming' END AS topic,
+           lang, count(*) AS n_docs
+         FROM sc GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q32_word_similarity" ->
+      s"""WITH $toksCte,
+         terms AS (SELECT DISTINCT term
+                   FROM (SELECT unnest(list_distinct(toks)) AS term FROM T)
+                   WHERE len(term) >= 3)
+         SELECT a.term AS term_a, b.term AS term_b,
+           CAST(levenshtein(a.term, b.term) AS INT) AS lev,
+           round(1.0 - CAST(levenshtein(a.term, b.term) AS DOUBLE)
+                 / greatest(CAST(greatest(len(a.term), len(b.term)) AS DOUBLE), 1.0), 4) AS sim
+         FROM terms a JOIN terms b
+           ON a.term < b.term
+          AND abs(len(a.term) - len(b.term)) <= 2
+          AND levenshtein(a.term, b.term) <= 2
+         ORDER BY 1, 2""",
+    "q33_hash_embedding" ->
+      s"""WITH $toksCte,
+         e AS (SELECT doc_id,
+             [coalesce(list_sum(list_transform(toks, t ->
+                CASE WHEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16 = i
+                     THEN ((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) >> 8) & 1) * 2 - 1
+                     ELSE 0 END)), 0) for i in range(0, 16)] AS emb
+           FROM T)
+         SELECT doc_id,
+           CAST(emb[1] AS DOUBLE) AS c0, CAST(emb[2] AS DOUBLE) AS c1,
+           round(sqrt(CAST(list_sum(list_transform(emb, x -> x * x)) AS DOUBLE)), 4) AS norm
+         FROM e ORDER BY doc_id""",
+  )
+}
