@@ -29,6 +29,10 @@ object Bench {
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle the JVM between queries: the interpreted-HOF-heavy queries
+      // allocate hard, and carryover GC debt otherwise bleeds one query's
+      // cost into the next measurement
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).collect(); true }

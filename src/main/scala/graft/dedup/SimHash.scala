@@ -43,6 +43,23 @@ object SimHash {
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Bulk simhash as a DataFrame op — explode tokens, hash once, then one
+    * codegen'd aggregation with `bits` signed-vote sums (the per-row
+    * array-fold form runs interpreted and is ~3× slower at sf0.1; keep it
+    * for expression contexts, use this for corpus-scale scans). Docs with
+    * zero tokens produce no row (explode of an empty array). */
+  def simhashDF(docs: DataFrame, idCol: String, toksCol: Column,
+                bits: Int = DefaultBits): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(toksCol).as("__t"))
+      .select(col(idCol), tokenHash48(col("__t")).as("__h"))
+    val aggs = (0 until bits).map(j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"__v$j"))
+    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
   /** Pairs (a < b) within `maxDist` Hamming distance, via chunk-banded
     * equi-join (exact recall by pigeonhole: chunks = maxDist + 1). */
   def hammingPairs(docs: DataFrame, idCol: String, simCol: String,
@@ -54,9 +71,17 @@ object SimHash {
       struct(lit(c).as("chunk"),
         shiftright(col(simCol), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
     }: _*)
+    // Materialize the (possibly expensive) simhash column behind an
+    // exchange before exploding chunks: (a) projection collapse cannot
+    // inline its computation into the per-chunk structs, and (b) the two
+    // self-join branches below become identical subplans ending in the
+    // same shuffle, which ReuseExchange evaluates once.
     val exploded = docs
+      .select(col(idCol), col(simCol))
+      .repartition(col(idCol))
       .select(col(idCol), col(simCol), explode(chunkArr).as("ck"))
       .select(col(idCol), col(simCol), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+      .repartition(col("chunk"), col("cv"))
     val l = exploded.toDF("a", "sim_a", "chunk", "cv")
     val r = exploded.toDF("b", "sim_b", "chunk", "cv")
     l.join(r, Seq("chunk", "cv"))

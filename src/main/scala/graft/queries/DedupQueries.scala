@@ -48,8 +48,7 @@ object DedupQueries {
     * token hashes, majority vote per bit). */
   val q19Simhash: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    d.select(col("doc_id"),
-        SimHash.simhash(TextOps.tokens(col("text"))).as("simhash"))
+    SimHash.simhashDF(d, "doc_id", TextOps.tokens(col("text")))
       .orderBy("doc_id")
   }
 
@@ -58,8 +57,7 @@ object DedupQueries {
     * all-pairs ground truth. */
   val q20SimhashPairs: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    val sims = d.select(col("doc_id"),
-      SimHash.simhash(TextOps.tokens(col("text"))).as("simhash"))
+    val sims = SimHash.simhashDF(d, "doc_id", TextOps.tokens(col("text")))
     SimHash.hammingPairs(sims, "doc_id", "simhash", maxDist = 3)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")

@@ -150,14 +150,28 @@ object TextOps {
 
   // ---- shingling (dedup/minhash building blocks) --------------------------
   /** Distinct k-word shingles; docs shorter than k words collapse to one
-    * whole-doc shingle. */
-  def wordShingles(toks: Column, k: Int): Column =
+    * whole-doc shingle.
+    *
+    * Built by zipping k−1 shifted copies of the token array: `zip_with`
+    * evaluates each input array expression once per row. (The naive
+    * `transform(sequence(...), i -> element_at(toks, i+j))` form
+    * re-evaluates the token-split expression PER ELEMENT when `toks` is
+    * computed — measured 24 s vs 2 s on 5 000 docs at sf0.1.) `zip_with`
+    * pads the shorter side with nulls, which `concat_ws` skips; the
+    * trailing partial grams are sliced away. */
+  def wordShingles(toks: Column, k: Int): Column = {
+    val grams = (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
     when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array(concat_ws(" ", array_join(toks, " "))))
+      array_distinct(slice(grams, lit(1), size(toks) - k + 1)))
+      .otherwise(array(array_join(toks, " ")))
+  }
 
-  /** Distinct k-char shingles of a string. */
+  /** Distinct k-char shingles of a string. (Safe with a computed `c` only
+    * when cheap — `substr` in the lambda re-evaluates `c` per element;
+    * pass an attribute or pre-materialized column for bulk use.) */
   def charShingles(c: Column, k: Int): Column =
     when(length(c) >= k,
       array_distinct(transform(sequence(lit(0), length(c) - k),
