@@ -48,6 +48,25 @@ object Sinks {
     n
   }
 
+  /** K3: bulk-indexing writer shape (`streaming_bulk` into ES,
+    * `database_utils.py:83-113`): per-partition batching with ok/fail
+    * accounting via accumulators (A3/A6). The `write` callback stands in
+    * for the indexing client (retry policy belongs inside it, as the
+    * reference's `max_retries=5`); returns (ok, failed) totals. */
+  def bulkWrite(df: DataFrame, batchSize: Int)
+               (write: Seq[org.apache.spark.sql.Row] => Unit): (Long, Long) = {
+    val sc = df.sparkSession.sparkContext
+    val ok = sc.longAccumulator("bulk_ok")
+    val failed = sc.longAccumulator("bulk_failed")
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.grouped(batchSize).foreach { batch =>
+        try { write(batch); ok.add(batch.size) }
+        catch { case _: Exception => failed.add(batch.size) }
+      }
+    }
+    (ok.value, failed.value)
+  }
+
   /** K4 (fixed semantics): flip `just_insert` to false ONLY for ids in
     * `acked`; failed docs stay staged for retry. Returns the updated
     * staging table (caller persists it transactionally — Delta UPDATE in

@@ -25,8 +25,10 @@ object FixtureSource {
     * re-fetching after the first page — is NOT reproduced). Repartitioned
     * so each page lands in its own task, the way the reference's queue
     * spread pages over workers. */
-  def pagePlan(spark: SparkSession, totalRows: Long, pageSize: Int): DataFrame = {
-    val numPages = ((totalRows + pageSize - 1) / pageSize).toInt
+  def pagePlan(spark: SparkSession, totalRows: Long, pageSize: Int,
+               maxPages: Int = Int.MaxValue): DataFrame = {
+    // A7 ceil-div total-pages derivation; L2 `max_page` cap (etnet.py:52)
+    val numPages = math.min(((totalRows + pageSize - 1) / pageSize).toInt, maxPages)
     spark.range(numPages)
       .select(col("id").cast("int").as("page"),
         (col("id") * pageSize).cast("long").as("offset"),

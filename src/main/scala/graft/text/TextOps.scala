@@ -87,6 +87,19 @@ object TextOps {
   /** The ≤5-words → ignore gate as a predicate. */
   def minWordGate(c: Column, minWords: Int = 5): Column = wordCount(c) > minWords
 
+  // ---- O8/F12: link-prefix blocklist predicate ----------------------------
+  /** True when the URL starts with none of the blocked prefixes
+    * (`google_utils.py:14-34`'s 7-domain blocklist). */
+  def linkAllowed(url: Column, blockedPrefixes: Seq[String]): Column =
+    blockedPrefixes.map(p => !url.startsWith(p)).reduce(_ && _)
+
+  // ---- F1: source-query predicate -----------------------------------------
+  /** The Newsfilter query shape (`newsfilter.py:73-75`): inside a rolling
+    * day window AND not containing a negated phrase. */
+  def recentWithoutPhrase(time: Column, now: Column, days: Int,
+                          text: Column, phrase: String): Column =
+    time >= now - expr(s"INTERVAL $days DAYS") && !text.contains(phrase)
+
   // ---- O9: HTML strip ------------------------------------------------------
   /** Tag strip: drop script/style subtrees, then all tags, then entities
     * we care about, then normalize whitespace. Regex-based (jsoup is not on

@@ -35,6 +35,18 @@ class SinksSpec extends SparkSpec {
     assert(rows == Map(1L -> "x", 2L -> "y", 3L -> "z")) // 2 kept original
   }
 
+  test("bulkWrite batches per partition and tallies ok/fail (K3/A6)") {
+    val df = (1 to 95).map(i => (i.toLong, s"doc$i")).toDF("id", "v").repartition(4)
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val (ok, failed) = Sinks.bulkWrite(df, batchSize = 10) { batch =>
+      seen.add(batch.size)
+      if (batch.exists(_.getLong(0) == 13L)) sys.error("index rejected batch")
+    }
+    assert(ok + failed == 95)
+    assert(failed > 0 && failed <= 10) // exactly the batch holding id 13
+    assert(seen.value.size >= 10)      // 95 rows / 10 per batch across partitions
+  }
+
   test("resetJustInsert flips only acked ids (K4 with the reference's TODO fixed)") {
     val staging = Seq((1L, true), (2L, true), (3L, false)).toDF("id", "just_insert")
     val acked = Seq(1L).toDF("id")

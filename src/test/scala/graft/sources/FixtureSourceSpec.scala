@@ -14,6 +14,11 @@ class FixtureSourceSpec extends SparkSpec {
     assert(plan.map(_._3.toLong).sum == 230)
   }
 
+  test("pagePlan honors the max_page cap (L2, etnet.py:52)") {
+    val plan = FixtureSource.pagePlan(spark, totalRows = 1000, pageSize = 100, maxPages = 5)
+    assert(plan.count() == 5)
+  }
+
   test("pagePlan puts each page in its own partition") {
     val plan = FixtureSource.pagePlan(spark, 500, 100)
     assert(plan.rdd.getNumPartitions == 5)

@@ -72,6 +72,28 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.length == 1 && kept(0).getString(0).endsWith("six"))
   }
 
+  // ---- O8/F12 link blocklist + F1 source predicate ----
+
+  test("linkAllowed rejects blocked prefixes (ref google_utils.py:14-34)") {
+    val blocked = Seq("https://www.youtube.com", "https://maps.google")
+    val got = Seq("https://www.youtube.com/watch?v=1", "https://example.com/x")
+      .toDF("u").filter(TextOps.linkAllowed(col("u"), blocked))
+      .as[String].collect()
+    assert(got.sameElements(Array("https://example.com/x")))
+  }
+
+  test("recentWithoutPhrase: day window + negated phrase (ref newsfilter.py:73-75)") {
+    val now = lit("2024-03-10 00:00:00").cast("timestamp")
+    val df = Seq(
+      ("2024-03-08 12:00:00", "Q4 results"),
+      ("2024-02-01 12:00:00", "Q4 results"),   // too old
+      ("2024-03-09 12:00:00", "SEC 4 Form filing"), // negated phrase
+    ).toDF("t", "title").withColumn("t", col("t").cast("timestamp"))
+    val got = df.filter(TextOps.recentWithoutPhrase(col("t"), now, 7, col("title"), "4 Form"))
+      .select("title").as[String].collect()
+    assert(got.sameElements(Array("Q4 results")))
+  }
+
   // ---- O9 HTML strip ----
 
   test("htmlStrip removes tags, scripts and entities") {
