@@ -47,15 +47,10 @@ object TextOps {
 
   // ---- O3: full-width → half-width CJK normalization ----------------------
   /** `strQ2B`: U+3000 → space; U+FF01..U+FF5E shifted down by 0xFEE0.
-    * Codepoint-mapping has no built-in equivalent → scalar UDF. */
-  val strQ2B: UserDefinedFunction = udf { (s: String) =>
-    if (s == null) null
-    else s.map { ch =>
-      if (ch == '　') ' '
-      else if (ch >= '！' && ch <= '～') (ch - 0xFEE0).toChar
-      else ch
-    }
-  }
+    * Codepoint mapping has no built-in equivalent; implemented as a native
+    * Catalyst expression with codegen (graft.expressions.StrQ2B) rather
+    * than a UDF, so it stays inside whole-stage codegen. */
+  def strQ2B(c: Column): Column = graft.expressions.StrQ2B.str_q2b(c)
 
   // ---- O4: collapse runs of repeated punctuation --------------------------
   /** Collapse runs of each given punctuation char to a single occurrence
