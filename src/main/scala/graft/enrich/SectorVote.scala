@@ -1,7 +1,7 @@
 package graft.enrich
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Sector classification by ticker vote (SURVEY.md A1/A2,
@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
   * scale-safe (never a window over raw rows).
   */
 object SectorVote {
+
+  /** A1 as a typed `Aggregator[IN, BUF, OUT]` (SURVEY §2.10's UDAF
+    * mapping): buffer = per-sector counts, merge = map union, finish =
+    * thresholded mode with the same deterministic tie-break as
+    * `majority`. Usable as a `TypedColumn` in `Dataset.groupByKey(...)
+    * .agg(majorityAgg(num, denom).toColumn)` — partial aggregation
+    * (map-side combine) comes free from the Aggregator contract. */
+  def majorityAgg(num: Int = 2, denom: Int = 3): Aggregator[Int, Map[Int, Long], Option[Int]] =
+    new Aggregator[Int, Map[Int, Long], Option[Int]] {
+      def zero: Map[Int, Long] = Map.empty
+      def reduce(b: Map[Int, Long], sector: Int): Map[Int, Long] =
+        b.updated(sector, b.getOrElse(sector, 0L) + 1L)
+      def merge(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+        b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+      def finish(b: Map[Int, Long]): Option[Int] =
+        if (b.isEmpty) None
+        else {
+          val total = b.values.sum
+          val (sector, cnt) = b.minBy { case (k, v) => (-v, k) } // max cnt, min sector
+          if (cnt * denom > total * num) Some(sector) else None
+        }
+      def bufferEncoder: Encoder[Map[Int, Long]] = Encoders.kryo[Map[Int, Long]]
+      def outputEncoder: Encoder[Option[Int]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Int]]()
+    }
 
   /** A1: majority vote. `pairs` has one row per (doc, sector) occurrence.
     * Returns (docCol, winnerCol, cnt, total) with winnerCol null when the

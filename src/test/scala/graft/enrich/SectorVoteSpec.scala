@@ -44,6 +44,19 @@ class SectorVoteSpec extends SparkSpec {
     assert(out(3L) == (Some(11220000L), Some("8")))
   }
 
+  test("majorityAgg (typed Aggregator) matches the relational majority") {
+    val data = Seq((1L, 10), (1L, 10), (1L, 10), (1L, 20), (2L, 10), (2L, 20), (2L, 30))
+    val ds = data.toDF("doc", "sector").as[(Long, Int)]
+    val got = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(SectorVote.majorityAgg().toColumn.name("maj"))
+      .collect().toMap
+    // mapValues to plain Option
+    assert(got(1L).contains(10) && got(2L).isEmpty)
+    val relational = SectorVote.majority(data.toDF("doc", "sector"), "doc", "sector")
+      .select("doc", "majority").as[(Long, Option[Int])].collect().toMap
+    assert(got == relational)
+  }
+
   test("hierarchical: monotonicity — coarser levels only gain votes") {
     val pairs = Seq((1L, 11223344L), (1L, 11223355L), (1L, 11224466L))
       .toDF("doc", "icb")
