@@ -63,11 +63,24 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Character-8-gram Jaccard near-dup pairs at >= 0.7 — the char-level
+    * n-gram variant of q18 (robust to tokenization differences), same
+    * MinHash-LSH candidate generation, ground-truth oracle. */
+  val q35CharNgramPairs: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"), TextOps.charShingles(col("text"), 8).as("sh"))
+    MinHashLSH.nearDupPairs(sh, "doc_id", "sh",
+        numHashes = 64, numBands = 16, threshold = 0.7)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q17_dedup_gate" -> q17DedupGate,
     "q18_minhash_pairs" -> q18MinhashPairs,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
+    "q35_char_ngram_pairs" -> q35CharNgramPairs,
   )
 
   private val shinglesCte =
@@ -110,6 +123,19 @@ object DedupQueries {
     "q19_simhash" ->
       s"""WITH $simhashCte
          SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM SIM ORDER BY doc_id""",
+    "q35_char_ngram_pairs" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN len(text) >= 8
+                  THEN list_distinct([text[i : i + 7] for i in range(1, len(text) - 6)])
+                  ELSE [text] END AS sh
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+         ORDER BY 1, 2""",
     "q20_simhash_pairs" ->
       s"""WITH $simhashCte
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TopK
-import graft.similarity.{Cosine, RandomHyperplaneLSH}
+import graft.similarity.{Cosine, IvfFlat, RandomHyperplaneLSH}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
   * operators; reference analog N8/N9 `tencent_api.py:111-136`).
@@ -64,9 +64,30 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** IVF-flat ANN: 16 deterministic centroids (first corpus vectors),
+    * nprobe=4; oracle replicates the identical index + probe in DuckDB. */
+  val q34AnnIvf: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    val centroids = corpus.filter(col("vec_id") < 26)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+    val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    val probes = IvfFlat.probes(queries, "vec_id", "vec", centroids, "cen_id", "cen_vec", nprobe = 4)
+    val cands = IvfFlat.candidates(probes, cells, "vec_id", "vec_id")
+    val scored = cands
+      .join(queries.select(col("vec_id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(corpus.select(col("vec_id").as("cand_id"), col("vec").as("cvec")), "cand_id")
+      .withColumn("sim", Cosine.cosine(col("qvec"), col("cvec")))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("cand_id").asc), 1, saltOn = hash(col("cand_id")),
+        rankCol = "rank")
+      .select(col("query_id"), col("cand_id").as("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
+    "q34_ann_ivf" -> q34AnnIvf,
   )
 
   private val cosineParts =
@@ -101,6 +122,38 @@ object SimilarityQueries {
          cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cand_id
            FROM sigs qs JOIN sigs cs ON qs.t = cs.t AND qs.sig = cs.sig
            WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
+         scored AS (SELECT cand.query_id, cand.cand_id,
+             list_inner_product(q.qvec, c.cvec)
+               / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+           FROM cand
+           JOIN Q q ON q.query_id = cand.query_id
+           JOIN C c ON c.vec_id = cand.cand_id),
+         ranked AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+           FROM scored)
+         SELECT query_id, cand_id AS vec_id, round(sim, 6) AS sim
+         FROM ranked WHERE rn = 1 ORDER BY query_id""",
+    // IVF parity oracle: same deterministic centroids, same L2 ordering
+    // (expanded form; gaps dwarf fp rounding), same nprobe, same top-1.
+    "q34_ann_ivf" ->
+      s"""WITH $cosineParts,
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id < 26),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT c.vec_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 (list_inner_product(c.cvec, c.cvec)
+                  - 2 * list_inner_product(c.cvec, cen.cen_vec)
+                  + list_inner_product(cen.cen_vec, cen.cen_vec)) ASC, cen.cen_id ASC) AS rn
+             FROM C c, cen) t WHERE rn = 1),
+         probes AS (SELECT query_id, cell FROM (
+             SELECT q.query_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 (list_inner_product(q.qvec, q.qvec)
+                  - 2 * list_inner_product(q.qvec, cen.cen_vec)
+                  + list_inner_product(cen.cen_vec, cen.cen_vec)) ASC, cen.cen_id ASC) AS rn
+             FROM Q q, cen) t WHERE rn <= 4),
+         cand AS (SELECT DISTINCT p.query_id, s.vec_id AS cand_id
+                  FROM probes p JOIN cells s USING (cell)),
          scored AS (SELECT cand.query_id, cand.cand_id,
              list_inner_product(q.qvec, c.cvec)
                / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim

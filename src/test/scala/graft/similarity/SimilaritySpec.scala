@@ -61,6 +61,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 2, s"ANN recalled only $hits true top-1s")
   }
 
+  test("IvfFlat: identical vector lands in its own centroid's cell; probes are nearest-first") {
+    val mk = (id: Long, v: Seq[Double]) => (id, v)
+    val corpus = Seq(
+      mk(10L, Seq(1.0, 0.0)), mk(11L, Seq(0.0, 1.0)), // centroids
+      mk(12L, Seq(0.9, 0.1)), mk(13L, Seq(0.1, 0.9)),
+    ).toDF("vec_id", "vec")
+    val centroids = corpus.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+    val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells(10L) == 10L && cells(12L) == 10L)
+    assert(cells(11L) == 11L && cells(13L) == 11L)
+    val queries = Seq(mk(0L, Seq(0.95, 0.05))).toDF("vec_id", "vec")
+    val probes = IvfFlat.probes(queries, "vec_id", "vec", centroids, "cen_id", "cen_vec", 2)
+      .orderBy("probe_rank").select("cell").as[Long].collect()
+    assert(probes.sameElements(Array(10L, 11L)))
+  }
+
   test("q21 brute-force top-k: ranks are 1..5 per query and sims non-increasing") {
     val out = SimilarityQueries.q21CosineTopK(spark, "/root/testdata/sf0.001")
       .select("query_id", "rank", "sim").as[(Long, Int, Double)].collect()
