@@ -28,6 +28,19 @@ object TextAnalysis {
   def tokenCharSum(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t))
 
+  /** BPE-ish subword segmentation: the GPT-2-style pre-tokenizer regex
+    * (contraction suffixes | space?-letters | space?-digits |
+    * space?-punct runs | whitespace runs) — the standard proxy for "how
+    * many tokens will the tokenizer emit" without a merges table. RE2-
+    * compatible (no lookarounds), so a DuckDB oracle matches exactly. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Heuristic quality score in [0,1]: long-enough, mostly-alpha, low-punct
     * text scores high. Deterministic arithmetic, oracle-reproducible. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {

@@ -84,10 +84,33 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** Embedding-cosine near-dup pairs: LSH bucket SELF-join (a < b) for
+    * candidates, exact cosine >= 0.45 on candidates only. Oracle is the
+    * identical deterministic algorithm (implementation parity, like q22):
+    * on random data LSH recall isn't guaranteeable, so ground truth would
+    * be unverifiable — the spec under test is the operator itself. */
+  val q37CosineNearDup: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+    val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, Bits, Dims)
+    val l = b.toDF("a", "table", "sig")
+    val r = b.toDF("b", "table", "sig")
+    val cands = l.join(r, Seq("table", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(all.select(col("vec_id").as("a"), col("vec").as("va")), "a")
+      .join(all.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
+      .withColumn("sim", Cosine.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.45)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
+    "q37_cosine_neardup" -> q37CosineNearDup,
   )
 
   private val cosineParts =
@@ -133,6 +156,27 @@ object SimilarityQueries {
            FROM scored)
          SELECT query_id, cand_id AS vec_id, round(sim, 6) AS sim
          FROM ranked WHERE rn = 1 ORDER BY query_id""",
+    // parity oracle: identical md5 hyperplanes → identical buckets →
+    // identical candidate pairs → exact cosine threshold
+    "q37_cosine_neardup" ->
+      """WITH pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
+             CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+           FROM range(0, 8) t, range(0, 6) b, range(0, 64) d),
+         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
+           FROM allv a, pl p GROUP BY 1, 2, 3),
+         sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
+           FROM dots GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+           WHERE l.vec_id < r.vec_id),
+         scored AS (SELECT cand.a, cand.b,
+             list_inner_product(x.v, y.v)
+               / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS sim
+           FROM cand JOIN allv x ON x.vec_id = cand.a JOIN allv y ON y.vec_id = cand.b)
+         SELECT a AS vec_a, b AS vec_b, round(sim, 6) AS sim
+         FROM scored WHERE sim >= 0.45 ORDER BY 1, 2""",
     // IVF parity oracle: same deterministic centroids, same L2 ordering
     // (expanded form; gaps dwarf fp rounding), same nprobe, same top-1.
     "q34_ann_ivf" ->

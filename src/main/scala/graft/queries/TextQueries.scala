@@ -84,8 +84,21 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish token accounting per doc (training-data budgeting): GPT-2
+    * pre-tokenizer regex segments vs whitespace words. */
+  val q36BpeTokens: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextOps.wordCount(col("text")).as("n_words"))
+      .withColumn("ratio", round(col("n_bpe").cast("double") /
+        greatest(col("n_words").cast("double"), lit(1.0)), 4))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q12_token_stats" -> q12TokenStats,
+    "q36_bpe_tokens" -> q36BpeTokens,
     "q13_text_clean" -> q13TextClean,
     "q14_term_extract" -> q14TermExtract,
     "q15_lang_profile" -> q15LangProfile,
@@ -96,6 +109,15 @@ object TextQueries {
   // replace-all; list_filter/list_transform/list_reduce mirror Spark HOFs;
   // ('0x'||substr(md5(x),1,8))::BIGINT mirrors TextOps.md5Int32.
   val oracles: Map[String, String] = Map(
+    "q36_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_words,
+           round(CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS DOUBLE)
+             / greatest(CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS DOUBLE), 1.0), 4) AS ratio
+         FROM documents ORDER BY doc_id""",
     "q12_token_stats" ->
       """WITH t AS (
            SELECT lang,
