@@ -97,6 +97,13 @@ object MinHashLSH {
                    numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
+    // The shingle computation is evaluated by three consumers (signature
+    // path + both verify joins). Recomputing is deliberate: it is
+    // scan-side linear work, while materializing shingle arrays behind a
+    // shuffle would move ~8× the raw text size across the wire (and
+    // ReuseExchange does not in fact unify the three branches here). In a
+    // persistent deployment, write `shingled` once as a table and pass
+    // that in — the API takes any DataFrame.
     val sigs = signatures(shingled, idCol, shCol, numHashes)
     val cands = candidatePairs(sigs, idCol, "__sig", numBands, r)
     val setsA = shingled.select(col(idCol).as("a"), col(shCol).as("__sh_a"))

@@ -1,0 +1,51 @@
+package graft.analysis
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.text.{LangId, TextOps}
+
+class AnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks = TextOps.tokens(col("s"))
+
+  test("LangId.predict: stopword profiles pick the right language, 'und' fallback") {
+    val got = Seq(
+      "the cat sat on a mat and purred",   // en
+      "der hund und die katze ist da",     // de
+      "el gato es una maravilla que salta",// es
+      "le chat est dans les arbres et",    // fr
+      "xylophone zebra quartz",            // no stopwords → und
+    ).toDF("s").select(LangId.predict(toks).as("r")).as[String].collect()
+    assert(got.sameElements(Array("en", "de", "es", "fr", "und")))
+  }
+
+  test("LangId tie resolves in profile order (en first)") {
+    // 'a' is en-profile; 'es' is es-profile — one hit each → en wins
+    val got = Seq("a es").toDF("s").select(LangId.predict(toks).as("r")).as[String].collect()(0)
+    assert(got == "en")
+  }
+
+  test("qualityScore is bounded and ranks clean text above punct soup") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running along the road",
+      "!!! ??? ### $$$ %%% ^^^ &&& *** ((()))",
+    ).toDF("s").select(TextAnalysis.qualityScore(col("s"), Seq("the", "and")).as("q"))
+      .as[Double].collect()
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fps = Seq("alpha beta", "beta alpha", "alpha beta")
+      .toDF("s").select(TextAnalysis.fingerprint(col("s")).as("f")).as[Long].collect()
+    assert(fps(0) != fps(1)) // rolling hash sees order
+    assert(fps(0) == fps(2))
+  }
+
+  test("bpeTokenCount segments like a GPT-2 pre-tokenizer") {
+    val got = Seq("don't stop 123!!").toDF("s")
+      .select(TextAnalysis.bpeTokens(col("s")).as("t")).as[Seq[String]].collect()(0)
+    assert(got == Seq("don", "'t", " stop", " 123", "!!"))
+  }
+}
