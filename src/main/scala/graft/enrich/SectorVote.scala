@@ -106,4 +106,44 @@ object SectorVote {
       when(col(s"w$i").isNotNull, lit(levelLabels(i)))): _*)
     pivoted.select(col(docCol), sector.as("sector"), level.as("level"))
   }
+
+  /** `hierarchical` with two shuffles instead of four: aggregate
+    * (doc, code) counts, collect each doc's count list (bounded by the
+    * doc's distinct codes — order-sized here, never corpus-sized), and
+    * run the level cascade as per-row array expressions. Same result,
+    * same tie-breaks; prefer this when per-doc code sets are small, the
+    * windowed form when a single doc can carry millions of codes. */
+  def hierarchicalCompact(pairs: DataFrame, docCol: String, codeCol: String,
+                          divisors: Seq[Long] = Seq(1L, 100L, 10000L, 1000000L),
+                          levelLabels: Seq[String] = Seq("8", "6", "4", "2"),
+                          num: Int = 1, denom: Int = 2): DataFrame = {
+    require(divisors.length == levelLabels.length)
+    val collected = pairs
+      .groupBy(col(docCol), col(codeCol).cast("long").as("code"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(docCol)
+      .agg(collect_list(struct(col("code"), col("cnt"))).as("cc"),
+        sum("cnt").as("total"))
+    // per level: winner = arg-max of (sum cnt per trimmed code), ties to
+    // the smallest code; encoded as a fold over the distinct level codes
+    def winner(d: Long): Column = {
+      val lvlCodes = array_distinct(transform(col("cc"), c => (c.getField("code") / d).cast("long")))
+      val scored = transform(lvlCodes, lc => struct(
+        aggregate(col("cc"), lit(0L),
+          (acc, c) => acc + when((c.getField("code") / d).cast("long") === lc, c.getField("cnt")).otherwise(lit(0L))).as("lcnt"),
+        lc.as("lvl_code")))
+      val best = aggregate(scored, struct(lit(-1L).as("lcnt"), lit(Long.MaxValue).as("lvl_code")),
+        (b, x) => when(x.getField("lcnt") > b.getField("lcnt") ||
+            (x.getField("lcnt") === b.getField("lcnt") &&
+             x.getField("lvl_code") < b.getField("lvl_code")), x).otherwise(b))
+      when(best.getField("lcnt") * denom > col("total") * num, best.getField("lvl_code"))
+    }
+    val wins = divisors.zipWithIndex.foldLeft(collected) { case (df, (d, i)) =>
+      df.withColumn(s"w$i", winner(d))
+    }
+    val sector = coalesce(divisors.indices.map(i => col(s"w$i")): _*)
+    val level = coalesce(divisors.indices.map(i =>
+      when(col(s"w$i").isNotNull, lit(levelLabels(i)))): _*)
+    wins.select(col(docCol), sector.as("sector"), level.as("level"))
+  }
 }

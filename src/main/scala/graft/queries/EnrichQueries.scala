@@ -33,13 +33,17 @@ object EnrichQueries {
       .orderBy("l_orderkey")
   }
 
-  /** A2: per-order hierarchical ICB vote (threshold 1/2, trim 8→6→4→2). */
+  /** A2: per-order hierarchical ICB vote (threshold 1/2, trim 8→6→4→2).
+    * Uses the compact two-shuffle form — per-order code sets are bounded
+    * by order size, so the per-row cascade beats four windowed
+    * aggregations ~5× (see SectorVote scaladoc for when to prefer the
+    * windowed form). */
   val q24SectorRollup: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
     val part = Tables(s, dir, "part")
     val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), icb8(col("p_partkey"), col("p_size")).as("icb"))
-    SectorVote.hierarchical(pairs, "l_orderkey", "icb")
+    SectorVote.hierarchicalCompact(pairs, "l_orderkey", "icb")
       .orderBy("l_orderkey")
   }
 
