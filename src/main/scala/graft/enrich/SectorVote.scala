@@ -53,16 +53,16 @@ object SectorVote {
   def majority(pairs: DataFrame, docCol: String, sectorCol: String,
                num: Int = 2, denom: Int = 3): DataFrame = {
     val counts = pairs.groupBy(docCol, sectorCol).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(docCol)
-    val ranked = counts
-      .withColumn("total", sum("cnt").over(w))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("cnt").desc, col(sectorCol).asc)))
-    ranked.filter(col("rn") === 1)
-      .select(col(docCol),
-        when(col("cnt") * denom > col("total") * num, col(sectorCol))
-          .otherwise(lit(null)).as("majority"),
-        col("cnt"), col("total"))
+    // winner via min(struct(-cnt, sector)): max count, ties to the
+    // smallest sector — a pure two-phase hash aggregation (map-side
+    // partial), no per-group sort the way a rank-1 window would do it
+    val best = counts.groupBy(docCol).agg(
+      min(struct((-col("cnt")).as("nc"), col(sectorCol).as("sector"), col("cnt").as("cnt"))).as("best"),
+      sum("cnt").as("total"))
+    best.select(col(docCol),
+      when(col("best.cnt") * denom > col("total") * num, col("best.sector"))
+        .otherwise(lit(null)).as("majority"),
+      col("best.cnt").as("cnt"), col("total"))
   }
 
   /** A2: hierarchical vote over a numeric code hierarchy. `divisors` lists
