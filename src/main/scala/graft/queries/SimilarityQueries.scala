@@ -28,6 +28,11 @@ object SimilarityQueries {
   val K = 5
   val NumTables = 8
   val Bits = 6
+  // Near-dup detection runs at a different LSH operating point than
+  // top-1 search: more bits per table so random pairs rarely collide
+  // (0.61^10 ≈ 0.7% per table vs 5% at 6 bits) while true near-dups
+  // (cos ≥ 0.95 → p_bit ≈ 0.9) still collide in some table w.p. ≈ 0.97.
+  val NearDupBits = 10
 
   private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
@@ -92,7 +97,7 @@ object SimilarityQueries {
   val q37CosineNearDup: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
-    val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, Bits, Dims)
+    val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, NearDupBits, Dims)
     val l = b.toDF("a", "table", "sig")
     val r = b.toDF("b", "table", "sig")
     val cands = l.join(r, Seq("table", "sig")).filter(col("a") < col("b"))
@@ -162,7 +167,7 @@ object SimilarityQueries {
       """WITH pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
              CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
                / 2147483648.0 - 1.0 AS w
-           FROM range(0, 8) t, range(0, 6) b, range(0, 64) d),
+           FROM range(0, 8) t, range(0, 10) b, range(0, 64) d),
          allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
            FROM allv a, pl p GROUP BY 1, 2, 3),
