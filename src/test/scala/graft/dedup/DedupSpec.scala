@@ -68,6 +68,18 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2 && s1.length == 16)
   }
 
+  test("minhash signature agreement estimates jaccard (statistical property)") {
+    // sets with known overlap: |A∩B|/|A∪B| = 60/140 ≈ 0.4286
+    val a = (1 to 100).map(i => s"t$i")
+    val b = (41 to 180).map(i => s"t$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "sh")
+    val sigs = MinHashLSH.signatures(df, "id", "sh", 128)
+      .orderBy("id").select("__sig").as[Seq[Long]].collect()
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / 128
+    val trueJ = 60.0 / 180.0 // |A∩B|=60, |A∪B|=180
+    assert(math.abs(agree - trueJ) < 0.15, s"estimate $agree vs true $trueJ")
+  }
+
   test("jaccard: identical sets 1.0, disjoint sets 0.0") {
     val d = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
     val row = d.select(
