@@ -188,8 +188,33 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Gap-based sessionization over the events stream: a session breaks
+    * after 30 idle minutes; sessions are numbered per user with a
+    * cumulative sum over a lag. Both windows partition on user_id —
+    * high-cardinality, scale-safe (and the streaming twin is
+    * session_window(ts, '30 minutes')). */
+  val q38Sessionize: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = ev
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q38_sessionize" -> q38Sessionize,
     "q02_filtered_revenue" -> q02FilteredRevenue,
     "q03_region_revenue" -> q03RegionRevenue,
     "q04_semi_join" -> q04SemiJoin,
@@ -203,6 +228,27 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_sessionize" ->
+      """WITH lagged AS (
+           SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM lagged),
+         numbered AS (
+           SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec,
+           round(sum(value), 4) AS sum_value
+         FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
