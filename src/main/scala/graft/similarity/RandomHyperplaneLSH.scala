@@ -40,14 +40,28 @@ object RandomHyperplaneLSH {
       .map(b => when(Cosine.dot(vec, planeLit(table, b, dims)) > 0, lit(1 << b)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** (id, table, sig) bucket rows for every vector. */
+  /** (id, table, sig) bucket rows for every vector.
+    *
+    * Computed by transposition: posexplode the vector to (id, dim,
+    * component) rows, broadcast-join the plane-weight table, and build
+    * the numTables×bits dot products with ONE codegen'd aggregation —
+    * per-row HOF dot folds run interpreted (no whole-stage codegen) and
+    * were ~3× slower at sf0.1. Each vector's rows stay in one input
+    * partition, so map-side partial aggregation computes every dot
+    * completely and deterministically before the shuffle. */
   def buckets(df: DataFrame, idCol: String, vecCol: String,
               numTables: Int, bits: Int, dims: Int): DataFrame = {
-    val sigs = array((0 until numTables).map { t =>
-      struct(lit(t).as("table"), signature(col(vecCol), t, bits, dims).as("sig"))
-    }: _*)
-    df.select(col(idCol), explode(sigs).as("ts"))
-      .select(col(idCol), col("ts.table").as("table"), col("ts.sig").as("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = (for { t <- 0 until numTables; b <- 0 until bits; d <- 0 until dims }
+      yield (t, b, d, planeWeight(t, b, d))).toDF("table", "bit", "d", "w")
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .join(broadcast(planes), "d")
+      .groupBy(col(idCol), col("table"), col("bit"))
+      .agg(sum(col("x") * col("w")).as("dp"))
+      .groupBy(col(idCol), col("table"))
+      .agg(sum(when(col("dp") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
+      .select(col(idCol), col("table"), col("sig").cast("int").as("sig"))
   }
 
   /** Distinct (queryId, candidateId) pairs sharing any bucket. */
