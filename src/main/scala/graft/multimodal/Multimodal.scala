@@ -39,6 +39,35 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode))
   }
 
+  /** STAND-IN resize: recompute features at a target resolution. A real
+    * codec reads `payload` and scales pixels; the stand-in rescales the
+    * deterministic fake dims, keeping the schema/partitioning contract
+    * (scan-side map, no shuffle). */
+  def resize(feats: Dataset[MediaFeatures], maxWidth: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      if (f.width <= maxWidth) f
+      else f.copy(width = maxWidth, height = (maxWidth * 9) / 16)
+    }
+  }
+
+  case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, digest: Long)
+
+  /** STAND-IN frame sampling: emit `n` evenly-spaced frames per video
+    * payload (flatMap — one input row fans out to n typed rows, the
+    * shape a real ffmpeg-backed sampler produces). Frame digests derive
+    * deterministically from the payload bytes + index. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int,
+                   durationMs: Long = 60000L): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      (0 until n).map { i =>
+        Frame(r.media_id, i, i.toLong * durationMs / math.max(n, 1), h * 31 + i)
+      }
+    }
+  }
+
   /** Build a media Dataset from any table with a binary-able column —
     * test harness for the decode path. */
   def fromText(df: DataFrame, idCol: String, textCol: String,

@@ -15,6 +15,24 @@ class MultimodalSpec extends SparkSpec {
     assert(feats1.forall(f => f.feature.length == 8 && f.width >= 1 && f.height >= 0))
   }
 
+  test("resize caps width and keeps aspect; no-op below the cap") {
+    val df = Seq((1L, "a-very-wide-image-payload")).toDF("id", "text")
+    val feats = Multimodal.decodeFeatures(Multimodal.fromText(df, "id", "text", "image"))
+    val resized = Multimodal.resize(feats, maxWidth = 320).collect()(0)
+    assert(resized.width <= 320 && resized.height == (resized.width * 9) / 16 ||
+      resized.width == feats.collect()(0).width)
+  }
+
+  test("sampleFrames fans one payload into n evenly spaced typed frames") {
+    val df = Seq((7L, "video-bytes")).toDF("id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.fromText(df, "id", "text", "video"), n = 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.offset_ms).sameElements(Array(0L, 15000L, 30000L, 45000L)))
+    assert(frames.map(_.digest).distinct.length == 4) // per-frame digests differ
+    assert(frames.forall(_.media_id == 7L))
+  }
+
   test("audio kind gets a duration; image does not") {
     val df = Seq((1L, "wavbytes")).toDF("id", "text")
     val img = Multimodal.decodeFeatures(Multimodal.fromText(df, "id", "text", "image")).collect()(0)
