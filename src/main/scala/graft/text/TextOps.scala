@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Text transform library (SURVEY.md §2.3, O1–O17), re-expressed as Spark
