@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.text.TextOps
 
 /** MinHash + LSH banding near-duplicate detection (the north-star corpus
   * dedup operator; the reference's closest analog is its text-similarity
@@ -14,9 +13,13 @@ import graft.text.TextOps
   *
   * 100 TB design notes: candidate generation is an equi-join on band keys
   * (shuffle hash-partitioned on the key, NO cross join anywhere); the
-  * signature is computed scan-side with one md5 per shingle plus cheap
-  * affine derivations (not numHashes md5s); the final Jaccard touches only
-  * candidate pairs, whose count LSH keeps near-linear. A hot band key
+  * signature is computed scan-side with one xxhash64 per shingle plus
+  * cheap affine derivations (not numHashes hashes — and xxhash64, not
+  * md5: signatures only drive candidate RECALL, never the verified
+  * output, so the cheapest high-quality hash wins; measured ~2× on the
+  * char-shingle path, where the per-shingle hash dominates the scan);
+  * the final Jaccard touches only candidate pairs, whose count LSH
+  * keeps near-linear. A hot band key
   * (thousands of identical docs) produces a quadratic bucket — callers
   * dealing with boilerplate-heavy corpora should pre-dedup exact hashes
   * first (ExactDedup), which bounds bucket sizes by construction.
@@ -41,9 +44,10 @@ object MinHashLSH {
     }: _*)
 
   /** Convenience single-column signature (tests/small inputs). For bulk
-    * use prefer `signatures`, which materializes the md5 base pass. */
+    * use prefer `signatures`, which evaluates the base hash inside
+    * whole-stage codegen. */
   def signature(shingles: Column, numHashes: Int): Column =
-    signatureFromBase(transform(shingles, s => pmod(TextOps.md5Int32(s), lit(P))), numHashes)
+    signatureFromBase(transform(shingles, s => pmod(xxhash64(s), lit(P))), numHashes)
 
   /** (idCol, __sig) signatures, computed the Spark-idiomatic way: explode
     * shingles to rows, then one hash-aggregation with numHashes `min`
@@ -56,7 +60,7 @@ object MinHashLSH {
                  numHashes: Int): DataFrame = {
     val exploded = shingled
       .select(col(idCol), explode(col(shCol)).as("__s"))
-      .select(col(idCol), pmod(TextOps.md5Int32(col("__s")), lit(P)).as("__h"))
+      .select(col(idCol), pmod(xxhash64(col("__s")), lit(P)).as("__h"))
     val aggs = coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * a + b, lit(P))).as(s"__m$i")
     }

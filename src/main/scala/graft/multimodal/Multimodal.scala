@@ -24,11 +24,15 @@ object Multimodal {
     * payload bytes (xxhash-seeded). Replace with a real codec. */
   def fakeDecode(r: MediaRow): MediaFeatures = {
     val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-    val w = (math.abs(h) % 1920 + 1).toInt
+    // Mask instead of math.abs: abs(Long.MinValue) is negative, which
+    // would yield width 0/negative and a negative duration for that
+    // one-in-2^64 payload.
+    val hPos = h & Long.MaxValue
+    val w = (hPos % 1920 + 1).toInt
     val feat = Array.tabulate(8)(i => ((h >> (i * 8)) & 0xff).toFloat / 255f)
     MediaFeatures(r.media_id, r.kind, r.payload.length, h,
       width = w, height = (w * 9) / 16,
-      duration_ms = if (r.kind == "audio") math.abs(h) % 300000 else 0L,
+      duration_ms = if (r.kind == "audio") hPos % 300000 else 0L,
       feature = feat)
   }
 

@@ -294,14 +294,26 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
          count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_bal
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // Coarser levels re-aggregate the per-nation partials (not the raw
+    // rows), mirroring the Spark cascade's floating-point association so
+    // the 4-decimal hash match is scale-factor-independent (round-2
+    // advice item).
     "q08_rollup_revenue" ->
-      """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
-         FROM lineitem
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP (r_name, n_name)
+      """WITH detail AS (
+           SELECT r_name, n_name,
+             sum(l_extendedprice * (1.0 - l_discount)) AS rev
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name, round(rev, 4) AS revenue FROM detail
+         UNION ALL
+         SELECT r_name, NULL AS n_name, round(sum(rev), 4) AS revenue
+         FROM detail GROUP BY 1
+         UNION ALL
+         SELECT NULL AS r_name, NULL AS n_name, round(sum(rev), 4) AS revenue
+         FROM detail
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q09_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -3,9 +3,14 @@ package graft.similarity
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, as built-in
-  * higher-order functions (codegen'd; no UDF, no MLlib dependency).
-  * Computation is in double: cast once with `toDouble`, then fold.
+/** Dense-vector math over `array<float>` embedding columns, backed by the
+  * native codegen'd kernels in `graft.expressions` (no UDF, no MLlib
+  * dependency). Computation is in double: cast once with `toDouble`, then
+  * the kernels run tight primitive loops fused into the surrounding
+  * whole-stage codegen. (The earlier `aggregate(zip_with(...))`
+  * higher-order-function forms produced identical values — sequential
+  * fold — but ran interpreted, dominating every similarity query's
+  * profile; the kernels are drop-in bit-identical.)
   *
   * Reference analog: the text-similarity / sentence-embedding API surface
   * (`/root/reference/src/utils/tencent_api.py:111-136`, N8/N9) — re-expressed
@@ -18,7 +23,7 @@ object Cosine {
 
   /** Sequential-fold dot product (deterministic summation order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.DotProduct.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -26,5 +31,5 @@ object Cosine {
 
   /** Squared L2 distance (for IVF-style assignment). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.L2Squared.l2_squared(a, b)
 }

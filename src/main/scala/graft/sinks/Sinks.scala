@@ -35,8 +35,13 @@ object Sinks {
     * table. Returns the number of rows appended. */
   def mergeUpsert(spark: SparkSession, incoming: DataFrame, path: String,
                   keyCol: String): Long = {
+    // Existence probe must go through the Hadoop FileSystem API: a
+    // java.io.File check is local-only and would always be false on
+    // HDFS/S3, silently skipping the anti-join and double-appending.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val newRows =
-      if (!new java.io.File(path).exists()) incoming
+      if (!fs.exists(hPath)) incoming
       else {
         val existing = spark.read.parquet(path).select(keyCol)
         incoming.join(existing, Seq(keyCol), "left_anti")

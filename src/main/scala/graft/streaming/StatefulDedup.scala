@@ -5,23 +5,52 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Custom-state streaming dedup via flatMapGroupsWithState — the exact
   * semantic twin of the reference's Redis gate
-  * (`/root/reference/src/historydb/redislease.py:56-79`): a key is
-  * remembered for a WALL-CLOCK TTL from its last sighting (Redis SETEX),
+  * (`/root/reference/src/historydb/redislease.py:56-79`): `tryAdd` only
+  * SETEXes when the key is absent, so a key is remembered for a
+  * WALL-CLOCK TTL from its FIRST sighting (duplicates do not extend it),
   * which differs from `dropDuplicatesWithinWatermark`'s event-time
   * horizon when event time lags arrival (SURVEY §7.4 calls out the
   * difference; `StreamingOps.dedupStream` is the watermark variant).
   *
-  * State per key: nothing but existence + a processing-time timeout.
+  * State per key: the processing-time instant of the first sighting.
   * First sighting emits the record and arms a TTL timeout; duplicates
-  * inside the TTL are swallowed (Q8 keep-first, skipped-not-updated);
-  * when the timeout fires the state is dropped, so the key is admitted
+  * inside the TTL are swallowed (Q8 keep-first, skipped-not-updated) —
+  * and MUST re-arm the timeout, because Spark clears a group's timeout
+  * on every function invocation (`GroupStateImpl` resets it to
+  * NO_TIMESTAMP before each call); re-arming uses the REMAINING duration
+  * from first sighting, preserving SETEX-from-first-sighting semantics.
+  * When the timeout fires the state is dropped, so the key is admitted
   * again — exactly the reference's expiry behavior.
   */
 object StatefulDedup {
 
   case class Keyed[V](key: String, value: V)
 
-  /** Dedup a keyed stream with a processing-time TTL (default 7 days). */
+  /** The per-group state transition, factored out so it can be unit-tested
+    * deterministically with `TestGroupState` (no wall clock, no streaming
+    * query): state holds the first-sighting processing time. */
+  def transition[V](rows: Iterator[Keyed[V]], state: GroupState[Long],
+                    ttlMs: Long): Iterator[Keyed[V]] =
+    if (state.hasTimedOut) {
+      state.remove() // TTL expired: forget the key → re-admitted next time
+      Iterator.empty
+    } else if (state.exists) {
+      // Duplicate within TTL: skip (keep-first). Re-arm with the
+      // REMAINING duration — the invocation cleared the timeout, and
+      // extending by a full ttlMs would silently switch to
+      // from-last-sighting semantics and never expire hot keys.
+      val firstSeen = state.get
+      val remaining = firstSeen + ttlMs - state.getCurrentProcessingTimeMs()
+      state.setTimeoutDuration(math.max(remaining, 1L))
+      Iterator.empty
+    } else {
+      state.update(state.getCurrentProcessingTimeMs())
+      state.setTimeoutDuration(ttlMs)
+      rows.take(1) // first sighting wins; same-batch dups collapse
+    }
+
+  /** Dedup a keyed stream with a processing-time TTL (default 7 days),
+    * measured from the key's first sighting. */
   def dedupWithTtl[V](ds: Dataset[Keyed[V]], ttlMs: Long = 7L * 24 * 3600 * 1000)(
       implicit ev: org.apache.spark.sql.Encoder[Keyed[V]]): Dataset[Keyed[V]] = {
     implicit val stateEnc = Encoders.scalaLong
@@ -29,16 +58,7 @@ object StatefulDedup {
       .flatMapGroupsWithState[Long, Keyed[V]](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (_: String, rows: Iterator[Keyed[V]], state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            state.remove() // TTL expired: forget the key
-            Iterator.empty
-          } else if (state.exists) {
-            Iterator.empty // duplicate within TTL: skip (keep-first)
-          } else {
-            state.update(1L)
-            state.setTimeoutDuration(ttlMs)
-            rows.take(1) // first sighting wins; same-batch dups collapse
-          }
+          transition(rows, state, ttlMs)
       }
   }
 }

@@ -38,4 +38,57 @@ class StatefulDedupSpec extends SparkSpec {
       .collect().map(k => k.key -> k.value).toMap
     assert(vals == Map("a" -> "first-a", "b" -> "first-b", "c" -> "first-c"))
   }
+
+  // Deterministic transition tests via TestGroupState — no wall clock, no
+  // streaming query; this is what guards the round-2 advice regression
+  // (timeout lost on the duplicate branch → key deduped forever).
+
+  import org.apache.spark.api.java.Optional
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+  private val ttl = 1000L
+
+  private def st(state: Option[Long], nowMs: Long, timedOut: Boolean = false) =
+    TestGroupState.create[Long](
+      Optional.fromNullable(state.map(Long.box).orNull).asInstanceOf[Optional[Long]],
+      GroupStateTimeout.ProcessingTimeTimeout(), nowMs,
+      Optional.empty[Long](), timedOut)
+
+  test("transition: first sighting emits once, records firstSeen, arms TTL") {
+    val s = st(None, nowMs = 100L)
+    val out = StatefulDedup.transition(
+      Iterator(Keyed("k", "v1"), Keyed("k", "v2")), s, ttl).toList
+    assert(out.map(_.value) == List("v1")) // same-batch dups collapse
+    assert(s.get == 100L)
+    assert(s.getTimeoutTimestampMs.get() == 100L + ttl)
+  }
+
+  test("transition: duplicate within TTL is swallowed AND re-arms the timeout " +
+       "with the REMAINING duration from first sighting (round-2 advice)") {
+    // Spark clears a group's timeout on every invocation; without the
+    // re-arm, this key would be deduped forever and its state never freed.
+    val s = st(Some(100L), nowMs = 400L)
+    val out = StatefulDedup.transition(Iterator(Keyed("k", "dup")), s, ttl).toList
+    assert(out.isEmpty)
+    assert(s.get == 100L) // firstSeen unchanged (SETEX only when absent)
+    // deadline stays firstSeen + ttl — NOT now + ttl (from-first-sighting)
+    assert(s.getTimeoutTimestampMs.get() == 100L + ttl)
+  }
+
+  test("transition: duplicate arriving just at the deadline re-arms minimally, never negative") {
+    val s = st(Some(100L), nowMs = 100L + ttl + 500L)
+    StatefulDedup.transition(Iterator(Keyed("k", "late-dup")), s, ttl)
+    assert(s.getTimeoutTimestampMs.get() == 100L + ttl + 500L + 1L)
+  }
+
+  test("transition: timeout removes state so the key is re-admitted (Redis SETEX expiry)") {
+    val s = st(Some(100L), nowMs = 100L + ttl + 1, timedOut = true)
+    val out = StatefulDedup.transition(Iterator.empty[Keyed[String]], s, ttl).toList
+    assert(out.isEmpty)
+    assert(s.isRemoved)
+    // next sighting is a fresh first sighting
+    val s2 = st(None, nowMs = 5000L)
+    val out2 = StatefulDedup.transition(Iterator(Keyed("k", "second-life")), s2, ttl).toList
+    assert(out2.map(_.value) == List("second-life"))
+  }
 }
