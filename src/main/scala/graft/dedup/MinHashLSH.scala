@@ -57,10 +57,23 @@ object MinHashLSH {
     * and map-side partial aggregation means the shuffle carries only one
     * 64-long state per (partition, doc), not the exploded rows. */
   def signatures(shingled: DataFrame, idCol: String, shCol: String,
-                 numHashes: Int): DataFrame = {
-    val exploded = shingled
+                 numHashes: Int): DataFrame =
+    aggMins(shingled
       .select(col(idCol), explode(col(shCol)).as("__s"))
-      .select(col(idCol), pmod(xxhash64(col("__s")), lit(P)).as("__h"))
+      .select(col(idCol), pmod(xxhash64(col("__s")), lit(P)).as("__h")),
+      idCol, numHashes)
+
+  /** Signatures over a PRE-HASHED shingle column (`array<bigint>`, e.g.
+    * from `NgramHashes`): the per-shingle string hash is already done
+    * scan-side in one codegen'd pass, so the explode carries only longs. */
+  def signaturesFromHashArray(hashed: DataFrame, idCol: String, hCol: String,
+                              numHashes: Int): DataFrame =
+    aggMins(hashed
+      .select(col(idCol), explode(col(hCol)).as("__h0"))
+      .select(col(idCol), pmod(col("__h0"), lit(P)).as("__h")),
+      idCol, numHashes)
+
+  private def aggMins(exploded: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * a + b, lit(P))).as(s"__m$i")
     }
@@ -109,9 +122,29 @@ object MinHashLSH {
     // persistent deployment, write `shingled` once as a table and pass
     // that in — the API takes any DataFrame.
     val sigs = signatures(shingled, idCol, shCol, numHashes)
-    val cands = candidatePairs(sigs, idCol, "__sig", numBands, r)
-    val setsA = shingled.select(col(idCol).as("a"), col(shCol).as("__sh_a"))
-    val setsB = shingled.select(col(idCol).as("b"), col(shCol).as("__sh_b"))
+    verifyCandidates(shingled, idCol, shCol,
+      candidatePairs(sigs, idCol, "__sig", numBands, r), threshold)
+  }
+
+  /** `nearDupPairs` over a PRE-HASHED shingle column (see
+    * `NgramHashes`): signatures, banding AND the exact-Jaccard verify all
+    * run on `array<bigint>` — the Jaccard of the hash sets equals the
+    * Jaccard of the shingle sets modulo 64-bit collisions (≈ n²/2⁶⁴ per
+    * document, negligible), and the verify join shuffles 8-byte hashes
+    * instead of shingle text. */
+  def nearDupPairsHashed(hashed: DataFrame, idCol: String, hCol: String,
+                         numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+    val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
+    verifyCandidates(hashed, idCol, hCol,
+      candidatePairs(sigs, idCol, "__sig", numBands, r), threshold)
+  }
+
+  private def verifyCandidates(sets: DataFrame, idCol: String, setCol: String,
+                               cands: DataFrame, threshold: Double): DataFrame = {
+    val setsA = sets.select(col(idCol).as("a"), col(setCol).as("__sh_a"))
+    val setsB = sets.select(col(idCol).as("b"), col(setCol).as("__sh_b"))
     cands.join(setsA, "a").join(setsB, "b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)

@@ -107,6 +107,49 @@ object SectorVote {
     pivoted.select(col(docCol), sector.as("sector"), level.as("level"))
   }
 
+  case class HierVote(sector: Option[Long], level: Option[String])
+
+  /** A2 as a typed `Aggregator` — ONE shuffle, cascade in plain JVM code.
+    * Buffer = per-code counts (bounded by the doc's distinct codes);
+    * map-side partial aggregation collapses each doc's rows before the
+    * exchange, and `finish` runs the trim-level cascade (same winner and
+    * tie-break semantics as `hierarchical`/`hierarchicalCompact`: max
+    * count, ties to the smallest code, first level clearing num/denom).
+    * Preferred at scale: the windowed form shuffles level-exploded rows
+    * (4×) and sorts per window; the compact form shuffles collected
+    * structs and evaluates interpreted array HOFs per row (measured ~2×
+    * slower than this at sf0.1). */
+  def hierarchicalAgg(divisors: Seq[Long] = Seq(1L, 100L, 10000L, 1000000L),
+                      levelLabels: Seq[String] = Seq("8", "6", "4", "2"),
+                      num: Int = 1, denom: Int = 2): Aggregator[Long, Map[Long, Long], HierVote] = {
+    require(divisors.length == levelLabels.length)
+    new Aggregator[Long, Map[Long, Long], HierVote] {
+      def zero: Map[Long, Long] = Map.empty
+      def reduce(b: Map[Long, Long], code: Long): Map[Long, Long] =
+        b.updated(code, b.getOrElse(code, 0L) + 1L)
+      def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+        b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+      def finish(b: Map[Long, Long]): HierVote = {
+        if (b.isEmpty) return HierVote(None, None)
+        val total = b.values.sum
+        divisors.indices.foreach { i =>
+          val d = divisors(i)
+          val lvl = scala.collection.mutable.Map.empty[Long, Long]
+          b.foreach { case (code, cnt) =>
+            val lc = code / d
+            lvl.update(lc, lvl.getOrElse(lc, 0L) + cnt)
+          }
+          val (code, cnt) = lvl.minBy { case (k, v) => (-v, k) }
+          if (cnt * denom > total * num) return HierVote(Some(code), Some(levelLabels(i)))
+        }
+        HierVote(None, None)
+      }
+      def bufferEncoder: Encoder[Map[Long, Long]] = Encoders.kryo[Map[Long, Long]]
+      def outputEncoder: Encoder[HierVote] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HierVote]()
+    }
+  }
+
   /** `hierarchical` with two shuffles instead of four: aggregate
     * (doc, code) counts, collect each doc's count list (bounded by the
     * doc's distinct codes — order-sized here, never corpus-sized), and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd dot product over two `array<double>` columns — the
   * hot kernel of every similarity operator (cosine top-k, LSH verify,
@@ -23,28 +23,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null contract: null array → null (BinaryExpression default); any null
   * ELEMENT → null, matching the HOF's null propagation.
+  *
+  * Accepts `array<float>` or `array<double>` on either side; floats are
+  * widened per element (exact in ieee754 — identical values to a
+  * `transform(cast)` pass, WITHOUT the interpreted-HOF cast stage that
+  * would knock the surrounding projection out of whole-stage codegen).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, got " +
-        s"${l.catalogString} and ${r.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecKernels.checkVecTypes(prettyName, left.dataType, right.dataType)
+
+  private lazy val aFloat = VecKernels.isFloatArray(left.dataType)
+  private lazy val bFloat = VecKernels.isFloatArray(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dotRes")
       s"""
-       |java.lang.Double $tmp = graft.expressions.DotProduct.dot($a, $b);
+       |java.lang.Double $tmp = graft.expressions.DotProduct.dot($a, $b, $aFloat, $bFloat);
        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })
@@ -54,16 +57,34 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared type plumbing for the vector kernels. */
+object VecKernels {
+  def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def checkVecTypes(name: String, l: DataType, r: DataType): TypeCheckResult = (l, r) match {
+    case (ArrayType(DoubleType | FloatType, _), ArrayType(DoubleType | FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$name requires two array<float|double> arguments, got " +
+        s"${l.catalogString} and ${r.catalogString}")
+  }
+}
+
 object DotProduct {
   /** Static kernel shared by interpreted and generated code paths.
     * Sequential fold; null element → null (HOF parity). */
-  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getDouble(i) * b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
       i += 1
     }
     java.lang.Double.valueOf(s)
@@ -82,22 +103,20 @@ case class L2Squared(left: Expression, right: Expression) extends BinaryExpressi
   override def nullable: Boolean = true
   override def prettyName: String = "l2_squared"
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, got " +
-        s"${l.catalogString} and ${r.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecKernels.checkVecTypes(prettyName, left.dataType, right.dataType)
+
+  private lazy val aFloat = VecKernels.isFloatArray(left.dataType)
+  private lazy val bFloat = VecKernels.isFloatArray(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    L2Squared.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    L2Squared.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("l2Res")
       s"""
-       |java.lang.Double $tmp = graft.expressions.L2Squared.l2sq($a, $b);
+       |java.lang.Double $tmp = graft.expressions.L2Squared.l2sq($a, $b, $aFloat, $bFloat);
        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })
@@ -108,13 +127,15 @@ case class L2Squared(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object L2Squared {
-  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = a.getDouble(i) - b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
       s += d * d
       i += 1
     }

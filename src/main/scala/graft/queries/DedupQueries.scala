@@ -37,8 +37,8 @@ object DedupQueries {
   val q18MinhashPairs: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val sh = d.select(col("doc_id"),
-      TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
-    MinHashLSH.nearDupPairs(sh, "doc_id", "sh",
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
         numHashes = 64, numBands = 16, threshold = 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -68,8 +68,9 @@ object DedupQueries {
     * MinHash-LSH candidate generation, ground-truth oracle. */
   val q35CharNgramPairs: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    val sh = d.select(col("doc_id"), TextOps.charShingles(col("text"), 8).as("sh"))
-    MinHashLSH.nearDupPairs(sh, "doc_id", "sh",
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.char_ngram_hashes(col("text"), 8).as("sh"))
+    MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
         numHashes = 64, numBands = 16, threshold = 0.7)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")

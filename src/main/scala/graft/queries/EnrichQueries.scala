@@ -34,16 +34,23 @@ object EnrichQueries {
   }
 
   /** A2: per-order hierarchical ICB vote (threshold 1/2, trim 8→6→4→2).
-    * Uses the compact two-shuffle form — per-order code sets are bounded
-    * by order size, so the per-row cascade beats four windowed
-    * aggregations ~5× (see SectorVote scaladoc for when to prefer the
-    * windowed form). */
+    * Uses the typed-Aggregator form: ONE shuffle (map-side partial
+    * collapses each order's votes before the exchange), cascade in plain
+    * JVM code in `finish` — per-order code sets are bounded by order
+    * size, so the buffer stays tiny (see SectorVote scaladoc for the
+    * windowed/compact alternatives and when to prefer them). */
   val q24SectorRollup: Q = (s, dir) => {
+    import s.implicits._
     val li = Tables(s, dir, "lineitem")
     val part = Tables(s, dir, "part")
     val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), icb8(col("p_partkey"), col("p_size")).as("icb"))
-    SectorVote.hierarchicalCompact(pairs, "l_orderkey", "icb")
+      .select(col("l_orderkey").cast("long"),
+        icb8(col("p_partkey"), col("p_size")).cast("long"))
+      .as[(Long, Long)]
+    pairs.groupByKey(_._1).mapValues(_._2)
+      .agg(SectorVote.hierarchicalAgg().toColumn.name("v"))
+      .select(col("key").as("l_orderkey"),
+        col("v.sector").as("sector"), col("v.level").as("level"))
       .orderBy("l_orderkey")
   }
 

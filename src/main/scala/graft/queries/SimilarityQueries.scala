@@ -34,9 +34,13 @@ object SimilarityQueries {
   // (cos ≥ 0.95 → p_bit ≈ 0.9) still collide in some table w.p. ≈ 0.97.
   val NearDupBits = 10
 
+  // The float embedding column feeds the kernels directly: DotProduct /
+  // L2Squared widen per element (exact), so no transform(cast) pass —
+  // which would run interpreted AND knock the scan projection out of
+  // whole-stage codegen — ever touches the corpus.
   private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("embedding").as("vec"))
     (e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10))
   }
 
@@ -96,7 +100,7 @@ object SimilarityQueries {
     * be unverifiable — the spec under test is the operator itself. */
   val q37CosineNearDup: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("embedding").as("vec"))
     val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, NearDupBits, Dims)
     val l = b.toDF("a", "table", "sig")
     val r = b.toDF("b", "table", "sig")

@@ -72,6 +72,23 @@ class SectorVoteSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("hierarchicalAgg (typed Aggregator) matches hierarchical on varied inputs") {
+    val rnd = new scala.util.Random(13)
+    val data = Seq.tabulate(400) { _ =>
+      val doc = rnd.nextInt(40).toLong
+      val code = (rnd.nextInt(5) + 1) * 1000000L + rnd.nextInt(3) * 10000L +
+        rnd.nextInt(2) * 100L + rnd.nextInt(2)
+      (doc, code)
+    }
+    val a = SectorVote.hierarchical(data.toDF("doc", "icb"), "doc", "icb")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1)
+    val b = data.toDF("doc", "icb").as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(SectorVote.hierarchicalAgg().toColumn.name("v"))
+      .collect().map { case (doc, v) => (doc, v.sector, v.level) }.sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("hierarchical: monotonicity — coarser levels only gain votes") {
     val pairs = Seq((1L, 11223344L), (1L, 11223355L), (1L, 11224466L))
       .toDF("doc", "icb")
