@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-dup pair list — the step that turns
+  * pairwise similarity output (MinHashLSH / SimHash / embedding LSH)
+  * into DEDUP CLUSTERS, so a corpus keeps one representative per group
+  * of mutual near-duplicates. (The reference dedups exact ids only,
+  * `/root/reference/src/base.py:210-218`; clustering is the north-star
+  * generalization a training-data pipeline needs.)
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round, a vertex adopts the minimum label in
+  * its closed neighborhood; converged when no label changes. Rounds are
+  * pure DataFrame joins/aggregations (shuffle on vertex id — no driver
+  * state, no collect), so each round scales like any other equi-join.
+  * Rounds needed = graph diameter, and near-dup components are
+  * shallow (duplicates of a common source), so convergence is fast; for
+  * adversarially long chains switch to the large-star/small-star
+  * alternation (Kiveris et al., "Connected Components in MapReduce"),
+  * which converges in O(log n) rounds with the same join shapes.
+  *
+  * The driver loop only evaluates a COUNT per round (the changed-label
+  * tally); labels stay distributed. `localCheckpoint` truncates the
+  * growing lineage each round — without it, round i replans rounds
+  * 0..i-1 and iteration time is quadratic.
+  */
+object Clusters {
+
+  /** (vertex, component) for every vertex in `edges` (both endpoint
+    * columns); component = min vertex id reachable. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: `edges` is typically the lazy plan
+    // of a whole near-dup pipeline (shingle → MinHash → band join →
+    // verify); without this, every propagation round re-executes it.
+    // Edges are pair-sized (≪ corpus), so the checkpoint is cheap.
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label over the closed neighborhood (self ∪ neighbors)
+      val neighborMin = und
+        .join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v"))
+        .agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("__chg"))
+      val mat = next.localCheckpoint(true)
+      changed = mat.filter(col("__chg")).count()
+      labels = mat.drop("__chg")
+      iter += 1
+    }
+    labels.select(col("v"), col("label").as("component"))
+  }
+
+  /** Cluster assignment for near-dup pairs + representative flag:
+    * (id, cluster, is_representative). */
+  def assign(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("v").as("id"), col("component").as("cluster"),
+        (col("v") === col("component")).as("is_representative"))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.{ExactDedup, MinHashLSH, SimHash}
+import graft.dedup.{Clusters, ExactDedup, MinHashLSH, SimHash}
 import graft.text.TextOps
 
 /** Deduplication operator coverage over `documents` (SURVEY.md F8/W4 +
@@ -76,12 +76,29 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup CLUSTERS: near-dup pairs (as q18) → connected components →
+    * (doc, cluster, representative). The step a corpus-scale dedup
+    * pipeline runs after pair generation, so each group of mutual
+    * near-duplicates keeps exactly one representative. Oracle: all-pairs
+    * ground-truth edges + recursive-CTE transitive closure. */
+  val q39DedupClusters: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    Clusters.assign(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster"), col("is_representative"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q17_dedup_gate" -> q17DedupGate,
     "q18_minhash_pairs" -> q18MinhashPairs,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
     "q35_char_ngram_pairs" -> q35CharNgramPairs,
+    "q39_dedup_clusters" -> q39DedupClusters,
   )
 
   private val shinglesCte =
@@ -144,5 +161,21 @@ object DedupQueries {
          FROM SIM a JOIN SIM b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY 1, 2""",
+    // ground-truth edges (all-pairs Jaccard) + transitive closure via a
+    // recursive CTE; component id = min reachable doc_id
+    "q39_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u)
+         SELECT v AS doc_id, min(u) AS cluster,
+           (v = min(u)) AS is_representative
+         FROM reach GROUP BY v ORDER BY doc_id""",
   )
 }

@@ -96,6 +96,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash-bucket corpus split (train/valid/test): the
+    * content-keyed sampling a training pipeline uses so splits are stable
+    * under re-runs, shard order, and incremental arrivals — pure
+    * scan-side filter work, no shuffle, any scale. Same md5-derived
+    * bucket as the DuckDB oracle (O2's cross-engine hash). */
+  val q40HashSplit: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    d.select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus length distribution per source: exact interpolated
+    * percentiles (p50/p90/p99) of document length — the stats pass that
+    * sizes batches and truncation budgets. At 100 TB swap `percentile`
+    * for `approx_percentile` (t-digest sketch, one pass, mergeable);
+    * exact here so the oracle can verify value-for-value. */
+  val q41QuantileStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q12_token_stats" -> q12TokenStats,
     "q36_bpe_tokens" -> q36BpeTokens,
@@ -103,6 +134,8 @@ object TextQueries {
     "q14_term_extract" -> q14TermExtract,
     "q15_lang_profile" -> q15LangProfile,
     "q16_fingerprint" -> q16Fingerprint,
+    "q40_hash_split" -> q40HashSplit,
+    "q41_quantile_stats" -> q41QuantileStats,
   )
 
   // DuckDB notes: regexp_* is RE2 with per-call 'g' flag needed for
@@ -195,5 +228,19 @@ object TextQueries {
                + 0.15 * least((CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                          / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 5, 1.0), 6) AS quality
          FROM h ORDER BY doc_id""",
+    "q40_hash_split" ->
+      """SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q41_quantile_stats" ->
+      """SELECT source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+         FROM documents GROUP BY 1 ORDER BY 1""",
   )
 }
