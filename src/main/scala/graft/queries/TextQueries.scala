@@ -127,7 +127,30 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Sequence packing for training batches: assign each document to a
+    * fixed-token-budget sequence by prefix-sum position within its
+    * (source, lang) shard — `seq_idx = floor(tokens_before / budget)`.
+    * The shard key is what makes the cumulative window scale-safe: the
+    * window never spans more than one shard, and packing is inherently
+    * sequential only WITHIN a shard (shard count grows with the corpus,
+    * so parallelism does too). */
+  val q42TokenPacking: Q = (s, dir) => {
+    val budget = 512.0
+    val d = Tables(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(col("doc_id"), col("source"), col("lang"),
+        TextOps.wordCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget)).as("seq_idx"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q42_token_packing" -> q42TokenPacking,
     "q12_token_stats" -> q12TokenStats,
     "q36_bpe_tokens" -> q36BpeTokens,
     "q13_text_clean" -> q13TextClean,
@@ -242,5 +265,16 @@ object TextQueries {
            round(quantile_cont(n_chars, 0.9), 4) AS p90,
            round(quantile_cont(n_chars, 0.99), 4) AS p99
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q42_token_packing" ->
+      """WITH t AS (SELECT doc_id, source, lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, source, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_idx
+         FROM c ORDER BY doc_id""",
   )
 }

@@ -35,4 +35,23 @@ object StreamingOps {
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col(keyCol), col("n_events"))
+
+  /** Gap-based sessionization — the streaming twin of q38's batch
+    * lag/cumsum form, expressed with `session_window` so Spark manages
+    * session state + merge and the watermark bounds it. */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  /** J1 in streaming: stream-static broadcast enrichment. The static
+    * dimension is re-read per micro-batch (so a refreshed universe table
+    * is picked up) and broadcast — the join never shuffles the stream. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -72,6 +72,21 @@ class SectorVoteSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("majorityFullAgg matches the relational majority incl. tallies") {
+    val rnd = new scala.util.Random(23)
+    val data = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(30).toLong, s"B${rnd.nextInt(4)}"))
+    val rel = SectorVote.majority(data.toDF("doc", "brand"), "doc", "brand")
+      .select("doc", "majority", "cnt", "total")
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1)
+    val agg = data.toDF("doc", "brand").as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(SectorVote.majorityFullAgg().toColumn.name("v"))
+      .collect().map { case (doc, v) => (doc, v.majority, v.cnt, v.total) }
+      .sortBy(_._1)
+    assert(rel.sameElements(agg))
+  }
+
   test("hierarchicalAgg (typed Aggregator) matches hierarchical on varied inputs") {
     val rnd = new scala.util.Random(13)
     val data = Seq.tabulate(400) { _ =>

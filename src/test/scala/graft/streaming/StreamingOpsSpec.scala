@@ -52,4 +52,47 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains((ts("2024-03-01 11:00:00"), "view", 1L)))
     } finally q.stop()
   }
+
+  test("sessionCounts: gap merge + session split (q38's streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = StreamingOps.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "user", gap = "30 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-03-01 10:00:00"), "u1"),
+        (ts("2024-03-01 10:20:00"), "u1"), // within gap → same session
+        (ts("2024-03-01 11:30:00"), "u1")) // > 30 min later → new session
+      q.processAllAvailable()
+      input.addData((ts("2024-03-01 15:00:00"), "u2")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select("session_start", "user", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2024-03-01 10:00:00"), "u1", 2L)))
+      assert(rows.contains((ts("2024-03-01 11:30:00"), "u1", 1L)))
+    } finally q.stop()
+  }
+
+  test("enrichStream: stream-static broadcast join enriches without shuffling the stream (J1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("AAPL", 4510L), ("TSLA", 4010L)).toDF("ticker", "icb_code")
+    val input = MemoryStream[(Timestamp, String)]
+    val enriched = StreamingOps.enrichStream(
+      input.toDF().toDF("ts", "ticker"), dim, "ticker")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-03-01 10:00:00"), "AAPL"),
+        (ts("2024-03-01 10:01:00"), "ZZZZ")) // not in universe → null code
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("ticker", "icb_code")
+        .as[(String, Option[Long])].collect().toMap
+      assert(rows == Map("AAPL" -> Some(4510L), "ZZZZ" -> None))
+    } finally q.stop()
+  }
 }
