@@ -90,9 +90,33 @@ object NlpFunctions {
       greatest(greatest(length(a), length(b)).cast("double"), lit(1.0))
 
   // ---- N7/N9: feature-hash embedding --------------------------------------
+  /** Bulk form of [[hashEmbedding]]: (idCol, embedding array<double>).
+    * Transposed to explode + `dim` codegen'd conditional sums — the
+    * per-row `aggregate` fold rebuilds a dim-length array per token
+    * (O(tokens × dim) interpreted lambda evaluations); here every
+    * expression stays inside whole-stage codegen and map-side partial
+    * aggregation collapses each doc before the shuffle. Components are
+    * ±1 integer sums (exact, order-independent) — identical values.
+    * `explode_outer` keeps token-less docs (zero embedding, like the
+    * fold's seed). */
+  def hashEmbeddingDF(docs: DataFrame, idCol: String, toksCol: Column,
+                      dim: Int): DataFrame = {
+    val contribs = docs.select(col(idCol), explode_outer(toksCol).as("__t"))
+      .select(col(idCol), TextOps.md5Int32(col("__t")).as("__h"))
+      .select(col(idCol),
+        pmod(col("__h"), lit(dim)).cast("int").as("__i"),
+        (shiftright(col("__h"), 8).bitwiseAND(lit(1L)) * 2 - 1).cast("double").as("__s"))
+    val aggs = (0 until dim).map(k =>
+      sum(when(col("__i") === k, col("__s")).otherwise(lit(0.0))).as(s"__c$k"))
+    contribs.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until dim).map(k => col(s"__c$k")): _*).as("embedding"))
+  }
+
   /** Deterministic hashing-trick embedding: token t adds sign(t) to
     * component md5Int32(t) mod dim; cross-engine reproducible (md5-based),
-    * cosine-comparable with graft.similarity.Cosine. */
+    * cosine-comparable with graft.similarity.Cosine. Per-row column form
+    * (interpreted HOF fold) — prefer [[hashEmbeddingDF]] for bulk use. */
   def hashEmbedding(toks: Column, dim: Int): Column = {
     val contribs = transform(toks, t => {
       val h = TextOps.md5Int32(t)

@@ -76,12 +76,11 @@ object NlpQueries {
     * components — bit-reproducible cross-engine), with its norm. */
   val q33HashEmbedding: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    val e = NlpFunctions.hashEmbedding(TextOps.tokens(col("text")), 16)
-    d.select(col("doc_id"), e.as("e"))
+    NlpFunctions.hashEmbeddingDF(d, "doc_id", TextOps.tokens(col("text")), 16)
       .select(col("doc_id"),
-        element_at(col("e"), 1).as("c0"),
-        element_at(col("e"), 2).as("c1"),
-        round(Cosine.norm(col("e")), 4).as("norm"))
+        element_at(col("embedding"), 1).as("c0"),
+        element_at(col("embedding"), 2).as("c1"),
+        round(Cosine.norm(col("embedding")), 4).as("norm"))
       .orderBy("doc_id")
   }
 
