@@ -2,9 +2,9 @@ package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd dot product over two `array<double>` columns — the
@@ -145,4 +145,67 @@ object L2Squared {
   def l2_squared(a: Column, b: Column): Column =
     GraftExpressionBridge.toColumn(L2Squared(
       GraftExpressionBridge.toExpression(a), GraftExpressionBridge.toExpression(b)))
+}
+
+/** Unit-L2-normalize a vector, same kernel design: at corpus scale you
+  * normalize ONCE at the scan and every cosine downstream becomes a
+  * plain dot product — q21's `cosine(a, b)` recomputes `norm(a)` and
+  * `norm(b)` per candidate PAIR, an O(pairs × dim) tax this removes.
+  * Zero vectors pass through unchanged (norm 0 would divide by zero);
+  * null element → null array (HOF parity). */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${t.catalogString}")
+  }
+
+  private lazy val isFloat = VecKernels.isFloatArray(child.dataType)
+
+  override def nullSafeEval(a: Any): Any =
+    L2Normalize.normalize(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("normRes")
+      s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+       |  graft.expressions.L2Normalize.normalize($a, $isFloat);
+       |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  /** Returns null on any null element; zero vector → copy of itself. */
+  def normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x
+      s += x * x
+      i += 1
+    }
+    if (s > 0.0) {
+      // divide (not multiply-by-reciprocal): x / sqrt(s) is what any SQL
+      // engine's list_transform division computes — bit-parity matters
+      val norm = math.sqrt(s)
+      var j = 0
+      while (j < n) { out(j) = out(j) / norm; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  def l2_normalize(a: Column): Column =
+    GraftExpressionBridge.toColumn(L2Normalize(GraftExpressionBridge.toExpression(a)))
 }

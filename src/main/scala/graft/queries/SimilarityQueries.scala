@@ -115,11 +115,31 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Pre-normalized exact top-k: unit-normalize BOTH sides once at the
+    * scan (native L2Normalize kernel), then similarity is a bare dot
+    * product — q21 recomputes `norm(q)·norm(c)` per candidate pair, an
+    * O(pairs × dim) tax; at corpus scale the normalized vectors are what
+    * you'd persist. Oracle normalizes identically in DuckDB. */
+  val q43NormalizedTopK: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    val qn = queries.select(col("vec_id").as("query_id"),
+      Cosine.normalize(col("vec")).as("qvec"))
+    val cn = corpus.select(col("vec_id"), Cosine.normalize(col("vec")).as("cvec"))
+    val scored = cn.crossJoin(broadcast(qn))
+      .withColumn("sim", Cosine.dot(col("qvec"), col("cvec")))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("vec_id").asc), K, saltOn = hash(col("vec_id")),
+        rankCol = "rank")
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
     "q37_cosine_neardup" -> q37CosineNearDup,
+    "q43_normalized_topk" -> q43NormalizedTopK,
   )
 
   private val cosineParts =
@@ -129,6 +149,22 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    "q43_normalized_topk" ->
+      s"""WITH $cosineParts,
+         qn AS (SELECT query_id,
+             list_transform(qvec, x -> x / sqrt(list_inner_product(qvec, qvec))) AS qv
+           FROM Q),
+         cn AS (SELECT vec_id,
+             list_transform(cvec, x -> x / sqrt(list_inner_product(cvec, cvec))) AS cv
+           FROM C),
+         sims AS (SELECT qn.query_id, cn.vec_id,
+             list_inner_product(qn.qv, cn.cv) AS sim
+           FROM qn, cn),
+         ranked AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY 1, 2""",
     "q21_cosine_topk" ->
       s"""WITH $cosineParts,
          sims AS (SELECT q.query_id, c.vec_id,

@@ -32,4 +32,9 @@ object Cosine {
   /** Squared L2 distance (for IVF-style assignment). */
   def l2sq(a: Column, b: Column): Column =
     graft.expressions.L2Squared.l2_squared(a, b)
+
+  /** Unit-L2 normalization: apply once at the scan, then `dot` alone is
+    * cosine — removes the per-pair norm recomputation. */
+  def normalize(a: Column): Column =
+    graft.expressions.L2Normalize.l2_normalize(a)
 }

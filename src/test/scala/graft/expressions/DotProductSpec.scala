@@ -63,6 +63,23 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("l2_normalize: unit norm, zero vector passes through, division parity") {
+    import L2Normalize.l2_normalize
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0))
+    ).toDF("id", "v")
+    val got = df.select(col("id"), l2_normalize(col("v")).as("n"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(3.0 / 5.0, 4.0 / 5.0)) // exact division, not *reciprocal
+    assert(got(2L) == Seq(0.0, 0.0))
+    // dot of the normalized vector with itself is 1 (to fp)
+    val n2 = df.filter(col("id") === 1)
+      .select(dot_product(l2_normalize(col("v")), l2_normalize(col("v"))))
+      .as[Double].collect()(0)
+    assert(math.abs(n2 - 1.0) < 1e-12)
+  }
+
   test("non-array input rejected at analysis") {
     val ex = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(dot_product(col("a"), col("b"))).collect()
