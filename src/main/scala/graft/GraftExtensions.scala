@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions._
+
+/** Catalyst extension registering graft's native expressions in the SQL
+  * function registry, so `spark.sql("SELECT str_q2b(text) ...")` works —
+  * the `SparkSessionExtensions` route is how a library ships custom
+  * expressions without forking Spark:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)            // programmatic, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Scalar k-parameters (shingle width) arrive as literal int arguments
+  * and are bound at resolution time; non-literal k is rejected with an
+  * analysis-time error rather than a runtime one.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, usage: String, arity: Int)
+                (build: PartialFunction[Seq[Expression], Expression]): FunctionDescription =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      (args: Seq[Expression]) =>
+        build.applyOrElse(args, (a: Seq[Expression]) =>
+          throw new IllegalArgumentException(
+            s"$name takes $arity argument(s), got ${a.length}")))
+
+  private def litInt(e: Expression, fnName: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fnName requires a literal integer k argument, got $other")
+  }
+
+  /** The registry payload — also consumable directly via
+    * `sessionState.functionRegistry.registerFunction` for an
+    * already-built session (what the spec does). */
+  val functions: Seq[FunctionDescription] = Seq(
+    fn("str_q2b", "str_q2b(str) - full-width CJK to half-width normalization", 1) {
+      case Seq(c) => StrQ2B(c)
+    },
+    fn("dot_product", "dot_product(a, b) - sequential-fold dot product of two float/double arrays", 2) {
+      case Seq(a, b) => DotProduct(a, b)
+    },
+    fn("l2_squared", "l2_squared(a, b) - squared L2 distance of two float/double arrays", 2) {
+      case Seq(a, b) => L2Squared(a, b)
+    },
+    fn("l2_normalize", "l2_normalize(a) - unit-L2-normalize a float/double array", 1) {
+      case Seq(a) => L2Normalize(a)
+    },
+    fn("char_ngram_hashes", "char_ngram_hashes(str, k) - distinct 64-bit hashes of k-char shingles", 2) {
+      case Seq(c, k) => CharNgramHashes(c, litInt(k, "char_ngram_hashes"))
+    },
+    fn("word_ngram_hashes", "word_ngram_hashes(str, k) - distinct 64-bit hashes of k-word shingles", 2) {
+      case Seq(c, k) => WordNgramHashes(c, litInt(k, "word_ngram_hashes"))
+    },
+  )
+}

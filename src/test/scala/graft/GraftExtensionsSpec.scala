@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Register into the shared session's registry (the extension class
+  // feeds the same descriptions through injectFunction at builder time).
+  GraftExtensions.functions.foreach { case (ident, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+
+  test("native expressions are SQL-callable after registration") {
+    Seq(("Ｈｅｌｌｏ！", Seq(3.0f, 4.0f))).toDF("s", "v").createOrReplaceTempView("ext_t")
+    val row = spark.sql(
+      """SELECT str_q2b(s) AS q2b,
+                dot_product(v, v) AS dp,
+                round(l2_squared(v, array(0.0d, 0.0d)), 4) AS l2,
+                element_at(l2_normalize(v), 1) AS n0,
+                size(char_ngram_hashes(s, 2)) AS nc,
+                size(word_ngram_hashes('a b c d', 2)) AS nw
+         FROM ext_t""").collect()(0)
+    assert(row.getString(0) == "Hello!")
+    assert(row.getDouble(1) == 25.0)
+    assert(row.getDouble(2) == 25.0)
+    assert(row.getDouble(3) == 3.0 / 5.0)
+    assert(row.getInt(4) == 5) // "Ｈｅｌｌｏ！" has 5 distinct char 2-grams
+    assert(row.getInt(5) == 3)
+  }
+
+  test("non-literal k is rejected with a helpful error") {
+    Seq(("abc", 2)).toDF("s", "k").createOrReplaceTempView("ext_k")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT char_ngram_hashes(s, k) FROM ext_k").collect()
+    }
+    assert(ex.getMessage.contains("literal integer"))
+  }
+}
