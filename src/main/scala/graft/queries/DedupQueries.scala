@@ -92,7 +92,34 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Train/eval DECONTAMINATION: near-dup pairs that straddle the
+    * deterministic hash-split boundary (q40) — an eval document that is
+    * a near-duplicate of a training document invalidates the eval; this
+    * is the overlap report a training pipeline runs before every split
+    * ships. Same banded candidate generation as q18 (no cross join);
+    * split assignment joins in AFTER pair generation, so the pair pass
+    * is shared with ordinary dedup. */
+  val q44Decontamination: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val splits = d.select(col("doc_id"),
+      when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("split_a"), col("doc_b"), col("split_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q44_decontamination" -> q44Decontamination,
     "q17_dedup_gate" -> q17DedupGate,
     "q18_minhash_pairs" -> q18MinhashPairs,
     "q19_simhash" -> q19Simhash,
@@ -177,5 +204,24 @@ object DedupQueries {
          SELECT v AS doc_id, min(u) AS cluster,
            (v = min(u)) AS is_representative
          FROM reach GROUP BY v ORDER BY doc_id""",
+    "q44_decontamination" ->
+      s"""WITH $shinglesCte,
+         sp AS (SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM documents),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+         SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.jaccard
+         FROM p
+         JOIN sp sa ON sa.doc_id = p.doc_a
+         JOIN sp sb ON sb.doc_id = p.doc_b
+         WHERE sa.split <> sb.split
+         ORDER BY p.doc_a, p.doc_b""",
   )
 }

@@ -71,6 +71,24 @@ class NgramHashesSpec extends SparkSpec {
     assert(got(0).isEmpty && got(1).nonEmpty)
   }
 
+  test("property: hashed set size tracks string-shingle set size on random ASCII (ScalaCheck)") {
+    import org.scalacheck.Gen
+    val params = Gen.Parameters.default
+    val samples = (1 to 40).flatMap(i =>
+      Gen.asciiPrintableStr.apply(params, org.scalacheck.rng.Seed(i.toLong)))
+    val df = samples.toDF("t")
+    val rows = df.select(
+      size(char_ngram_hashes(col("t"), 4)).as("nh"),
+      size(TextOps.charShingles(col("t"), 4)).as("ns"),
+      size(word_ngram_hashes(col("t"), 2)).as("wh"),
+      size(TextOps.wordShingles(TextOps.tokens(col("t")), 2)).as("ws"))
+      .as[(Int, Int, Int, Int)].collect()
+    rows.foreach { case (nh, ns, wh, ws) =>
+      assert(nh == ns, s"char mismatch: $nh vs $ns")
+      assert(wh == ws, s"word mismatch: $wh vs $ws")
+    }
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(char_ngram_hashes(col("text"), 8).as("r"))
