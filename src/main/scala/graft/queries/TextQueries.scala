@@ -149,8 +149,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality filters (the Gopher-style heuristics for
+    * machine-generated/boilerplate text): fraction of the document taken
+    * by its single most frequent token, and the duplicate-2-gram
+    * fraction. The top-token pass is explode + two codegen'd hash aggs
+    * (never a per-row O(n²) fold); the 2-gram distinct count reuses the
+    * scan-side `word_ngram_hashes` kernel. */
+  val q45Repetition: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val tokCounts = d
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max("cnt").as("top_cnt"), sum("cnt").as("n_toks"))
+    val grams = d.select(col("doc_id"),
+      size(graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 2)).as("n_distinct_2g"),
+      greatest(TextOps.wordCount(col("text")) - 1, lit(1)).as("n_2g"))
+    tokCounts.join(grams, "doc_id")
+      .select(col("doc_id"),
+        round(col("top_cnt").cast("double") / col("n_toks"), 4).as("top_tok_frac"),
+        round(lit(1.0) - col("n_distinct_2g").cast("double") / col("n_2g"), 4).as("dup_2gram_frac"))
+      .withColumn("quality_pass",
+        col("top_tok_frac") < 0.15 && col("dup_2gram_frac") < 0.6)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q42_token_packing" -> q42TokenPacking,
+    "q45_repetition" -> q45Repetition,
     "q12_token_stats" -> q12TokenStats,
     "q36_bpe_tokens" -> q36BpeTokens,
     "q13_text_clean" -> q13TextClean,
@@ -276,5 +302,25 @@ object TextQueries {
          SELECT doc_id, source, lang, CAST(n_tokens AS INT) AS n_tokens,
            CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_idx
          FROM c ORDER BY doc_id""",
+    "q45_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_toks
+                 FROM tc GROUP BY 1),
+         g AS (SELECT doc_id,
+             len(CASE WHEN len(toks) >= 2
+                 THEN list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+                 ELSE [array_to_string(toks, ' ')] END) AS n_distinct_2g,
+             greatest(len(toks) - 1, 1) AS n_2g
+           FROM t)
+         SELECT top.doc_id,
+           round(CAST(top.top_cnt AS DOUBLE) / top.n_toks, 4) AS top_tok_frac,
+           round(1.0 - CAST(g.n_distinct_2g AS DOUBLE) / g.n_2g, 4) AS dup_2gram_frac,
+           (round(CAST(top.top_cnt AS DOUBLE) / top.n_toks, 4) < 0.15
+            AND round(1.0 - CAST(g.n_distinct_2g AS DOUBLE) / g.n_2g, 4) < 0.6) AS quality_pass
+         FROM top JOIN g USING (doc_id) ORDER BY doc_id""",
   )
 }
