@@ -174,9 +174,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation FUNNEL: raw → cleaned+length-gated → exact-
+    * deduped, with per-source survival counts — the composition a
+    * pipeline owner actually monitors. Chains O7/O4/O5 clean, F10 gate,
+    * O2 hash, and keeper dedup (min-doc per hash via min_by) in ONE
+    * declarative plan: Catalyst shares the scan, and each stage's
+    * counts are map-side partial aggregations. */
+  val q46Funnel: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val cleaned = TextOps.normalizeWhitespace(
+      TextOps.collapsePunctRuns(TextOps.scrubText(col("text")), Seq("!", "?", ",", ";")))
+    val base = d.select(col("doc_id"), col("source"), cleaned.as("clean"))
+    val gated = base.filter(TextOps.minWordGate(col("clean")))
+    val kept = graft.dedup.ExactDedup.keepers(
+      graft.dedup.ExactDedup.withTextHash(gated, "clean"),
+      "text_hash", "doc_id", carryCols = Seq("source"))
+    val raw = d.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val gatedCounts = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+    val keptCounts = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+    raw.join(gatedCounts, Seq("source"), "left")
+      .join(keptCounts, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q42_token_packing" -> q42TokenPacking,
     "q45_repetition" -> q45Repetition,
+    "q46_funnel" -> q46Funnel,
     "q12_token_stats" -> q12TokenStats,
     "q36_bpe_tokens" -> q36BpeTokens,
     "q13_text_clean" -> q13TextClean,
@@ -322,5 +349,37 @@ object TextQueries {
            (round(CAST(top.top_cnt AS DOUBLE) / top.n_toks, 4) < 0.15
             AND round(1.0 - CAST(g.n_distinct_2g AS DOUBLE) / g.n_2g, 4) < 0.6) AS quality_pass
          FROM top JOIN g USING (doc_id) ORDER BY doc_id""",
+    "q46_funnel" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, 'https?://[^\s]+', '', 'g'),
+                         '\$[a-zA-Z]+', '', 'g'),
+                       '\!{2,}', '!', 'g'),
+                     '\?{2,}', '?', 'g'),
+                   '\,{2,}', ',', 'g'),
+                 '\;{2,}', ';', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM documents),
+         g AS (SELECT doc_id, source, clean FROM c
+               WHERE len(list_filter(string_split_regex(trim(clean), '\s+'), x -> len(x) > 0)) > 5),
+         k AS (SELECT md5(clean) AS h, min(doc_id) AS doc_id,
+                 arg_min(source, doc_id) AS source
+               FROM g GROUP BY 1),
+         raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1),
+         gg AS (SELECT source, count(*) AS n_gated FROM g GROUP BY 1),
+         kk AS (SELECT source, count(*) AS n_kept FROM k GROUP BY 1)
+         SELECT raw.source, raw.n_raw,
+           coalesce(gg.n_gated, 0) AS n_gated,
+           coalesce(kk.n_kept, 0) AS n_kept
+         FROM raw
+         LEFT JOIN gg USING (source)
+         LEFT JOIN kk USING (source)
+         ORDER BY source""",
   )
 }
