@@ -118,18 +118,35 @@ object TextOps {
 
   // ---- O12: per-source date parsing ---------------------------------------
   /** Parse a timestamp string with a per-source format, epoch-seconds for
-    * sources that ship unix times. `formats` maps source → pattern. */
+    * sources that ship unix times. `formats` maps source → pattern.
+    * Malformed values parse to null rather than failing the job (Spark 4
+    * ANSI `to_timestamp`/`cast` throw; the reference logs-and-skips bad
+    * rows, `src/base.py:243-247` — a poisoned row must never kill a
+    * 100 TB ingest). */
   def parseTimeBySource(value: Column, source: Column,
                         formats: Map[String, String],
                         epochSources: Set[String] = Set.empty): Column = {
     val base: Column = lit(null).cast("timestamp")
     val withFmt = formats.foldLeft(base) { case (acc, (src, fmt)) =>
-      when(source === src, to_timestamp(value, fmt)).otherwise(acc)
+      when(source === src, try_to_timestamp(value, lit(fmt))).otherwise(acc)
     }
     epochSources.foldLeft(withFmt) { (acc, src) =>
-      when(source === src, timestamp_seconds(value.cast("long"))).otherwise(acc)
+      when(source === src, timestamp_seconds(value.try_cast("long"))).otherwise(acc)
     }
   }
+
+  /** O12's fuzzy fallback (the reference's `dateutil.parse` path,
+    * `/root/reference/src/utils/google_utils.py:8-11`): try a candidate
+    * format list in order, first parse wins, null when nothing matches.
+    * `try_to_timestamp` yields null (never an error — Spark 4 ANSI mode
+    * makes plain `to_timestamp` throw) on mismatch, so the cascade is a
+    * plain `coalesce` — no UDF, stays in codegen. */
+  def parseTimeFuzzy(value: Column,
+                     formats: Seq[String] = Seq(
+                       "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+                       "yyyy/MM/dd HH:mm", "dd/MM/yyyy HH:mm",
+                       "MMM d, yyyy", "yyyy-MM-dd")): Column =
+    coalesce(formats.map(f => try_to_timestamp(value, lit(f))): _*)
 
   // ---- O14: regex id extraction -------------------------------------------
   def extractId(c: Column, pattern: String): Column = regexp_extract(c, pattern, 1)

@@ -22,6 +22,32 @@ class ClustersSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("property: matches brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute-force union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-id per component (find gives a root; min over members of that root)
+      val byRoot = verts.groupBy(find).map { case (_, vs) => vs.min -> vs }
+      val expected = byRoot.flatMap { case (m, vs) => vs.map(_ -> m) }.toMap
+      val got = Clusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: $got != $expected")
+    }
+  }
+
   test("assign: exactly one representative per cluster, labeled with the min id") {
     val edges = Seq((5L, 6L), (6L, 9L), (11L, 12L)).toDF("a", "b")
     val got = Clusters.assign(edges, "a", "b")

@@ -130,6 +130,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set("2024-03-01 10:30:00", "2024-03-01 10:15:00"))
   }
 
+  test("parseTimeFuzzy: first matching format wins, unparseable → null (O12 dateutil analog)") {
+    val df = Seq(
+      "2024-03-01 10:30:00", "2024-03-01T10:30:00", "2024/03/01 10:30",
+      "01/03/2024 10:30", "Mar 1, 2024", "2024-03-01", "not a date"
+    ).toDF("v")
+    val got = df.select(TextOps.parseTimeFuzzy(col("v")).cast("string").as("r"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("2024-03-01 10:30:00"))
+    assert(got(1).contains("2024-03-01 10:30:00"))
+    assert(got(2).contains("2024-03-01 10:30:00"))
+    assert(got(3).contains("2024-03-01 10:30:00"))
+    assert(got(4).contains("2024-03-01 00:00:00"))
+    assert(got(5).contains("2024-03-01 00:00:00"))
+    assert(got(6).isEmpty)
+  }
+
   // ---- O15 JSONP strip ----
 
   test("jsonpStrip unwraps callback payloads (ref eastmoney.py:72-75)") {
