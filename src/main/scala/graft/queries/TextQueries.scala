@@ -200,10 +200,25 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Stratified deterministic sampling: rebalance the corpus by keeping
+    * a per-language fraction (downsample the dominant language, keep the
+    * rest) via the same content-keyed md5 bucket as q40 — rerun-stable,
+    * no RNG, scan-side filter only. The shape of `df.stat.sampleBy`,
+    * made reproducible and oracle-checkable. */
+  val q47StratifiedSample: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val keepBelow = when(col("lang") === "en", lit(30)).otherwise(lit(80))
+    d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < keepBelow)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q42_token_packing" -> q42TokenPacking,
     "q45_repetition" -> q45Repetition,
     "q46_funnel" -> q46Funnel,
+    "q47_stratified_sample" -> q47StratifiedSample,
     "q12_token_stats" -> q12TokenStats,
     "q36_bpe_tokens" -> q36BpeTokens,
     "q13_text_clean" -> q13TextClean,
@@ -381,5 +396,12 @@ object TextQueries {
          LEFT JOIN gg USING (source)
          LEFT JOIN kk USING (source)
          ORDER BY source""",
+    "q47_stratified_sample" ->
+      """SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
+               < CASE WHEN lang = 'en' THEN 30 ELSE 80 END
+         ORDER BY doc_id""",
   )
 }
