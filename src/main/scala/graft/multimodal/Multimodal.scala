@@ -43,6 +43,22 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode))
   }
 
+  /** Decode with an EXPLICIT batch shape — the Scala analog of an
+    * arrow-batched (`mapInPandas`-style) UDF: the partition iterator is
+    * consumed in `batchSize` chunks so a real codec can amortize per-
+    * batch setup (decoder init, GPU transfer, arrow buffer) across the
+    * batch, while streaming batch-by-batch keeps memory constant
+    * regardless of partition size. Same rows out as `decodeFeatures`. */
+  def decodeFeaturesBatched(media: Dataset[MediaRow],
+                            batchSize: Int = 64): Dataset[MediaFeatures] = {
+    require(batchSize > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap { batch =>
+      // per-batch setup would happen here (decoder/session init)
+      batch.iterator.map(fakeDecode)
+    })
+  }
+
   /** STAND-IN resize: recompute features at a target resolution. A real
     * codec reads `payload` and scales pixels; the stand-in rescales the
     * deterministic fake dims, keeping the schema/partitioning contract

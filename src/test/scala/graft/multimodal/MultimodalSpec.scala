@@ -15,6 +15,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats1.forall(f => f.feature.length == 8 && f.width >= 1 && f.height >= 0))
   }
 
+  test("decodeFeaturesBatched: batch boundaries don't change results (mapInPandas-shape)") {
+    val df = (1L to 25L).map(i => (i, s"payload-$i")).toDF("id", "text")
+    val media = Multimodal.fromText(df, "id", "text", "image").repartition(2)
+    val plain = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    // batchSize 4 forces multiple partial batches + a ragged tail per partition
+    val batched = Multimodal.decodeFeaturesBatched(media, batchSize = 4)
+      .collect().sortBy(_.media_id)
+    assert(batched.length == 25)
+    assert(batched.map(f => (f.media_id, f.digest, f.width))
+      .sameElements(plain.map(f => (f.media_id, f.digest, f.width))))
+  }
+
   test("resize caps width and keeps aspect; no-op below the cap") {
     val df = Seq((1L, "a-very-wide-image-payload")).toDF("id", "text")
     val feats = Multimodal.decodeFeatures(Multimodal.fromText(df, "id", "text", "image"))
