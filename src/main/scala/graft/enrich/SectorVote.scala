@@ -181,6 +181,30 @@ object SectorVote {
     }
   }
 
+  /** Weighted variant of [[hierarchicalAgg]]: input is an already-reduced
+    * (code, count) pair, so the codegen'd relational base aggregation
+    * runs FIRST over the raw pairs and the typed path (encoder + kryo
+    * buffer cost per row) only sees the ~distinct(doc, code) rows. At
+    * sf0.1 the extra exchange offsets the typed-row reduction (measured
+    * a wash); the hybrid wins when documents carry many duplicate codes
+    * (hot tickers at corpus scale), where the codegen'd base collapses
+    * most of the volume before any per-row encoding happens. */
+  def hierarchicalAggWeighted(divisors: Seq[Long] = Seq(1L, 100L, 10000L, 1000000L),
+                              levelLabels: Seq[String] = Seq("8", "6", "4", "2"),
+                              num: Int = 1, denom: Int = 2): Aggregator[(Long, Long), Map[Long, Long], HierVote] = {
+    require(divisors.length == levelLabels.length)
+    val inner = hierarchicalAgg(divisors, levelLabels, num, denom)
+    new Aggregator[(Long, Long), Map[Long, Long], HierVote] {
+      def zero: Map[Long, Long] = Map.empty
+      def reduce(b: Map[Long, Long], in: (Long, Long)): Map[Long, Long] =
+        b.updated(in._1, b.getOrElse(in._1, 0L) + in._2)
+      def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = inner.merge(a, b)
+      def finish(b: Map[Long, Long]): HierVote = inner.finish(b)
+      def bufferEncoder: Encoder[Map[Long, Long]] = inner.bufferEncoder
+      def outputEncoder: Encoder[HierVote] = inner.outputEncoder
+    }
+  }
+
   /** `hierarchical` with two shuffles instead of four: aggregate
     * (doc, code) counts, collect each doc's count list (bounded by the
     * doc's distinct codes — order-sized here, never corpus-sized), and

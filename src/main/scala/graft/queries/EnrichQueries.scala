@@ -48,12 +48,16 @@ object EnrichQueries {
     import s.implicits._
     val li = Tables(s, dir, "lineitem")
     val part = Tables(s, dir, "part")
-    val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").cast("long"),
-        icb8(col("p_partkey"), col("p_size")).cast("long"))
-      .as[(Long, Long)]
-    pairs.groupByKey(_._1).mapValues(_._2)
-      .agg(SectorVote.hierarchicalAgg().toColumn.name("v"))
+    // base reduction stays relational (codegen, map-side partials over
+    // the 600k joined rows); the typed cascade only sees the reduced
+    // (order, code, cnt) rows
+    val reduced = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").cast("long").as("doc"),
+        icb8(col("p_partkey"), col("p_size")).cast("long").as("code"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)]
+    reduced.groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
       .select(col("key").as("l_orderkey"),
         col("v.sector").as("sector"), col("v.level").as("level"))
       .orderBy("l_orderkey")

@@ -104,6 +104,25 @@ class SectorVoteSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("hierarchicalAggWeighted over reduced counts ≡ hierarchicalAgg over raw rows") {
+    val rnd = new scala.util.Random(31)
+    val data = Seq.tabulate(300) { _ =>
+      val doc = rnd.nextInt(25).toLong
+      val code = (rnd.nextInt(4) + 1) * 1000000L + rnd.nextInt(3) * 10000L + rnd.nextInt(2)
+      (doc, code)
+    }
+    val raw = data.toDF("doc", "icb").as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(SectorVote.hierarchicalAgg().toColumn.name("v"))
+      .collect().map { case (d, v) => (d, v.sector, v.level) }.sortBy(_._1)
+    val reduced = data.groupBy(identity).map { case ((d, c), xs) => (d, c, xs.size.toLong) }
+      .toSeq.toDF("doc", "code", "cnt").as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
+      .collect().map { case (d, v) => (d, v.sector, v.level) }.sortBy(_._1)
+    assert(raw.sameElements(reduced))
+  }
+
   test("hierarchical: monotonicity — coarser levels only gain votes") {
     val pairs = Seq((1L, 11223344L), (1L, 11223355L), (1L, 11224466L))
       .toDF("doc", "icb")
