@@ -67,4 +67,44 @@ object Ingest {
       .select(col("doc.*"))
       .as[Doc]
   }
+
+  /** Streaming twin of [[ingest]] (the reference worker loop IS a stream
+    * consumer): same gates, re-shaped for unbounded input —
+    *
+    *  - ticker resolution is PER-ROW (`array_intersect` against the
+    *    bounded universe symbol set, exactly the reference's broadcast
+    *    set `reddit.py:89`) instead of explode+groupBy, so the hot path
+    *    needs no stateful aggregation;
+    *  - the dedup gate is `dropDuplicatesWithinWatermark` on the content
+    *    hash with a 7-day horizon (F8/W4) — state bounded by watermark;
+    *  - pair the output with `Sinks.idempotentAppend` in `foreachBatch`
+    *    for the at-least-once → exactly-once-effect contract (Q8).
+    */
+  def ingestStream(posts: DataFrame, universeSymbols: Seq[String],
+                   retrievalTime: Column,
+                   stopTickers: Seq[String] = Seq("DD", "ARE"),
+                   horizon: String = "7 days"): Dataset[Doc] = {
+    val valid = filterValidPosts(posts)
+      .withColumn("__text", TextOps.getText(col("title"), col("selftext")))
+    val universeArr = array(universeSymbols.map(lit): _*)
+    val withTickers = valid
+      .withColumn("tickers", array_sort(array_intersect(
+        array_except(TextOps.extractTickersEn(col("__text")),
+          array(stopTickers.map(lit): _*)),
+        universeArr)))
+      .filter(size(col("tickers")) > 0) // F4
+      .withColumn("text_hash", TextOps.textHashHex(col("__text")))
+      .withColumn("__ts", timestamp_seconds(col("created_utc")))
+    import posts.sparkSession.implicits._
+    withTickers
+      .withWatermark("__ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(Doc.assemble(
+        id = col("id"), source = col("source"), title = col("title"),
+        text = col("selftext"), tickers = col("tickers"),
+        time = col("__ts"),
+        sourceLink = col("url"), retrievalTime = retrievalTime).as("doc"))
+      .select(col("doc.*"))
+      .as[Doc]
+  }
 }

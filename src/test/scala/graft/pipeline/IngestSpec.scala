@@ -3,6 +3,10 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
+// top-level so the Dataset encoder derives (same shape as the posts fixture)
+case class StreamPost(id: Long, source: String, title: String, selftext: String,
+                      created_utc: Long, url: String, removed_by_category: String)
+
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,5 +52,35 @@ class IngestSpec extends SparkSpec {
     val kept = Ingest.filterValidPosts(posts).select("id").as[Long].collect().toSet
     assert(!kept.contains(103L) && !kept.contains(104L))
     assert(kept.contains(101L))
+  }
+
+  test("ingestStream: same gates over an unbounded source, watermark dedup (streaming §3.2 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[StreamPost]
+    val out = Ingest.ingestStream(input.toDF(),
+      universeSymbols = Seq("TSLA", "MSFT", "AAPL", "GME"), retrievalTime = clock)
+    val q = out.writeStream.format("memory")
+      .queryName("ingest_stream_out").outputMode("append").start()
+    try {
+      input.addData(
+        StreamPost(201L, "reddit", "Thoughts on $tsla", "TSLA will beat estimates", 1709288100L, "u/201", null),
+        StreamPost(202L, "reddit", "Removed", "taken down", 1709288200L, "u/202", "moderator"),
+        StreamPost(203L, "reddit", "No known ticker", "XYZQ to the moon", 1709288300L, "u/203", null),
+        StreamPost(204L, "reddit", "Thoughts on $tsla", "TSLA will beat estimates", 1709288400L, "u/204", null))
+      q.processAllAvailable()
+      // a later batch with the same content is still deduped (state held)
+      input.addData(
+        StreamPost(205L, "reddit", "Thoughts on $tsla", "TSLA will beat estimates", 1709290000L, "u/205", null),
+        StreamPost(206L, "reddit", "MSFT strong", "long MSFT here", 1709290100L, "u/206", null))
+      q.processAllAvailable()
+      val ids = spark.table("ingest_stream_out")
+        .select("unique_identifier").as[String].collect().toSet
+      assert(ids == Set("201", "206"), s"got $ids")
+      val tickers = spark.table("ingest_stream_out")
+        .filter(col("unique_identifier") === "206")
+        .select("tickers").as[Seq[String]].collect()(0)
+      assert(tickers == Seq("MSFT"))
+    } finally q.stop()
   }
 }
