@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-dup pair list — the step that turns
@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * The driver loop only evaluates a COUNT per round (the changed-label
   * tally); labels stay distributed. `localCheckpoint` truncates the
   * growing lineage each round — without it, round i replans rounds
-  * 0..i-1 and iteration time is quadratic.
+  * 0..i-1 and iteration time is quadratic. (localCheckpoint stores
+  * blocks on executors: fast, but an executor loss mid-loop fails the
+  * job and Spark restarts it — acceptable for an idempotent batch
+  * operator. For long multi-hour loops on preemptible nodes, switch to
+  * reliable `checkpoint` with a checkpoint dir: same call shape,
+  * HDFS-durable at the cost of a write per round.)
   */
 object Clusters {
 
