@@ -72,6 +72,22 @@ object Sinks {
     (ok.value, failed.value)
   }
 
+  /** Bucketed table write: co-locate a table on its join/dedup key so
+    * repeated joins and aggregations on that key run WITHOUT an
+    * exchange — the standing answer to "this join shuffles 100 TB every
+    * night". Both sides bucketed by the same key into the same bucket
+    * count → SortMergeJoin reads bucket-aligned splits directly
+    * (`SinksSpec` asserts the plan has no shuffle). Bucketing requires
+    * the table catalog (`saveAsTable`), not a bare path. */
+  def bucketedWrite(df: DataFrame, table: String, key: String,
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** K4 (fixed semantics): flip `just_insert` to false ONLY for ids in
     * `acked`; failed docs stay staged for retry. Returns the updated
     * staging table (caller persists it transactionally — Delta UPDATE in

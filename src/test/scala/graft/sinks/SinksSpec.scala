@@ -54,4 +54,23 @@ class SinksSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> false))
   }
+
+  test("bucketedWrite: same-key bucketed tables join with NO shuffle exchange") {
+    val facts = (1 to 200).map(i => (i.toLong % 40, s"f$i")).toDF("k", "f")
+    val dims = (0 to 39).map(i => (i.toLong, s"d$i")).toDF("k", "d")
+    Sinks.bucketedWrite(facts, "bt_facts", "k", numBuckets = 8, sortCols = Seq("k"))
+    Sinks.bucketedWrite(dims, "bt_dims", "k", numBuckets = 8, sortCols = Seq("k"))
+    try {
+      // force SMJ so the test proves bucket alignment, not broadcast
+      val joined = spark.table("bt_facts")
+        .hint("merge")
+        .join(spark.table("bt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected bucket-aligned join, got:\n$plan")
+      assert(joined.count() == 200)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_facts")
+      spark.sql("DROP TABLE IF EXISTS bt_dims")
+    }
+  }
 }
