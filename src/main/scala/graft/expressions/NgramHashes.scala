@@ -73,6 +73,11 @@ object NgramHashes {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
 
+  /** FNV-1a of a whole string — the hash the kernels assign to a single
+    * shingle; exposed so literal lookup sets (e.g. language-profile
+    * trigrams) can be matched against kernel output. */
+  def fnv1aOf(s: String): Long = fnv1a(s, 0, s.length)
+
   private def fnv1a(s: String, from: Int, until: Int): Long = {
     var h = FnvOffset
     var i = from

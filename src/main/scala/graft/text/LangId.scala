@@ -43,4 +43,42 @@ object LangId {
     }
     when(allZero, lit("und")).otherwise(cascade)
   }
+
+  /** Character-n-gram profiles: the most characteristic trigrams (with
+    * word-boundary marks, Cavnar–Trenkle style) per language. As with
+    * the word profiles, deliberately tiny — the mechanism is the
+    * operator; production swaps in profiles trained on a corpus. */
+  val charProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", " of"),
+    "de" -> Seq(" de", "der", "er ", "ie ", "ein", "und", "sch", "ich"),
+    "es" -> Seq(" de", " la", "la ", "os ", "as ", "que", " qu", "ión"),
+    "fr" -> Seq(" le", "le ", " de", "es ", "ent", " et", "eau", "oux"),
+  )
+
+  /** Char-trigram hit count: how many of the language's characteristic
+    * trigrams occur in the (space-padded, lowercased) text. Uses the
+    * scan-side `CharNgramHashes` kernel for the document's trigram set —
+    * one pass regardless of profile count. */
+  def charScore(text: Column, trigrams: Seq[String]): Column = {
+    val docGrams = graft.expressions.NgramHashes.char_ngram_hashes(
+      concat(lit(" "), lower(text), lit(" ")), 3)
+    val profileHashes = array(trigrams.map(g =>
+      lit(graft.expressions.NgramHashes.fnv1aOf(g))): _*)
+    size(array_intersect(docGrams, profileHashes))
+  }
+
+  /** Char-n-gram language prediction (Cavnar–Trenkle-shaped): argmax of
+    * profile-trigram hits, ties in `charProfiles` order, `und` when no
+    * profile trigram occurs at all. */
+  def predictCharNgram(text: Column): Column = {
+    val scores = charProfiles.map { case (lang, gs) => lang -> charScore(text, gs) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    val cascade = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), rest) =>
+        val later = scores.drop(i + 1).map(_._2)
+        if (later.isEmpty) rest
+        else when(later.map(s >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+    when(allZero, lit("und")).otherwise(cascade)
+  }
 }

@@ -26,6 +26,19 @@ class AnalysisSpec extends SparkSpec {
     assert(got == "en")
   }
 
+  test("LangId.predictCharNgram: trigram profiles (Cavnar–Trenkle shape) via the hash kernel") {
+    val got = Seq(
+      "the king and the queen of england",   // ' th','the','and',' of'...
+      "der fischer und sein schiff",         // 'der','und','sch','ich'
+      "la casa que tiene la calidad",        // ' la','la ','que',' qu'
+      "zzz qqq kkk",                         // nothing → und
+    ).toDF("s").select(LangId.predictCharNgram(col("s")).as("r")).as[String].collect()
+    assert(got(0) == "en", got.mkString(","))
+    assert(got(1) == "de", got.mkString(","))
+    assert(got(2) == "es", got.mkString(","))
+    assert(got(3) == "und", got.mkString(","))
+  }
+
   test("qualityScore is bounded and ranks clean text above punct soup") {
     val rows = Seq(
       "the quick brown fox jumps over the lazy dog and keeps running along the road",
