@@ -27,13 +27,12 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   /** Large Mersenne prime for the affine hash family. */
-  val P: Long = 2147483647L
+  val P: Long = graft.expressions.MinHashSig.P
 
-  /** Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod P. */
-  private def coeffs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
-  }
+  /** Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod P
+    * (shared family — single source in `MinHashSig`). */
+  private def coeffs(numHashes: Int): Seq[(Long, Long)] =
+    graft.expressions.MinHashSig.coeffs(numHashes)
 
   /** MinHash signature (array<bigint> of length numHashes) over an
     * ALREADY-MATERIALIZED base-hash array column (one md5 per shingle,
@@ -64,14 +63,14 @@ object MinHashLSH {
       idCol, numHashes)
 
   /** Signatures over a PRE-HASHED shingle column (`array<bigint>`, e.g.
-    * from `NgramHashes`): the per-shingle string hash is already done
-    * scan-side in one codegen'd pass, so the explode carries only longs. */
+    * from `NgramHashes`): the whole signature is ONE scan-side kernel
+    * call per row (`MinHashSig`) — no explode, no aggregation, no
+    * exchange; identical values to the aggregated form (same coefficient
+    * family). */
   def signaturesFromHashArray(hashed: DataFrame, idCol: String, hCol: String,
                               numHashes: Int): DataFrame =
-    aggMins(hashed
-      .select(col(idCol), explode(col(hCol)).as("__h0"))
-      .select(col(idCol), pmod(col("__h0"), lit(P)).as("__h")),
-      idCol, numHashes)
+    hashed.select(col(idCol),
+      graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes).as("__sig"))
 
   private def aggMins(exploded: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
