@@ -43,22 +43,19 @@ object SimHash {
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Bulk simhash as a DataFrame op — explode tokens, hash once, then one
-    * codegen'd aggregation with `bits` signed-vote sums (the per-row
-    * array-fold form runs interpreted and is ~3× slower at sf0.1; keep it
-    * for expression contexts, use this for corpus-scale scans). Docs with
-    * zero tokens produce no row (explode of an empty array). */
+  /** Bulk simhash as a DataFrame op: ONE scan-side kernel call per row
+    * (`expressions.SimHash48` — bit-exact with the SQL formulation),
+    * replacing the earlier explode + `bits` vote-sum aggregation whose
+    * shuffle this eliminates (and which itself replaced the interpreted
+    * per-row array fold, ~3× slower again). Docs with zero tokens get
+    * signature 0 (every majority vote fails) — the aggregated form
+    * dropped them entirely; token-producing pipelines never emit empty
+    * arrays (`TextOps.tokens` of empty text is `[]` only for empty
+    * docs, which exact-dedup removes first). */
   def simhashDF(docs: DataFrame, idCol: String, toksCol: Column,
-                bits: Int = DefaultBits): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(toksCol).as("__t"))
-      .select(col(idCol), tokenHash48(col("__t")).as("__h"))
-    val aggs = (0 until bits).map(j =>
-      sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"__v$j"))
-    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        (0 until bits).map(j =>
-          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-  }
+                bits: Int = DefaultBits): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.SimHash48.simhash48(toksCol, bits).as("simhash"))
 
   /** Pairs (a < b) within `maxDist` Hamming distance, via chunk-banded
     * equi-join (exact recall by pigeonhole: chunks = maxDist + 1). */
