@@ -118,8 +118,32 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The DEDUPED CORPUS: near-dup pairs → clusters → drop every
+    * non-representative member via a left-anti join, report per-source
+    * survival — the end product the whole dedup suite exists to emit.
+    * (The anti-join keys on doc_id: clustered-docs is pair-sized,
+    * broadcastable at any corpus scale.) */
+  val q48DedupCorpus: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    val dupes = Clusters.assign(pairs, "doc_a", "doc_b")
+      .filter(!col("is_representative"))
+      .select(col("id").as("doc_id"))
+    val kept = d.join(broadcast(dupes), Seq("doc_id"), "left_anti")
+    d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q44_decontamination" -> q44Decontamination,
+    "q48_dedup_corpus" -> q48DedupCorpus,
     "q17_dedup_gate" -> q17DedupGate,
     "q18_minhash_pairs" -> q18MinhashPairs,
     "q19_simhash" -> q19Simhash,
@@ -223,5 +247,26 @@ object DedupQueries {
          JOIN sp sb ON sb.doc_id = p.doc_b
          WHERE sa.split <> sb.split
          ORDER BY p.doc_a, p.doc_b""",
+    "q48_dedup_corpus" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u),
+         dupes AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(u)),
+         kept AS (SELECT d.source, count(*) AS n_kept FROM documents d
+                  WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.doc_id = d.doc_id)
+                  GROUP BY 1),
+         tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT tot.source, tot.n_docs,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           tot.n_docs - coalesce(kept.n_kept, 0) AS n_removed
+         FROM tot LEFT JOIN kept USING (source)
+         ORDER BY tot.source""",
   )
 }
