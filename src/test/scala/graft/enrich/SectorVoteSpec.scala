@@ -123,6 +123,21 @@ class SectorVoteSpec extends SparkSpec {
     assert(raw.sameElements(reduced))
   }
 
+  test("hierarchicalHashAgg matches hierarchical on varied inputs") {
+    val rnd = new scala.util.Random(17)
+    val pairs = Seq.tabulate(400) { _ =>
+      val doc = rnd.nextInt(40).toLong
+      val code = (rnd.nextInt(5) + 1) * 1000000L + rnd.nextInt(3) * 10000L +
+        rnd.nextInt(2) * 100L + rnd.nextInt(2)
+      (doc, code)
+    }.toDF("doc", "icb")
+    val a = SectorVote.hierarchical(pairs, "doc", "icb")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1)
+    val b = SectorVote.hierarchicalHashAgg(pairs, "doc", "icb")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("hierarchical: monotonicity — coarser levels only gain votes") {
     val pairs = Seq((1L, 11223344L), (1L, 11223355L), (1L, 11224466L))
       .toDF("doc", "icb")
