@@ -134,7 +134,24 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF index maintenance: one k-means centroid-recompute step over the
+    * assigned cells (assign → recompute is the loop a production IVF
+    * runs until stable; q34 searches the index this maintains). Output
+    * is per-cell membership + the first two centroid components. */
+  val q49KmeansStep: Q = (s, dir) => {
+    val (_, corpus) = parts(s, dir)
+    val centroids = corpus.filter(col("vec_id") < 26)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+    val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    IvfFlat.recomputeCentroids(cells, corpus, "vec_id", "vec")
+      .select(col("cell"), col("n_members"),
+        round(element_at(col("cen_vec"), 1), 4).as("m0"),
+        round(element_at(col("cen_vec"), 2), 4).as("m1"))
+      .orderBy("cell")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q49_kmeans_step" -> q49KmeansStep,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
@@ -149,6 +166,21 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    // same deterministic assignment as q34's oracle, then per-cell means
+    "q49_kmeans_step" ->
+      s"""WITH $cosineParts,
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id < 26),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT c.vec_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 (list_inner_product(c.cvec, c.cvec)
+                  - 2 * list_inner_product(c.cvec, cen.cen_vec)
+                  + list_inner_product(cen.cen_vec, cen.cen_vec)) ASC, cen.cen_id ASC) AS rn
+             FROM C c, cen) t WHERE rn = 1)
+         SELECT cells.cell, count(*) AS n_members,
+           round(avg(c.cvec[1]), 4) AS m0, round(avg(c.cvec[2]), 4) AS m1
+         FROM cells JOIN C c USING (vec_id)
+         GROUP BY 1 ORDER BY 1""",
     "q43_normalized_topk" ->
       s"""WITH $cosineParts,
          qn AS (SELECT query_id,

@@ -53,4 +53,25 @@ object IvfFlat {
     queryProbes.select(col(queryIdCol).as("query_id"), col("cell"))
       .join(corpusCells.select(col(corpusIdCol).as("cand_id"), col("cell")), Seq("cell"))
       .select("query_id", "cand_id").distinct()
+
+  /** One k-means step: recompute each cell's centroid as the member mean
+    * — the index-maintenance pass a production IVF runs (assign →
+    * recompute → reassign until stable). Transposed to posexplode +
+    * (cell, dim) hash aggregation — map-side partials collapse each
+    * partition's members before the shuffle, so the exchange carries
+    * cells × dims rows, never the corpus. Returns (cell, n_members,
+    * cen_vec array<double> in dimension order). */
+  def recomputeCentroids(cells: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String): DataFrame = {
+    val members = cells.select(col(idCol), col("cell"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val dimMeans = members
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg(avg(col("x").cast("double")).as("mean"), count(lit(1)).as("n"))
+    dimMeans.groupBy("cell")
+      .agg(max("n").as("n_members"),
+        transform(array_sort(collect_list(struct(col("d"), col("mean")))),
+          s => s.getField("mean")).as("cen_vec"))
+  }
 }

@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSpec {
     assert(probes.sameElements(Array(10L, 11L)))
   }
 
+  test("recomputeCentroids: per-cell means in dimension order; fixpoint on separated clusters") {
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0)),
+      (12L, Seq(0.8, 0.0)), (13L, Seq(0.0, 0.8)),
+    ).toDF("vec_id", "vec")
+    val centroids = corpus.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+    val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    val next = IvfFlat.recomputeCentroids(cells, corpus, "vec_id", "vec")
+      .as[(Long, Long, Seq[Double])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(next(10L) == (2L, Seq(0.9, 0.0))) // mean of (1,0) and (.8,0)
+    assert(next(11L) == (2L, Seq(0.0, 0.9)))
+    // a second assign with the new centroids is stable (k-means fixpoint)
+    val cen2 = Seq((10L, Seq(0.9, 0.0)), (11L, Seq(0.0, 0.9)))
+      .toDF("cen_id", "cen_vec")
+    val cells2 = IvfFlat.assign(corpus, "vec_id", "vec", cen2, "cen_id", "cen_vec")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells2 == Map(10L -> 10L, 12L -> 10L, 11L -> 11L, 13L -> 11L))
+  }
+
   test("q21 brute-force top-k: ranks are 1..5 per query and sims non-increasing") {
     val out = SimilarityQueries.q21CosineTopK(spark, "/root/testdata/sf0.001")
       .select("query_id", "rank", "sim").as[(Long, Int, Double)].collect()
