@@ -76,6 +76,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + idempotentAppend: re-delivered micro-batch does not double-append (Q8 exactly-once effect)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-e1x-out").toString
+    val input = MemoryStream[(Long, String)]
+    // the batch writer the docs prescribe: partition by batch_id, dynamic
+    // overwrite → a retried/redelivered batch replaces its own partition
+    def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      graft.sinks.Sinks.idempotentAppend(
+        df.withColumn("batch_id", lit(batchId)), outDir, Seq("batch_id"))
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch(writeBatch _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-e1x-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val once = spark.read.parquet(outDir)
+      val firstCount = once.count()
+      val batchId = once.select("batch_id").distinct().as[Long].collect()(0)
+      // simulate at-least-once redelivery: same data, same batch id, again
+      writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), batchId)
+      assert(spark.read.parquet(outDir).count() == firstCount) // no dupes
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join enriches without shuffling the stream (J1)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("AAPL", 4510L), ("TSLA", 4010L)).toDF("ticker", "icb_code")
