@@ -20,6 +20,9 @@ object SparkEntry {
       (EnrichQueries.defs, EnrichQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
       (NlpQueries.defs, NlpQueries.oracles),
+      (TemporalQueries.defs, TemporalQueries.oracles),
+      (SearchQueries.defs, SearchQueries.oracles),
+      (CurationQueries.defs, CurationQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Chunk-level (sub-document) exact deduplication — the C4/RefinedWeb
+  * pass that removes REPEATED PASSAGES across a corpus (boilerplate,
+  * quoted blocks, syndicated paragraphs) while keeping each document's
+  * first occurrence. Document-level dedup (ExactDedup/MinHashLSH) misses
+  * these: two distinct docs sharing one paragraph are not near-dups.
+  *
+  * Unit of dedup: non-overlapping `width`-token windows in token order
+  * (a whitespace corpus has no line structure; for line-oriented text
+  * swap the chunker for split('\n')). Keep-first policy: the globally
+  * first occurrence — minimum (doc_id, chunk_idx) — survives; every
+  * later identical chunk is dropped, matching the reference's
+  * keep-first duplicate semantics (Q8, `src/base.py:198-208`) applied
+  * at passage granularity.
+  *
+  * Scale: one explode (corpus tokens / width rows) + one groupBy on the
+  * chunk hash (map-side combined argmin) + one broadcast-or-shuffle join
+  * back. Chunks are joined BY 64-BIT HASH, not text: the shuffle moves
+  * 8-byte keys, and a hash collision (~n²/2⁶⁴) can only mark one extra
+  * chunk as duplicate.
+  */
+object ChunkDedup {
+
+  /** Explode docs into (id, chunk_idx, chunk, chunk_hash). The last
+    * chunk may be shorter than `width`; empty docs produce no chunks. */
+  def chunks(docs: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nChunks = ceil(size(col("__toks")) / lit(width.toDouble)).cast("int")
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      // sequence(0, -1) would count DOWN — guard the empty-doc case.
+      .select(col(idCol), posexplode(when(size(col("__toks")) > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("__toks"), i * width + 1, lit(width)), " ")))
+        .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos").as("chunk_idx"), col("col").as("chunk"),
+        xxhash64(col("col")).as("chunk_hash"))
+  }
+
+  /** Mark each chunk kept/dropped under global keep-first. Returns
+    * (id, chunk_idx, chunk, is_kept). */
+  def keepFirst(chunked: DataFrame, idCol: String): DataFrame = {
+    val firstPerHash = chunked
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
+    chunked.join(firstPerHash, Seq("chunk_hash"))
+      .withColumn("is_kept",
+        col("__first").getField(idCol) === col(idCol) &&
+          col("__first").getField("chunk_idx") === col("chunk_idx"))
+      .drop("__first")
+  }
+
+  /** Per-document survival report: (id, n_chunks, n_kept, n_dropped). */
+  def survival(docs: DataFrame, idCol: String, textCol: String, width: Int): DataFrame =
+    keepFirst(chunks(docs, idCol, textCol, width), idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analysis.UnigramLm
+import graft.dedup.{BloomDecontaminate, ChunkDedup}
+import graft.ops.Sampling
+import graft.text.TextOps
+
+/** Corpus-curation operators beyond round 3's set: sub-document dedup,
+  * deterministic weighted sampling, LM-based quality scoring, and
+  * Bloom-prefiltered exact decontamination — the remaining standard
+  * passes of an LLM training-data pipeline (north-star components).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Chunk-level (C4-style passage) dedup: 10-token chunks, global
+    * keep-first; per-doc survival report. */
+  val q54ChunkDedup: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    ChunkDedup.survival(d, "doc_id", "text", width = 10)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted sample (k=50, weight = n_chars): A-ES
+    * exponential race keyed on a content-derived uniform — rerun-stable,
+    * auditable (the race key is part of the output). */
+  val q55WeightedSample: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    Sampling.weightedSample(d.select("doc_id", "n_chars"), "doc_id",
+        col("n_chars"), k = 50)
+      .select("doc_id", "n_chars", "sample_key")
+      .orderBy("sample_key", "doc_id")
+  }
+
+  /** Unigram-LM quality score: model trained on the corpus itself,
+    * each doc scored by average NLL (decimal-summed — partition-order
+    * independent). The perplexity-proxy quality gate. */
+  val q56UnigramLm: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    // Self-scored: every token is in the model, the unseen mass is never
+    // touched — pass 0 to keep the signature total.
+    UnigramLm.score(d, "doc_id", "text", UnigramLm.train(d, "text"),
+        java.math.BigDecimal.ZERO)
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram decontamination with a Bloom prefilter: train docs
+    * (md5 bucket < 80, as q40/q44) sharing any word-8-gram with the test
+    * split (bucket >= 90). The Bloom filter prunes the corpus scan
+    * map-side; an exact semi-join re-verifies, so false positives never
+    * surface. */
+  val q57BloomDecontam: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val train = d.filter(bucket < 80)
+    val testSplit = d.filter(bucket >= 90)
+    BloomDecontaminate.contaminationReport(train, testSplit,
+        "doc_id", "text", n = 8, expectedEvalNgrams = 100000L)
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q54_chunk_dedup" -> q54ChunkDedup,
+    "q55_weighted_sample" -> q55WeightedSample,
+    "q56_unigram_lm" -> q56UnigramLm,
+    "q57_bloom_decontam" -> q57BloomDecontam,
+  )
+
+  private val tokCte =
+    """tok AS (SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+       FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+    "q54_chunk_dedup" ->
+      s"""WITH $tokCte,
+         ch0 AS (SELECT doc_id,
+                   [array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                    for i in range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))] AS chunks
+                 FROM tok WHERE len(toks) > 0),
+         ch AS (SELECT doc_id,
+                  unnest(range(0, len(chunks))) AS chunk_idx,
+                  unnest(chunks) AS chunk
+                FROM ch0),
+         k AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+               FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         FROM k GROUP BY 1 ORDER BY 1""",
+    "q55_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+           round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 1000000 + 0.5) / 1000000.0) / n_chars, 8) AS sample_key
+         FROM documents)
+         SELECT doc_id, n_chars, sample_key FROM s
+         ORDER BY sample_key, doc_id LIMIT 50""",
+    "q56_unigram_lm" ->
+      s"""WITH $tokCte,
+         t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM c),
+         m AS (SELECT token,
+                 CAST(-ln((cnt + 1.0) / (total + vocab)) AS DECIMAL(28,12)) AS nll
+               FROM c CROSS JOIN st)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(CAST(sum(m.nll) AS DOUBLE) / count(*), 4) AS avg_nll
+         FROM t JOIN m USING (token)
+         GROUP BY 1 ORDER BY 1""",
+    "q57_bloom_decontam" ->
+      """WITH W AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(ws) >= 8
+                   THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+                   ELSE [array_to_string(ws, ' ')] END) AS gs
+               FROM W),
+         sp AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b
+                FROM documents),
+         tr AS (SELECT g.doc_id, unnest(gs) AS gram
+                FROM g JOIN sp USING (doc_id) WHERE sp.b < 80),
+         ev AS (SELECT DISTINCT unnest(gs) AS gram
+                FROM g JOIN sp USING (doc_id) WHERE sp.b >= 90)
+         SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared
+         FROM tr JOIN ev USING (gram)
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

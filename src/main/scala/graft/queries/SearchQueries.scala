@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.search.{Bm25, InvertedIndex}
+
+/** Full-text search over `documents` — the query half of the reference's
+  * Elasticsearch tier (SURVEY.md §1.1 "Search index",
+  * `src/utils/elasticsearch_settings.md`): the reference maintains ES
+  * data streams solely so ingested documents can be ranked-retrieved
+  * later; these queries reproduce that capability in-engine (BM25 is
+  * ES/Lucene's default similarity).
+  */
+object SearchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val terms = Seq("spark", "merge", "window")
+
+  /** BM25 top-20 for a three-term query (k1=1.2, b=0.75, Lucene idf).
+    * df/avgdl are corpus aggregates; scoring is a broadcast join; the
+    * per-doc score sums its term contributions in FIXED order (see
+    * `search/Bm25.scala` scaladoc) so ranking is hash-stable. */
+  val q52Bm25: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    Bm25.topK(d, "doc_id", "text", terms, k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Inverted-index postings for the 30 highest-df terms: the ES index
+    * structure materialized as a table (term → df, total_tf, first 10
+    * doc ids). Postings arrays are sort_array(collect_set(...)) — never
+    * collect_list, whose order is partitioning-dependent. */
+  val q53Postings: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    InvertedIndex.postings(d, "doc_id", "text", maxPostings = 10)
+      .orderBy(col("df").desc, col("term"))
+      .limit(30)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q52_bm25" -> q52Bm25,
+    "q53_postings" -> q53Postings,
+  )
+
+  private val tokCte =
+    """tok AS (SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+       FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+    // Same fixed-order term sum; ranking on the ROUNDED score in both
+    // engines so the top-20 cut is float-stable.
+    "q52_bm25" ->
+      s"""WITH $tokCte,
+         tf AS (SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+                FROM tok, unnest(toks) AS t(term)
+                WHERE t.term IN ('spark', 'merge', 'window')
+                GROUP BY 1, 2, 3),
+         stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         w AS (SELECT tf.doc_id, tf.term,
+                 ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+               FROM tf JOIN df USING (term) CROSS JOIN stats s),
+         p AS (SELECT doc_id,
+                 max(CASE WHEN term = 'spark' THEN w END) AS w1,
+                 max(CASE WHEN term = 'merge' THEN w END) AS w2,
+                 max(CASE WHEN term = 'window' THEN w END) AS w3
+               FROM w GROUP BY 1)
+         SELECT doc_id,
+           round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) AS score
+         FROM p
+         ORDER BY round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) DESC,
+           doc_id
+         LIMIT 20""",
+    "q53_postings" ->
+      s"""WITH $tokCte,
+         tf AS (SELECT doc_id, t.term, count(*) AS tf
+                FROM tok, unnest(toks) AS t(term) GROUP BY 1, 2),
+         p AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+                 (list(doc_id ORDER BY doc_id))[1:10] AS postings
+               FROM tf GROUP BY 1)
+         SELECT term, df, total_tf, postings FROM p
+         ORDER BY df DESC, term LIMIT 30""",
+  )
+}

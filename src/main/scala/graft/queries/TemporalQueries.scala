@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOfJoin, RangeJoin}
+
+/** Temporal join operators over the `events` stream table — the two
+  * join shapes Spark lacks as built-ins that every event pipeline needs:
+  * as-of (latest state at a point in time) and range containment
+  * (events inside windows). Both avoid the naive pair blow-up:
+  * `ops/AsOfJoin` is the union+window single-shuffle form,
+  * `ops/RangeJoin` the bucketed-equi-join form. DuckDB's native
+  * ASOF JOIN / interval predicates are the oracles.
+  */
+object TemporalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of: each order (for users that exist in the events stream)
+    * attaches the latest event of that user at or before the order
+    * date — "what did this user last do before ordering". Within-instant
+    * ties on the right side resolve to the max event_id. */
+  val q50AsofJoin: Q = (s, dir) => {
+    val orders = Tables(s, dir, "orders")
+      .filter(col("o_custkey") < 150)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+    val events = Tables(s, dir, "events")
+      .select(col("user_id").as("o_custkey"), col("ts"),
+        col("event_id"), col("event_type"))
+    AsOfJoin.backward(orders, events,
+        key = "o_custkey", leftTime = "o_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "event_type"),
+        rightTieBreak = Some("event_id"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_ts").cast("date").as("o_orderdate"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Range join: per-event-type "campaign" windows (day 1..3 after each
+    * type's first sighting) matched against ALL events by time
+    * containment — overlapping windows, so one event can land in several
+    * campaigns; no equi-key exists and the bucketed join still avoids a
+    * cartesian. Value sums go through decimal so the result is
+    * partition-order independent. */
+  val q51RangeJoin: Q = (s, dir) => {
+    val events = Tables(s, dir, "events")
+    val campaigns = events.groupBy(col("event_type").as("campaign"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("campaign"),
+        (date_trunc("day", col("first_ts")) + expr("INTERVAL 1 DAY"))
+          .cast("double").as("w_start"),
+        (date_trunc("day", col("first_ts")) + expr("INTERVAL 3 DAY"))
+          .cast("double").as("w_end"))
+    val points = events.select(col("event_id"), col("value"),
+      col("ts").cast("double").as("pt"))
+    RangeJoin.pointInInterval(points, campaigns, "pt", "w_start", "w_end",
+        bucketWidthSec = 86400L)
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(25,10)")).cast("double"), 4)
+          .as("sum_value"))
+      .orderBy("campaign")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q50_asof_join" -> q50AsofJoin,
+    "q51_range_join" -> q51RangeJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB native ASOF LEFT JOIN; the same within-instant tiebreak is
+    // applied first so both engines resolve equal-ts events identically.
+    "q50_asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, ts,
+             arg_max(event_id, event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type
+           FROM events GROUP BY 1, 2)
+         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.event_id AS last_event_id, e.event_type AS last_event_type
+         FROM orders o ASOF LEFT JOIN ev e
+           ON o.o_custkey = e.user_id AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+         WHERE o.o_custkey < 150
+         ORDER BY o.o_orderkey""",
+    "q51_range_join" ->
+      """WITH c AS (
+           SELECT event_type AS campaign,
+             date_trunc('day', min(ts)) + INTERVAL 1 DAY AS w_start,
+             date_trunc('day', min(ts)) + INTERVAL 3 DAY AS w_end
+           FROM events GROUP BY 1)
+         SELECT c.campaign, count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_value
+         FROM events e JOIN c
+           ON e.ts >= c.w_start AND e.ts < c.w_end
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,98 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Full-text search operators — the in-engine equivalent of the
+  * reference's Elasticsearch tier (SURVEY.md §1.1 "Search index",
+  * `src/utils/elasticsearch_settings.md`): the reference indexes every
+  * document into ES data streams precisely so it can be searched later;
+  * this module reproduces the *query* half of that capability as
+  * declarative Spark plans over the document table itself.
+  *
+  * Scale design:
+  *  - Term statistics (df, avgdl) are tiny aggregates: df is computed
+  *    ONLY for the query's terms (filter *before* the groupBy — at
+  *    100 TB you never materialize the full vocabulary to answer one
+  *    query), and both reduce map-side before one small shuffle.
+  *  - Scoring is a broadcast join of the (terms × stats) dim onto the
+  *    per-doc term frequencies — no shuffle of the corpus beyond the
+  *    one tf aggregation, which AQE can coalesce.
+  *  - The final sum over query terms is a FIXED-ORDER conditional
+  *    aggregation (one column per term, added left-to-right), not a
+  *    groupBy-sum whose float association depends on partitioning —
+  *    this keeps scores bit-deterministic across cluster layouts (and
+  *    hash-comparable against a DuckDB oracle).
+  */
+object Bm25 {
+
+  /** Per-(doc, term) term frequencies plus document length, for the given
+    * id column over a tokenized text column. One explode + one
+    * partial-aggregated groupBy. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+    toks.groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-k for a bag of query terms (Lucene-style idf:
+    * ln(1 + (N - df + 0.5)/(df + 0.5))). Returns (id, score) with score
+    * rounded to `roundTo` decimals BEFORE ranking so the cut is stable
+    * across engines. k1/b are the classic defaults.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = termFreqs(docs, idCol, textCol).filter(col("term").isin(queryTerms: _*))
+
+    // Corpus stats: N and avgdl in one pass over doc lengths (map-side
+    // combine; the result is a single row, crossJoin'd as a literal-like
+    // broadcast — at any scale this exchange carries one row).
+    val stats = docs.select(TextOps.wordCount(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    // df per query term only (the filter above already pruned the explode
+    // output to |queryTerms| distinct keys — the shuffle is tiny).
+    val df = tf.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
+
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+
+    // Fixed-order sum: one conditional-max column per query term, added
+    // left-to-right — float-association-stable regardless of row order.
+    val termAggs = queryTerms.map(t => max(when(col("term") === t, col("w"))).as(s"w_$t"))
+    val perTerm = scored.groupBy(col(idCol)).agg(termAggs.head, termAggs.tail: _*)
+    val summed = perTerm.withColumn("score",
+      round(queryTerms.map(t => coalesce(col(s"w_$t"), lit(0.0))).reduceLeft(_ + _), roundTo))
+
+    graft.ops.TopK.perGroup(summed.select(col(idCol), col("score")),
+      groupCols = Nil, order = Seq(col("score").desc, col(idCol).asc), k = k,
+      saltOn = col(idCol))
+      .drop("rn")
+  }
+}
+
+/** Inverted-index materialization: the ES index structure itself (term →
+  * posting list), built as a table a downstream search tier reads. At
+  * scale the posting lists are the largest artifact; the build is one
+  * explode + one groupBy, partitioned by term (the natural shard key). */
+object InvertedIndex {
+
+  /** Posting rows: (term, df, total_tf, postings = first `maxPostings`
+    * doc ids ascending). Deterministic: postings via sort_array over the
+    * collected set, never collect_list ordering. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               maxPostings: Int): DataFrame =
+    Bm25.termFreqs(docs, idCol, textCol)
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        slice(sort_array(collect_set(col(idCol))), 1, maxPostings).as("postings"))
+}

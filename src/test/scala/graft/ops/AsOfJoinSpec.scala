@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("o1", "u1", 100L), ("o2", "u1", 205L), ("o3", "u2", 50L), ("o4", "u3", 10L)
+  ).toDF("order_id", "uid", "t")
+
+  private def right = Seq(
+    ("u1", 100L, 1L, "a"),   // exact tie with o1's time — must be visible
+    ("u1", 200L, 2L, "b"),
+    ("u1", 300L, 3L, "c"),   // after both orders — never visible
+    ("u2", 40L, 4L, "d"),
+    ("u2", 40L, 5L, "e")     // same instant as 4 — tiebreak on max event id
+  ).toDF("uid", "ts", "eid", "etype")
+
+  test("backward as-of attaches latest right row at or before left time") {
+    val out = AsOfJoin.backward(left, right,
+        key = "uid", leftTime = "t", rightTime = "ts",
+        rightPayload = Seq("eid", "etype"), rightTieBreak = Some("eid"))
+      .orderBy("order_id")
+      .select("order_id", "eid", "etype")
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // o1: tie at t=100 → eid 1; o2: latest ≤205 is eid 2;
+    // o3: two right rows at ts=40, max eid wins → 5; o4: no match → null
+    assert(out.toSeq == Seq(("o1", 1L), ("o2", 2L), ("o3", 5L), ("o4", -1L)))
+  }
+
+  test("as-of result has one row per left row (no pair blow-up)") {
+    val out = AsOfJoin.backward(left, right, "uid", "t", "ts", Seq("eid"))
+    assert(out.count() == 4)
+  }
+
+  test("plan contains a single exchange, no join node") {
+    val out = AsOfJoin.backward(left, right, "uid", "t", "ts", Seq("eid"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+  }
+}
