@@ -74,4 +74,82 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         rightPayload.map(p => col("__last").getField(p).as(p)): _*)
   }
+
+  /** Skew-safe backward as-of join for HOT KEYS. The plain `backward`
+    * sorts each key on one task; when one key carries a large fraction
+    * of all rows (one hot ticker, one bot user) that task is the job.
+    * This variant adds a time-bucket dimension so the heavy window
+    * partitions by (key, bucket) — each task sorts one key's rows in one
+    * time slice — and the only per-key pass runs over BUCKET SUMMARIES
+    * (rows-per-key = number of buckets, independent of data volume):
+    *
+    *  1. within-bucket pass: last right payload at-or-before each row,
+    *     windowed over (key, bucket);
+    *  2. bucket-summary pass: per (key, bucket), the bucket's final
+    *     right payload; a per-key window over these summaries computes
+    *     the CARRY — the latest payload from any earlier bucket;
+    *  3. a (key, bucket) equi-join attaches the carry; each left row
+    *     resolves to coalesce(within-bucket last, carry).
+    *
+    * Identical results to `backward` (equivalence-tested); use it when
+    * key cardinality is low or skewed. `bucketWidth` is in the time
+    * column's seconds (times are compared as doubles); pick it so a hot
+    * key's rows spread over many buckets. */
+  def backwardBucketed(left: DataFrame, right: DataFrame,
+                       key: String, leftTime: String, rightTime: String,
+                       rightPayload: Seq[String],
+                       bucketWidth: Long,
+                       rightTieBreak: Option[String] = None): DataFrame = {
+    val rightDedup = rightTieBreak match {
+      case Some(tb) =>
+        val payloadStruct = struct(rightPayload.map(col): _*)
+        right.groupBy(col(key), col(rightTime))
+          .agg(max_by(payloadStruct, col(tb)).as("__p"))
+      case None =>
+        right.select(col(key), col(rightTime),
+          struct(rightPayload.map(col): _*).as("__p"))
+    }
+    val leftCols = left.columns.toSeq
+    val bucket = (t: Column) => floor(t.cast("double") / lit(bucketWidth.toDouble))
+
+    val rTagged = rightDedup.select(
+      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+        col("__p")) ++ leftCols.map(c => lit(null).as(s"__l_$c")): _*)
+    val lTagged = left.select(
+      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+        lit(null).as("__p")) ++ leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val tagged = rTagged.unionByName(lTagged)
+      .withColumn("__b", bucket(col("__t")))
+
+    // 1. Heavy pass, (key, bucket)-partitioned: no single-task hot key.
+    val wIn = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = tagged.withColumn("__lastin",
+      last(col("__p"), ignoreNulls = true).over(wIn))
+
+    // 2. Bucket summaries: final right payload per (key, bucket) — __t is
+    // unique per key after the dedup above, so max_by is deterministic.
+    val summary = rTagged.withColumn("__b", bucket(col("__t")))
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__p"), col("__t")).as("__pb"))
+    // Carry = latest payload from STRICTLY EARLIER buckets, computed over
+    // every (key, bucket) either side touches. The window is per-key but
+    // each key contributes one row per bucket, not per event.
+    val allBuckets = tagged.select(col("__k"), col("__b")).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets
+      .join(summary, Seq("__k", "__b"), "left")
+      .withColumn("__carry", last(col("__pb"), ignoreNulls = true).over(wCarry))
+      .select(col("__k"), col("__b"), col("__carry"))
+
+    // 3. Attach carry and resolve.
+    within
+      .join(carry, Seq("__k", "__b"))
+      .filter(col("__tag") === 1)
+      .withColumn("__last", coalesce(col("__lastin"), col("__carry")))
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        rightPayload.map(p => col("__last").getField(p).as(p)): _*)
+  }
 }

@@ -63,11 +63,32 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Sketch-based corpus stats: HLL vocabulary cardinality and
+    * approx-percentile length quantiles per source — the constant-memory
+    * swap-ins for q07's exact countDistinct and q41's exact percentiles
+    * once the corpus is 100 TB (SURVEY §2.6's HLL note). No SQL oracle:
+    * sketch outputs are algorithm-specific, so the driver records the
+    * rows-only check; the unit test bounds HLL error against the exact
+    * count instead. */
+  val q58SketchStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val vocab = d
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(approx_count_distinct(col("token"), rsd = 0.01).as("approx_vocab"))
+    val lengths = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
+          .as("n_chars_p50_p95"))
+    lengths.join(vocab, Seq("source")).orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q54_chunk_dedup" -> q54ChunkDedup,
     "q55_weighted_sample" -> q55WeightedSample,
     "q56_unigram_lm" -> q56UnigramLm,
     "q57_bloom_decontam" -> q57BloomDecontam,
+    "q58_sketch_stats" -> q58SketchStats,
   )
 
   private val tokCte =

@@ -30,8 +30,9 @@ object SearchQueries {
 
   /** Inverted-index postings for the 30 highest-df terms: the ES index
     * structure materialized as a table (term → df, total_tf, first 10
-    * doc ids). Postings arrays are sort_array(collect_set(...)) — never
-    * collect_list, whose order is partitioning-dependent. */
+    * doc ids). Truncated posting lists come from the salted two-phase
+    * TopK (bounded buffers even for corpus-frequency terms — see
+    * `search/Search.scala` scaladoc), deterministically sorted. */
   val q53Postings: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     InvertedIndex.postings(d, "doc_id", "text", maxPostings = 10)

@@ -80,19 +80,32 @@ object Bm25 {
 }
 
 /** Inverted-index materialization: the ES index structure itself (term →
-  * posting list), built as a table a downstream search tier reads. At
-  * scale the posting lists are the largest artifact; the build is one
-  * explode + one groupBy, partitioned by term (the natural shard key). */
+  * posting list), built as a table a downstream search tier reads.
+  *
+  * The tempting one-liner — `slice(sort_array(collect_set(id)), 1, k)` —
+  * is a scale bug: a hot term ("the") appears in nearly every document,
+  * so its group COLLECTS THE WHOLE CORPUS' doc ids into one aggregation
+  * buffer before the slice throws them away. Instead the truncated
+  * posting list is built with the salted two-phase TopK (bounded k rows
+  * per (term, salt) at every stage), and df/total_tf come from a plain
+  * codegen'd aggregation with constant-size buffers. Two aggregations
+  * over the token stream instead of one, but every buffer is O(k). */
 object InvertedIndex {
 
   /** Posting rows: (term, df, total_tf, postings = first `maxPostings`
-    * doc ids ascending). Deterministic: postings via sort_array over the
-    * collected set, never collect_list ordering. */
+    * doc ids ascending). Deterministic: the k smallest doc ids per term,
+    * sorted — never collect_list ordering. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
-               maxPostings: Int): DataFrame =
-    Bm25.termFreqs(docs, idCol, textCol)
+               maxPostings: Int): DataFrame = {
+    val tf = Bm25.termFreqs(docs, idCol, textCol)
+    val stats = tf.groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"), sum(col("tf")).as("total_tf"))
+    val topDocs = graft.ops.TopK.perGroup(
+        tf.select(col("term"), col(idCol)),
+        groupCols = Seq("term"), order = Seq(col(idCol).asc),
+        k = maxPostings, saltOn = col(idCol))
       .groupBy("term")
-      .agg(countDistinct(col(idCol)).as("df"),
-        sum(col("tf")).as("total_tf"),
-        slice(sort_array(collect_set(col(idCol))), 1, maxPostings).as("postings"))
+      .agg(sort_array(collect_list(col(idCol))).as("postings"))
+    stats.join(topDocs, Seq("term"))
+  }
 }

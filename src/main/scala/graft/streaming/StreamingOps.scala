@@ -54,4 +54,31 @@ object StreamingOps {
     * is picked up) and broadcast — the join never shuffles the stream. */
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream INTERVAL join: pair each left event with right events
+    * of the same key whose timestamp lies in [leftTs - lookback, leftTs]
+    * — the streaming twin of `ops/AsOfJoin`/`ops/RangeJoin` (e.g. "clicks
+    * within 1 hour before the order", the reference's hour-window scrape
+    * correlation W1/W3 done online). Both sides carry watermarks and the
+    * join condition bounds the time range in BOTH directions, which is
+    * exactly what Spark requires to evict join state: right rows older
+    * than lookback + lateness are dropped from the state store, so state
+    * is bounded at any input rate.
+    *
+    * Column contract: both inputs must already expose distinct names
+    * (rename before calling); `leftTs`/`rightTs` are event-time columns.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         key: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         lookback: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(key) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      "inner")
+  }
 }

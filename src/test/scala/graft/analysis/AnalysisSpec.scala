@@ -61,4 +61,19 @@ class AnalysisSpec extends SparkSpec {
       .select(TextAnalysis.bpeTokens(col("s")).as("t")).as[Seq[String]].collect()(0)
     assert(got == Seq("don", "'t", " stop", " 123", "!!"))
   }
+
+  test("HLL and approx-percentile sketches track exact values (q58's contract)") {
+    val df = (1 to 5000).map(i => (s"tok${i % 1234}", i.toLong)).toDF("t", "n")
+    val (approxD, exactD) = df
+      .select(approx_count_distinct(col("t"), rsd = 0.01).as("a"),
+        countDistinct(col("t")).as("e"))
+      .as[(Long, Long)].collect()(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL $approxD vs exact $exactD")
+    val (p50, exact50) = df
+      .select(percentile_approx(col("n"), lit(0.5), lit(10000)).as("p"),
+        expr("percentile(n, 0.5)").cast("long").as("e"))
+      .as[(Long, Long)].collect()(0)
+    assert(math.abs(p50 - exact50) <= 2, s"approx p50 $p50 vs exact $exact50")
+  }
 }

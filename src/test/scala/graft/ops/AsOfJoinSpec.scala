@@ -41,4 +41,26 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
   }
+
+  test("bucketed variant is equivalent to the plain window form") {
+    // one hot key with many rows spanning several buckets, plus a key
+    // whose matches must carry across empty buckets
+    val rng = new scala.util.Random(7)
+    val bigLeft = ((1 to 300).map(i => (s"L$i", "hot", rng.nextInt(1000).toLong)) ++
+      Seq(("La", "cold", 950L), ("Lb", "cold", 5L))).toDF("order_id", "uid", "t")
+    val bigRight = ((1 to 200).map(i => (s"hot", rng.nextInt(1000).toLong, i.toLong, "x")) ++
+      Seq(("cold", 10L, 900L, "y"))).toDF("uid", "ts", "eid", "etype")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("order_id").collect().map(_.toSeq).toSeq
+
+    val plain = AsOfJoin.backward(bigLeft, bigRight, "uid", "t", "ts",
+      Seq("eid", "etype"), rightTieBreak = Some("eid"))
+    val bucketed = AsOfJoin.backwardBucketed(bigLeft, bigRight, "uid", "t", "ts",
+      Seq("eid", "etype"), bucketWidth = 100L, rightTieBreak = Some("eid"))
+    assert(canon(bucketed) == canon(plain))
+    // heavy window is (key, bucket)-partitioned in the bucketed plan
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("__b"), s"expected bucket column in plan:\n$plan")
+  }
 }

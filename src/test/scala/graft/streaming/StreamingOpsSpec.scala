@@ -103,6 +103,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: stream-stream join within a bounded lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(Timestamp, String, String)]
+    val clicks = MemoryStream[(Timestamp, String, String)]
+    val joined = StreamingOps.intervalJoinStream(
+      orders.toDF().toDF("o_ts", "o_user", "order_id"),
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      key = "o_user", rightKey = "c_user",
+      leftTs = "o_ts", rightTs = "c_ts",
+      lookback = "1 hour")
+    val q = joined.writeStream.format("memory")
+      .queryName("interval_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        (ts("2024-03-01 09:30:00"), "u1", "c-in"),      // 30 min before → match
+        (ts("2024-03-01 08:30:00"), "u1", "c-old"),     // 90 min before → no
+        (ts("2024-03-01 09:45:00"), "u2", "c-otheruser"))
+      orders.addData((ts("2024-03-01 10:00:00"), "u1", "o1"))
+      q.processAllAvailable()
+      // advance both watermarks so results emit
+      clicks.addData((ts("2024-03-01 12:00:00"), "zz-c", "c-adv"))
+      orders.addData((ts("2024-03-01 12:00:00"), "zz-o", "o-adv"))
+      q.processAllAvailable()
+      val rows = spark.table("interval_out")
+        .select("order_id", "click_id").as[(String, String)].collect().toSet
+      assert(rows == Set(("o1", "c-in")))
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join enriches without shuffling the stream (J1)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("AAPL", 4510L), ("TSLA", 4010L)).toDF("ticker", "icb_code")
