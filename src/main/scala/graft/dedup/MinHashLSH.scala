@@ -140,6 +140,39 @@ object MinHashLSH {
       candidatePairs(sigs, idCol, "__sig", numBands, r), threshold)
   }
 
+  /** INCREMENTAL near-dup gate: candidates between a NEW batch and an
+    * existing HISTORY corpus only (no within-batch, no within-history
+    * pairs) — the F8 dedup-gate semantics lifted from exact hashes to
+    * near-duplicates. A nightly ingest asks exactly this: "which incoming
+    * documents near-duplicate something we already kept?"
+    *
+    * Scale shape: band keys are an equi-join between batch (small) and
+    * history (the corpus). History's signatures/band keys depend only on
+    * history — in deployment, persist them ONCE as a table bucketed by
+    * (band, key) (`Sinks.bucketedWrite`) so each batch joins against the
+    * index without recomputing (or reshuffling) the corpus. Output:
+    * (batch_id, history_id, jaccard >= threshold). */
+  def nearDupAgainstHashed(batchHashed: DataFrame, historyHashed: DataFrame,
+                           idCol: String, hCol: String,
+                           numHashes: Int, numBands: Int,
+                           threshold: Double): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+    def bands(df: DataFrame, as: String) =
+      signaturesFromHashArray(df, idCol, hCol, numHashes)
+        .select(col(idCol).as(as),
+          explode(bandKeys(col("__sig"), numBands, r)).as("bk"))
+        .select(col(as), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands(batchHashed, "a").join(bands(historyHashed, "b"), Seq("band", "key"))
+      .select("a", "b").distinct()
+    val setsA = batchHashed.select(col(idCol).as("a"), col(hCol).as("__sh_a"))
+    val setsB = historyHashed.select(col(idCol).as("b"), col(hCol).as("__sh_b"))
+    cands.join(setsA, "a").join(setsB, "b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("batch_id"), col("b").as("history_id"), col("jaccard"))
+  }
+
   private def verifyCandidates(sets: DataFrame, idCol: String, setCol: String,
                                cands: DataFrame, threshold: Double): DataFrame = {
     val setsA = sets.select(col(idCol).as("a"), col(setCol).as("__sh_a"))

@@ -141,7 +141,25 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** Incremental near-dup gate (F8 at near-dup granularity): incoming
+    * batch (src != src0) vs the kept history corpus (src0) — which new
+    * docs near-duplicate something already ingested. Bipartite banded
+    * join: no within-batch or within-history pairs, no cross join.
+    * Oracle: all-pairs batch x history ground truth. */
+  val q59IncrementalNeardup: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"), col("source"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val history = sh.filter(col("source") === "src0").select("doc_id", "sh")
+    val batch = sh.filter(col("source") =!= "src0").select("doc_id", "sh")
+    MinHashLSH.nearDupAgainstHashed(batch, history, "doc_id", "sh",
+        numHashes = 64, numBands = 16, threshold = 0.8)
+      .select(col("batch_id"), col("history_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("batch_id", "history_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q59_incremental_neardup" -> q59IncrementalNeardup,
     "q44_decontamination" -> q44Decontamination,
     "q48_dedup_corpus" -> q48DedupCorpus,
     "q17_dedup_gate" -> q17DedupGate,
@@ -173,6 +191,19 @@ object DedupQueries {
                FROM H)"""
 
   val oracles: Map[String, String] = Map(
+    "q59_incremental_neardup" ->
+      s"""WITH $shinglesCte,
+         ba AS (SELECT sh.doc_id, sh.s FROM SH sh
+                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source <> 'src0'),
+         hi AS (SELECT sh.doc_id, sh.s FROM SH sh
+                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0')
+         SELECT ba.doc_id AS batch_id, hi.doc_id AS history_id,
+           round(CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ba.s, hi.s))), 4) AS jaccard
+         FROM ba CROSS JOIN hi
+         WHERE CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(ba.s, hi.s))) >= 0.8
+         ORDER BY 1, 2""",
     "q17_dedup_gate" ->
       """WITH b AS (SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
                     FROM documents WHERE source <> 'src0' GROUP BY 1)

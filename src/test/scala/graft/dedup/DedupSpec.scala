@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.sameElements(Array((1L, 2L))))
   }
 
+  test("nearDupAgainstHashed: bipartite gate reports batch-vs-history only") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val nearDup2 = (1 to 80).map(i => if (i == 41) "ALSO" else s"tok$i").mkString(" ")
+    val other = (1 to 80).map(i => s"zzz$i").mkString(" ")
+    import graft.expressions.NgramHashes
+    def hashed(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    // history: base + unrelated; batch: two near-dups of base (which also
+    // near-dup EACH OTHER — that within-batch pair must NOT be reported)
+    val history = hashed(1L -> base, 2L -> other)
+    val batch = hashed(10L -> nearDup, 11L -> nearDup2)
+    val got = MinHashLSH.nearDupAgainstHashed(batch, history, "doc_id", "sh",
+        numHashes = 64, numBands = 16, threshold = 0.8)
+      .select("batch_id", "history_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (11L, 1L)))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val d = docs(1L -> "a b c d e f g h")
       .select(TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))

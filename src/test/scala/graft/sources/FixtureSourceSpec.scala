@@ -35,6 +35,34 @@ class FixtureSourceSpec extends SparkSpec {
     assert(out.sameElements(Array(("A1", "First report"), ("A2", "Second report"))))
   }
 
+  test("two-step encyclopedia resolve: search links -> filter -> fetch join (S15/S16)") {
+    // the wiki/baike pattern (wiki_utils.py:27-64, baidu_api.py:59-81):
+    // step 1 a search-results relation per query, step 2 pick the first
+    // allowed encyclopedia link, step 3 join to the fetched-pages relation
+    // and parse — fetch is fixture-abstracted, the relational shape is real
+    val serp = Seq(
+      ("apple", 1, "https://ads.example.com/x"),
+      ("apple", 2, "https://en.wikipedia.org/wiki/Apple_Inc."),
+      ("apple", 3, "https://en.wikipedia.org/wiki/Apple"),
+      ("tesla", 1, "https://en.wikipedia.org/wiki/Tesla,_Inc.")
+    ).toDF("query", "rank", "link")
+    val pages = Seq(
+      ("https://en.wikipedia.org/wiki/Apple_Inc.",
+        "<html><title>Apple Inc.</title><p>American company.</p></html>"),
+      ("https://en.wikipedia.org/wiki/Tesla,_Inc.",
+        "<html><title>Tesla, Inc.</title><p>EV maker.</p></html>")
+    ).toDF("link", "html")
+
+    val firstWiki = serp
+      .filter(col("link").rlike("^https://en\\.wikipedia\\.org/wiki/"))
+      .groupBy("query").agg(min_by(col("link"), col("rank")).as("link"))
+    val out = firstWiki.join(pages, Seq("link"))
+      .select(col("query"),
+        FixtureSource.parseArticleHtml(col("html")).getField("title").as("title"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("apple", "Apple Inc."), ("tesla", "Tesla, Inc.")))
+  }
+
   test("parseArticleHtml extracts title and tag-stripped body (S2/S7)") {
     val html = "<html><head><title>Quarterly Results</title></head>" +
       "<body><script>x()</script><p>Revenue grew <b>12%</b> yoy.</p></body></html>"
