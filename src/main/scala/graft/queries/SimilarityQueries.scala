@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TopK
-import graft.similarity.{Cosine, IvfFlat, RandomHyperplaneLSH}
+import graft.similarity.{Cosine, IvfFlat, ProductQuantizer, RandomHyperplaneLSH}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
   * operators; reference analog N8/N9 `tencent_api.py:111-136`).
@@ -150,7 +150,23 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Product-quantization ANN (third scale path; see
+    * `similarity/ProductQuantizer.scala`): 8 subspaces x 8 dims, 16
+    * codewords from the q34 seed set, ADC shortlist of 10, exact cosine
+    * rerank to top-1. Oracle replicates the identical deterministic
+    * algorithm (implementation parity, as q22/q34) — decimal ADC sums
+    * make the shortlist ranking association-free on both engines. */
+  val q60AnnPq: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    val seed = corpus.filter(col("vec_id") < 26)
+    ProductQuantizer.searchTop1(queries, corpus, seed, "vec_id", "vec",
+        numSub = 8, subDim = 8, shortlist = 10)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q60_ann_pq" -> q60AnnPq,
     "q49_kmeans_step" -> q49KmeansStep,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
@@ -166,6 +182,52 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    "q60_ann_pq" ->
+      s"""WITH $cosineParts,
+         cbseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, cvec
+                    FROM C WHERE vec_id < 26),
+         cb AS (SELECT r.range AS m, code_id,
+                  cvec[r.range*8+1 : r.range*8+8] AS cw
+                FROM cbseed CROSS JOIN range(8) r),
+         csub AS (SELECT c.vec_id, r.range AS m,
+                    c.cvec[r.range*8+1 : r.range*8+8] AS sub
+                  FROM C c CROSS JOIN range(8) r),
+         enc AS (SELECT vec_id, m, code_id AS code FROM (
+             SELECT csub.vec_id, csub.m, cb.code_id,
+               row_number() OVER (PARTITION BY csub.vec_id, csub.m ORDER BY
+                 (list_inner_product(csub.sub, csub.sub)
+                  - 2 * list_inner_product(csub.sub, cb.cw)
+                  + list_inner_product(cb.cw, cb.cw)) ASC, cb.code_id ASC) AS rn
+             FROM csub JOIN cb USING (m)) t WHERE rn = 1),
+         qsub AS (SELECT q.query_id, r.range AS m,
+                    q.qvec[r.range*8+1 : r.range*8+8] AS sub
+                  FROM Q q CROSS JOIN range(8) r),
+         adct AS (SELECT query_id, m, code_id,
+                    CAST(list_inner_product(sub, sub)
+                         - 2 * list_inner_product(sub, cw)
+                         + list_inner_product(cw, cw) AS DECIMAL(28,12)) AS d
+                  FROM qsub JOIN cb USING (m)),
+         adc AS (SELECT a.query_id, e.vec_id AS cand_id, sum(a.d) AS adc
+                 FROM enc e JOIN adct a ON a.m = e.m AND a.code_id = e.code
+                 GROUP BY 1, 2),
+         short AS (SELECT query_id, cand_id FROM (
+             SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, cand_id ASC) AS rn
+             FROM adc) t WHERE rn <= 10),
+         rr AS (SELECT s.query_id, s.cand_id,
+                  list_inner_product(q.qvec, c.cvec)
+                    / (sqrt(list_inner_product(q.qvec, q.qvec))
+                       * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+                FROM short s
+                JOIN Q q USING (query_id)
+                JOIN C c ON c.vec_id = s.cand_id),
+         fin AS (SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cand_id ASC) AS rn
+                 FROM rr)
+         SELECT query_id, cand_id AS vec_id, round(sim, 6) AS sim
+         FROM fin WHERE rn = 1 ORDER BY query_id""",
     // same deterministic assignment as q34's oracle, then per-cell means
     "q49_kmeans_step" ->
       s"""WITH $cosineParts,

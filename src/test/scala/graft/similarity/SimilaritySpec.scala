@@ -108,4 +108,47 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
     }
   }
+
+  test("PQ: codes are in range, one per (vector, subspace); exact duplicate is found") {
+    import graft.similarity.ProductQuantizer
+    val rng = new scala.util.Random(3)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val corpusRows = (10L to 60L).map(i => (i, vec()))
+    val corpus = corpusRows.toDF("vec_id", "vec")
+    val seed = corpus.filter(col("vec_id") < 18) // 8 codewords
+    // query 1 duplicates corpus vector 42 exactly
+    val dup = corpusRows.find(_._1 == 42L).get._2
+    val queries = Seq((1L, dup), (2L, vec())).toDF("vec_id", "vec")
+
+    val cb = ProductQuantizer.codebooks(seed, "vec_id", "vec", numSub = 4, subDim = 4)
+    assert(cb.count() == 4 * 8)
+    val codes = ProductQuantizer.encode(corpus, "vec_id", "vec", cb, 4, 4)
+    assert(codes.count() == 51 * 4)
+    val range = codes.select(min("code"), max("code")).as[(Int, Int)].collect()(0)
+    assert(range._1 >= 0 && range._2 <= 7)
+
+    // an exact duplicate attains the minimum possible ADC distance, so it
+    // must survive any shortlist and win the exact rerank
+    val top = ProductQuantizer.searchTop1(queries, corpus, seed, "vec_id", "vec",
+        numSub = 4, subDim = 4, shortlist = 5)
+      .filter(col("query_id") === 1L)
+      .select("vec_id").as[Long].collect()
+    assert(top.sameElements(Array(42L)))
+  }
+
+  test("PQ ADC scores are deterministic across repartitioning (decimal sums)") {
+    import graft.similarity.ProductQuantizer
+    val rng = new scala.util.Random(4)
+    val corpus = (10L to 40L).map(i => (i, Array.fill(16)(rng.nextFloat()))).toDF("vec_id", "vec")
+    val queries = (1L to 3L).map(i => (i, Array.fill(16)(rng.nextFloat()))).toDF("vec_id", "vec")
+    val seed = corpus.filter(col("vec_id") < 18)
+    val cb = ProductQuantizer.codebooks(seed, "vec_id", "vec", 4, 4)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val codes = ProductQuantizer.encode(c, "vec_id", "vec", cb, 4, 4)
+      val table = ProductQuantizer.adcTable(queries, "vec_id", "vec", cb, 4, 4)
+      ProductQuantizer.adcScores(codes, "vec_id", table)
+        .orderBy("query_id", "cand_id").collect().map(_.toSeq).toSeq
+    }
+    assert(run(corpus) == run(corpus.repartition(11)))
+  }
 }
