@@ -136,6 +136,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.sameElements(Array(42L)))
   }
 
+  test("IVFPQ composition: IVF cell pruning + ADC scoring + exact rerank finds the duplicate") {
+    import graft.similarity.ProductQuantizer
+    val rng = new scala.util.Random(9)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val corpusRows = (10L to 80L).map(i => (i, vec()))
+    val corpus = corpusRows.toDF("vec_id", "vec")
+    val dup = corpusRows.find(_._1 == 55L).get._2
+    val queries = Seq((1L, dup)).toDF("vec_id", "vec")
+    val centroids = corpus.filter(col("vec_id") < 18)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+
+    // IVF: restrict candidates to probed cells (prune), then PQ: ADC-score
+    // ONLY those candidates (compressed scan), then exact rerank — the
+    // IVFPQ layout, composed from the two existing operators.
+    val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    val probes = IvfFlat.probes(queries, "vec_id", "vec", centroids, "cen_id", "cen_vec", nprobe = 3)
+    val cands = IvfFlat.candidates(probes, cells, "vec_id", "vec_id")
+
+    val seed = corpus.filter(col("vec_id") < 18)
+    val cb = ProductQuantizer.codebooks(seed, "vec_id", "vec", 4, 4)
+    val codes = ProductQuantizer.encode(corpus, "vec_id", "vec", cb, 4, 4)
+      .join(cands.select(col("cand_id").as("vec_id")).distinct(), Seq("vec_id"))
+    val table = ProductQuantizer.adcTable(queries, "vec_id", "vec", cb, 4, 4)
+    val scored = ProductQuantizer.adcScores(codes, "vec_id", table)
+    val shortlist = scored.orderBy(col("adc").asc, col("cand_id").asc).limit(8)
+    val top = shortlist
+      .join(corpus.select(col("vec_id").as("cand_id"), col("vec").as("cv")), "cand_id")
+      .join(queries.select(col("vec_id").as("query_id"), col("vec").as("qv")), "query_id")
+      .withColumn("sim", Cosine.cosine(col("qv"), col("cv")))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+      .select("cand_id").as[Long].collect()
+    // the duplicate's cell is certainly probed (its centroid distance is
+    // the query's own nearest-centroid distance) and its ADC is minimal
+    assert(top.head == 55L)
+  }
+
   test("PQ ADC scores are deterministic across repartitioning (decimal sums)") {
     import graft.similarity.ProductQuantizer
     val rng = new scala.util.Random(4)
