@@ -83,7 +83,35 @@ object CurationQueries {
     lengths.join(vocab, Seq("source")).orderBy("source")
   }
 
+  /** PII redaction audit: the privacy pass a corpus runs before
+    * training. The synthetic corpus carries no PII, so both engines
+    * first plant deterministic emails (doc_id % 7 == 0) and IPv4
+    * literals (doc_id % 11 == 0), then redact with the shared RE2-safe
+    * patterns and report per-source counts + characters removed —
+    * proving the redaction itself (not the planting) agrees exactly. */
+  val q61PiiRedact: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val planted = d.withColumn("t", concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1")))
+        .otherwise(lit(""))))
+    planted
+      .withColumn("n_emails", TextOps.patternCount(col("t"), TextOps.EmailPattern))
+      .withColumn("n_ips", TextOps.patternCount(col("t"), TextOps.Ipv4Pattern))
+      .withColumn("chars_removed", length(col("t")) - length(TextOps.redactPii(col("t"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).cast("long").as("n_emails"),
+        sum(col("n_ips")).cast("long").as("n_ips"),
+        sum(col("chars_removed")).cast("long").as("chars_removed"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q61_pii_redact" -> q61PiiRedact,
     "q54_chunk_dedup" -> q54ChunkDedup,
     "q55_weighted_sample" -> q55WeightedSample,
     "q56_unigram_lm" -> q56UnigramLm,
@@ -97,6 +125,27 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q61_pii_redact" ->
+      """WITH planted AS (SELECT source,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 10.' || (doc_id % 256) || '.0.1' ELSE '' END AS t
+         FROM documents),
+         r AS (SELECT source,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+           length(t) - length(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS chars_removed
+         FROM planted)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q54_chunk_dedup" ->
       s"""WITH $tokCte,
          ch0 AS (SELECT doc_id,

@@ -87,6 +87,21 @@ object TextOps {
   def linkAllowed(url: Column, blockedPrefixes: Seq[String]): Column =
     blockedPrefixes.map(p => !url.startsWith(p)).reduce(_ && _)
 
+  // ---- PII redaction (curation pass, beyond the reference) ----------------
+  /** RE2-safe patterns (no backreferences/lookarounds) so a DuckDB oracle
+    * reproduces the redaction exactly; Java regex reads them identically.
+    * The O7 scrub removes tickers/URLs; this is the privacy pass a corpus
+    * runs before training: emails and IPv4 literals → typed placeholders. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>")
+
+  /** Number of whole-pattern matches (redaction audit counts). */
+  def patternCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
   // ---- F1: source-query predicate -----------------------------------------
   /** The Newsfilter query shape (`newsfilter.py:73-75`): inside a rolling
     * day window AND not containing a negated phrase. */

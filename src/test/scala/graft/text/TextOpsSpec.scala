@@ -196,4 +196,20 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.charShingles(col("s"), 3).as("r")).as[Seq[String]].collect()(0)
     assert(got == Seq("abc", "bcd"))
   }
+
+  test("redactPii replaces emails and IPv4s, patternCount audits them") {
+    val in_ = "mail a.b+c@ex-ample.co.uk or 192.168.0.1 then x@y.io done"
+    assert(one(TextOps.redactPii(col("s")), in_) ==
+      "mail <EMAIL> or <IP> then <EMAIL> done")
+    val counts = Seq(in_).toDF("s").select(
+      TextOps.patternCount(col("s"), TextOps.EmailPattern).as("e"),
+      TextOps.patternCount(col("s"), TextOps.Ipv4Pattern).as("i"))
+      .as[(Int, Int)].collect()(0)
+    assert(counts == ((2, 1)))
+  }
+
+  test("redactPii leaves clean text untouched") {
+    val in_ = "no personal data here just words 1 2 3"
+    assert(one(TextOps.redactPii(col("s")), in_) == in_)
+  }
 }
