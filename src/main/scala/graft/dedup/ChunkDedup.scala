@@ -26,20 +26,25 @@ import graft.text.TextOps
   */
 object ChunkDedup {
 
-  /** Explode docs into (id, chunk_idx, chunk, chunk_hash). The last
-    * chunk may be shorter than `width`; empty docs produce no chunks. */
+  /** Explode docs into (…other cols…, id, chunk_idx, chunk, chunk_hash).
+    * The last chunk may be shorter than `width`; empty docs produce no
+    * chunks. Non-text columns pass through (so e.g. an event-time column
+    * survives for the streaming composition with
+    * `StreamingOps.dedupStream`). */
   def chunks(docs: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val nChunks = ceil(size(col("__toks")) / lit(width.toDouble)).cast("int")
     docs
-      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__toks", toks)
       // sequence(0, -1) would count DOWN — guard the empty-doc case.
-      .select(col(idCol), posexplode(when(size(col("__toks")) > 0,
+      .select(col("*"), posexplode(when(size(col("__toks")) > 0,
         transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(col("__toks"), i * width + 1, lit(width)), " ")))
         .otherwise(array().cast("array<string>"))))
-      .select(col(idCol), col("pos").as("chunk_idx"), col("col").as("chunk"),
-        xxhash64(col("col")).as("chunk_hash"))
+      .drop("__toks", textCol)
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chunk_hash", xxhash64(col("chunk")))
   }
 
   /** Mark each chunk kept/dropped under global keep-first. Returns
@@ -57,7 +62,8 @@ object ChunkDedup {
 
   /** Per-document survival report: (id, n_chunks, n_kept, n_dropped). */
   def survival(docs: DataFrame, idCol: String, textCol: String, width: Int): DataFrame =
-    keepFirst(chunks(docs, idCol, textCol, width), idCol)
+    keepFirst(chunks(docs.select(idCol, textCol), idCol, textCol, width)
+        .select(idCol, "chunk_idx", "chunk_hash"), idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))

@@ -40,4 +40,26 @@ class ChunkDedupSpec extends SparkSpec {
     val n = ChunkDedup.chunks(Seq((9L, "   ")).toDF("id", "text"), "id", "text", 3).count()
     assert(n == 0L)
   }
+
+  test("streaming twin: chunk explode + watermark dedup keeps first passage occurrence") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val chunked = ChunkDedup.chunks(
+        input.toDF().toDF("ts", "id", "text"), "id", "text", 3)
+    val deduped = graft.streaming.StreamingOps.dedupStream(chunked, "ts", "chunk_hash")
+    val q = deduped.writeStream.format("memory")
+      .queryName("chunk_dedup_out").outputMode("append").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "a b c d e f"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-03-01 10:05:00"), 2L, "a b c x y z"))
+      q.processAllAvailable()
+      val kept = spark.table("chunk_dedup_out")
+        .select("id", "chunk").as[(Long, String)].collect().toSet
+      // doc 2's repeated "a b c" passage is suppressed; its novel chunk passes
+      assert(kept == Set((1L, "a b c"), (1L, "d e f"), (2L, "x y z")))
+    } finally q.stop()
+  }
 }
