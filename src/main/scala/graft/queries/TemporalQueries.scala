@@ -17,24 +17,42 @@ object TemporalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** As-of: each order (for users that exist in the events stream)
-    * attaches the latest event of that user at or before the order
-    * date — "what did this user last do before ordering". Within-instant
-    * ties on the right side resolve to the max event_id. */
-  val q50AsofJoin: Q = (s, dir) => {
-    val orders = Tables(s, dir, "orders")
+  /** The orders table lives in 1995–2001 and the events stream in a
+    * 30-day 2024 window — a raw as-of would never match. Both engines
+    * project order dates deterministically into the events window
+    * (epoch arithmetic, no randomness) so the join has real temporal
+    * interleaving; the projection is part of the query, identical in the
+    * oracle. 1704067200 = 2024-01-01T00:00:00Z. */
+  private def projectedOrders(s: SparkSession, dir: String) =
+    Tables(s, dir, "orders")
       .filter(col("o_custkey") < 150)
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderdate").cast("timestamp").as("o_ts"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        timestamp_seconds(lit(1704067200L)
+          + pmod(datediff(col("o_orderdate"),
+              lit(java.sql.Date.valueOf("1995-01-01"))), lit(30)) * 86400L
+          + pmod(col("o_orderkey"), lit(86400L))).as("o_ts"))
+
+  private val projectedOrdersSql =
+    """po AS (SELECT o_orderkey, o_custkey, o_totalprice,
+         make_timestamp((1704067200
+           + (datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 30) * 86400
+           + o_orderkey % 86400) * 1000000) AS o_ts
+       FROM orders WHERE o_custkey < 150)"""
+
+  /** As-of: each order (projected into the events window) attaches the
+    * latest event of that user at or before the order instant — "what
+    * did this user last do before ordering". Within-instant ties on the
+    * right side resolve to the max event_id; orders before the user's
+    * first event report nulls. */
+  val q50AsofJoin: Q = (s, dir) => {
     val events = Tables(s, dir, "events")
       .select(col("user_id").as("o_custkey"), col("ts"),
         col("event_id"), col("event_type"))
-    AsOfJoin.backward(orders, events,
+    AsOfJoin.backward(projectedOrders(s, dir), events,
         key = "o_custkey", leftTime = "o_ts", rightTime = "ts",
         rightPayload = Seq("event_id", "event_type"),
         rightTieBreak = Some("event_id"))
       .select(col("o_orderkey"), col("o_custkey"),
-        col("o_ts").cast("date").as("o_orderdate"),
         col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"))
       .orderBy("o_orderkey")
@@ -66,26 +84,61 @@ object TemporalQueries {
       .orderBy("campaign")
   }
 
+  /** Last-touch attribution: every order joins (as-of) the user's latest
+    * event at or before the order date; revenue then rolls up by that
+    * event's type — the composition an event pipeline actually runs on
+    * top of an as-of join. Orders with no preceding event report as
+    * 'none'. Revenue sums go through decimal (partition-order
+    * independent). */
+  val q62Attribution: Q = (s, dir) => {
+    val events = Tables(s, dir, "events")
+      .select(col("user_id").as("o_custkey"), col("ts"),
+        col("event_id"), col("event_type"))
+    AsOfJoin.backward(projectedOrders(s, dir), events,
+        key = "o_custkey", leftTime = "o_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "event_type"),
+        rightTieBreak = Some("event_id"))
+      .groupBy(coalesce(col("event_type"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(25,10)")).cast("double"), 4)
+          .as("revenue"))
+      .orderBy("channel")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_asof_join" -> q50AsofJoin,
     "q51_range_join" -> q51RangeJoin,
+    "q62_attribution" -> q62Attribution,
   )
 
   val oracles: Map[String, String] = Map(
     // DuckDB native ASOF LEFT JOIN; the same within-instant tiebreak is
     // applied first so both engines resolve equal-ts events identically.
     "q50_asof_join" ->
-      """WITH ev AS (
+      s"""WITH $projectedOrdersSql,
+         ev AS (
            SELECT user_id, ts,
              arg_max(event_id, event_id) AS event_id,
              arg_max(event_type, event_id) AS event_type
            FROM events GROUP BY 1, 2)
-         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+         SELECT o.o_orderkey, o.o_custkey,
            e.event_id AS last_event_id, e.event_type AS last_event_type
-         FROM orders o ASOF LEFT JOIN ev e
-           ON o.o_custkey = e.user_id AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
-         WHERE o.o_custkey < 150
+         FROM po o ASOF LEFT JOIN ev e
+           ON o.o_custkey = e.user_id AND e.ts <= o.o_ts
          ORDER BY o.o_orderkey""",
+    "q62_attribution" ->
+      s"""WITH $projectedOrdersSql,
+         ev AS (
+           SELECT user_id, ts,
+             arg_max(event_id, event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type
+           FROM events GROUP BY 1, 2)
+         SELECT coalesce(e.event_type, 'none') AS channel,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue
+         FROM po o ASOF LEFT JOIN ev e
+           ON o.o_custkey = e.user_id AND e.ts <= o.o_ts
+         GROUP BY 1 ORDER BY 1""",
     "q51_range_join" ->
       """WITH c AS (
            SELECT event_type AS campaign,
