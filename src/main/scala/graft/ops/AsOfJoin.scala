@@ -75,6 +75,19 @@ object AsOfJoin {
         rightPayload.map(p => col("__last").getField(p).as(p)): _*)
   }
 
+  /** Forward as-of: the EARLIEST right row at-or-after the left time
+    * ("next event after the order"). Implemented by running the backward
+    * join on a negated time axis — same single-shuffle plan. */
+  def forward(left: DataFrame, right: DataFrame,
+              key: String, leftTime: String, rightTime: String,
+              rightPayload: Seq[String],
+              rightTieBreak: Option[String] = None): DataFrame =
+    backward(
+      left.withColumn("__negt_l", -col(leftTime).cast("double")),
+      right.withColumn("__negt_r", -col(rightTime).cast("double")),
+      key, "__negt_l", "__negt_r", rightPayload, rightTieBreak)
+      .drop("__negt_l")
+
   /** Skew-safe backward as-of join for HOT KEYS. The plain `backward`
     * sorts each key on one task; when one key carries a large fraction
     * of all rows (one hot ticker, one bot user) that task is the job.

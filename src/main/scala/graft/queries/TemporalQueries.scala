@@ -105,10 +105,54 @@ object TemporalQueries {
       .orderBy("channel")
   }
 
+  /** Retention cohorts over the events stream: users grouped by
+    * first-seen DAY, counted distinct per (cohort, day offset) — the
+    * standard engagement matrix. Two aggregations: per-user first
+    * sighting (a min), then a distinct count keyed by (cohort, offset);
+    * the first-sighting side is user-cardinality and broadcastable. */
+  val q63RetentionCohorts: Q = (s, dir) => {
+    val base = lit(1704067200L) // 2024-01-01T00:00:00Z, the stream epoch
+    val events = Tables(s, dir, "events")
+      .select(col("user_id"),
+        floor((col("ts").cast("double") - base) / 86400).cast("long").as("day"))
+    val firstSeen = events.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    events.join(broadcast(firstSeen), Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Ordered event funnel: view -> click -> purchase, each step strictly
+    * after the user's previous step (min-ts per stage, stage n joins
+    * stage n-1's timestamp — user-cardinality intermediates, broadcast
+    * joins all the way). The classic sequential-conversion report. */
+  val q64EventFunnel: Q = (s, dir) => {
+    val events = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = events.filter(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_asof_join" -> q50AsofJoin,
     "q51_range_join" -> q51RangeJoin,
     "q62_attribution" -> q62Attribution,
+    "q63_retention_cohorts" -> q63RetentionCohorts,
+    "q64_event_funnel" -> q64EventFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +183,30 @@ object TemporalQueries {
          FROM po o ASOF LEFT JOIN ev e
            ON o.o_custkey = e.user_id AND e.ts <= o.o_ts
          GROUP BY 1 ORDER BY 1""",
+    "q63_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+           CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) AS day
+         FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q64_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+         SELECT '1_view' AS stage, count(*) AS n_users FROM v
+         UNION ALL
+         SELECT '2_click' AS stage, count(*) AS n_users FROM c
+         UNION ALL
+         SELECT '3_purchase' AS stage, count(*) AS n_users FROM p
+         ORDER BY stage""",
     "q51_range_join" ->
       """WITH c AS (
            SELECT event_type AS campaign,

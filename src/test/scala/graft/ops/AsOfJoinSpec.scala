@@ -42,6 +42,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
   }
 
+  test("forward as-of attaches earliest right row at or after left time") {
+    val out = AsOfJoin.forward(left, right,
+        key = "uid", leftTime = "t", rightTime = "ts",
+        rightPayload = Seq("eid"), rightTieBreak = Some("eid"))
+      .orderBy("order_id").select("order_id", "eid").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // o1 (t=100): tie at ts=100 → eid 1; o2 (t=205): next is ts=300 → 3;
+    // o3 (t=50): nothing at/after 50 for u2 → null; o4 (u3): no rows → null
+    assert(out.toSeq == Seq(("o1", 1L), ("o2", 3L), ("o3", -1L), ("o4", -1L)))
+  }
+
   test("bucketed variant is equivalent to the plain window form") {
     // one hot key with many rows spanning several buckets, plus a key
     // whose matches must carry across empty buckets
