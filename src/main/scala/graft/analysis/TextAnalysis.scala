@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -65,5 +65,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), t => TextOps.md5Int32(t))
     aggregate(hashes, lit(0L), (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
+  }
+
+  /** Cross-document n-gram novelty: per doc, the fraction of its DISTINCT
+    * word n-grams not present in any lower-id document — the corpus-level
+    * repetition signal next to the within-doc one (`qualityScore` /
+    * repetition fractions): boilerplate already emitted upstream scores
+    * near 0 even when each copy is internally clean.
+    *
+    * Scale shape: grams shuffle as 60-bit md5 longs (never shingle
+    * strings); first-sighting is one min-aggregation on a well-distributed
+    * high-cardinality key, joined back postings-side, then one per-doc
+    * aggregation. Returns (idCol, n_grams, n_novel, novelty). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TextOps.wordShingles(col("__toks"), n)).as("__gram"))
+      .select(col(idCol), TextOps.md5Int60(col("__gram")).as("__g"))
+    val firstSeen = grams.groupBy("__g").agg(min(col(idCol)).as("__first"))
+    grams.join(firstSeen, Seq("__g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 4))
   }
 }

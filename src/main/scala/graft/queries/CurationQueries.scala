@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.analysis.UnigramLm
 import graft.dedup.{BloomDecontaminate, ChunkDedup}
-import graft.ops.Sampling
+import graft.ops.{Sampling, TopK}
 import graft.text.TextOps
 
 /** Corpus-curation operators beyond round 3's set: sub-document dedup,
@@ -110,7 +110,74 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Per-language dynamic quality gate: keep docs at or above their
+    * language's exact 10th-percentile length. The threshold side is a
+    * tiny per-language aggregate BROADCAST back onto the corpus — never a
+    * window partitioned by language, which would put each language's
+    * whole corpus on one task (the round-1 q06 scale-killer shape). At
+    * 100 TB swap the exact percentile for approx_percentile (q58); the
+    * join shape is unchanged. */
+  val q67QualityGate: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val th = d.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.1)").as("th"),
+      count(lit(1)).as("n_docs"))
+    d.join(broadcast(th), Seq("lang"))
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(max(col("th")), 4).as("p10_threshold"),
+        sum(when(col("n_chars") >= col("th"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("pct_kept", round(col("n_kept") * 100.0 / col("n_docs"), 4))
+      .orderBy("lang")
+  }
+
+  /** Temperature-weighted source mixture (T=2): per-source sample targets
+    * ∝ sqrt(per-source character mass), drawn deterministically by md5
+    * hash order — the source-rebalancing pass a multi-corpus training mix
+    * runs (up-weights small sources relative to proportional sampling).
+    * Weights decimal-sum (partition-order independent); the per-source
+    * draw is the salted two-phase TopK at k = the global budget, then cut
+    * to each source's target — no low-cardinality window over raw rows,
+    * no collect-driven k. */
+  val q68SourceMixture: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val budget = 60
+    val w = d.groupBy("source")
+      .agg(sum(col("n_chars")).cast("double").as("chars"))
+      .withColumn("w", sqrt(col("chars")).cast("decimal(28,12)"))
+    val tot = w.agg(sum(col("w")).as("wsum"))
+    val targets = w.crossJoin(broadcast(tot))
+      .withColumn("target",
+        floor(lit(budget) * col("w").cast("double") / col("wsum").cast("double")).cast("long"))
+      .select("source", "target")
+    val ranked = TopK.perGroup(
+      d.select(col("doc_id"), col("source"),
+        TextOps.md5Int60(concat(lit("mix:"), col("doc_id").cast("string"))).as("hk")),
+      groupCols = Seq("source"), order = Seq(col("hk").asc, col("doc_id").asc),
+      k = budget, saltOn = col("doc_id"), rankCol = "rank")
+    ranked.join(broadcast(targets), Seq("source"))
+      .filter(col("rank") <= col("target"))
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy("source", "rank")
+  }
+
+  /** Cross-document n-gram novelty: the fraction of each doc's distinct
+    * word-5-grams not seen in any earlier (lower-id) doc — the corpus-
+    * level repetition signal next to q45's within-doc one (a doc full of
+    * boilerplate already emitted upstream scores near 0). Grams shuffle
+    * as 60-bit md5 longs, never strings; first-sighting is one min-agg on
+    * a high-cardinality key, joined back postings-side. Both engines hash
+    * identically, so the oracle is exact. */
+  val q69NgramNovelty: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    graft.analysis.TextAnalysis.ngramNovelty(d, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q67_quality_gate" -> q67QualityGate,
+    "q68_source_mixture" -> q68SourceMixture,
+    "q69_ngram_novelty" -> q69NgramNovelty,
     "q61_pii_redact" -> q61PiiRedact,
     "q54_chunk_dedup" -> q54ChunkDedup,
     "q55_weighted_sample" -> q55WeightedSample,
@@ -125,6 +192,52 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q67_quality_gate" ->
+      """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.1) AS th,
+             count(*) AS n_docs
+           FROM documents GROUP BY 1),
+         k AS (SELECT d.lang, count(*) AS n_kept
+               FROM documents d JOIN th USING (lang)
+               WHERE d.n_chars >= th.th GROUP BY 1)
+         SELECT th.lang, th.n_docs, round(th.th, 4) AS p10_threshold,
+           CAST(k.n_kept AS BIGINT) AS n_kept,
+           round(CAST(k.n_kept * 100.0 AS DOUBLE) / th.n_docs, 4) AS pct_kept
+         FROM th JOIN k USING (lang) ORDER BY 1""",
+    "q68_source_mixture" ->
+      """WITH w AS (SELECT source,
+             CAST(sqrt(CAST(sum(n_chars) AS DOUBLE)) AS DECIMAL(28,12)) AS w
+           FROM documents GROUP BY 1),
+         t AS (SELECT source,
+             CAST(floor(60 * CAST(w AS DOUBLE)
+                        / CAST((SELECT sum(w) FROM w) AS DOUBLE)) AS BIGINT) AS target
+           FROM w),
+         h AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+           FROM documents),
+         r AS (SELECT doc_id, source, hk,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+           FROM h)
+         SELECT r.source, CAST(r.rank AS INT) AS rank, r.doc_id
+         FROM r JOIN t USING (source) WHERE r.rank <= t.target
+         ORDER BY 1, 2""",
+    "q69_ngram_novelty" ->
+      s"""WITH $tokCte,
+         g0 AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 5
+                    THEN list_distinct([array_to_string(toks[i:i+4], ' ')
+                                        for i in range(1, len(toks) - 3)])
+                    ELSE [array_to_string(toks, ' ')] END AS gs
+                FROM tok),
+         g AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS g
+               FROM g0),
+         fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty
+         FROM g JOIN fs USING (g)
+         GROUP BY 1 ORDER BY 1""",
     "q61_pii_redact" ->
       """WITH planted AS (SELECT source,
            text

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.search.{Bm25, InvertedIndex}
+import graft.search.{Bm25, InvertedIndex, PhraseSearch}
 
 /** Full-text search over `documents` — the query half of the reference's
   * Elasticsearch tier (SURVEY.md §1.1 "Search index",
@@ -40,9 +40,21 @@ object SearchQueries {
       .limit(30)
   }
 
+  /** Exact-phrase retrieval ("table hash"): positional postings filtered
+    * to the phrase's own terms BEFORE any shuffle, then one (doc, pos)
+    * adjacency equi-join per extra term — ES `match_phrase` semantics
+    * (see `search/Search.scala` PhraseSearch scaladoc for the 100 TB
+    * shape). Output: matching docs with occurrence counts. */
+  val q66PhraseSearch: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    PhraseSearch.phraseCount(d, "doc_id", "text", Seq("table", "hash"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q52_bm25" -> q52Bm25,
     "q53_postings" -> q53Postings,
+    "q66_phrase_search" -> q66PhraseSearch,
   )
 
   private val tokCte =
@@ -86,5 +98,18 @@ object SearchQueries {
                FROM tf GROUP BY 1)
          SELECT term, df, total_tf, postings FROM p
          ORDER BY df DESC, term LIMIT 30""",
+    // identical tokenizer ([a-z0-9]+ runs of the lower-cased text),
+    // 0-based positions zipped via parallel unnest, adjacency join
+    "q66_phrase_search" ->
+      """WITH tok AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         p AS (SELECT doc_id, unnest(t) AS term, unnest(range(0, len(t))) AS pos
+               FROM tok),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
+         b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'hash')
+         SELECT doc_id, count(*) AS n_hits
+         FROM a JOIN b USING (doc_id, pos)
+         GROUP BY 1 ORDER BY 1""",
   )
 }

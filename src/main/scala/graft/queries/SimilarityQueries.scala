@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TopK
-import graft.similarity.{Cosine, IvfFlat, ProductQuantizer, RandomHyperplaneLSH}
+import graft.similarity.{Cosine, IvfFlat, ProductQuantizer, RandomHyperplaneLSH, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
   * operators; reference analog N8/N9 `tencent_api.py:111-136`).
@@ -165,7 +165,25 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** SemDeDup semantic deduplication: q34's IVF cells confine the O(n²)
+    * pair comparison to single clusters (equi-join on cell — the shuffle
+    * partitions by cell, no corpus-wide cross join), then every vector
+    * with a lower-id within-cell neighbour at cosine ≥ 0.3 is dropped,
+    * keep-lowest-id. Oracle replicates the identical deterministic
+    * algorithm (assignment + pairs + keeper min) in DuckDB. */
+  val q65SemanticDedup: Q = (s, dir) => {
+    val (_, corpus) = parts(s, dir)
+    val centroids = corpus.filter(col("vec_id") < 26)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+    val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    SemanticDedup.dropReport(cells, corpus, "vec_id", "vec", tau = 0.3)
+      .select(col("vec_id"), col("cell"), col("keeper"), col("n_dups"),
+        round(col("max_sim"), 6).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q65_semantic_dedup" -> q65SemanticDedup,
     "q60_ann_pq" -> q60AnnPq,
     "q49_kmeans_step" -> q49KmeansStep,
     "q21_cosine_topk" -> q21CosineTopK,
@@ -182,6 +200,30 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    // same deterministic cell assignment as q34's oracle, then pairs
+    // within each cell only, keep-lowest-id
+    "q65_semantic_dedup" ->
+      s"""WITH $cosineParts,
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id < 26),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT c.vec_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 (list_inner_product(c.cvec, c.cvec)
+                  - 2 * list_inner_product(c.cvec, cen.cen_vec)
+                  + list_inner_product(cen.cen_vec, cen.cen_vec)) ASC, cen.cen_id ASC) AS rn
+             FROM C c, cen) t WHERE rn = 1),
+         pairs AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+             list_inner_product(cx.cvec, cy.cvec)
+               / (sqrt(list_inner_product(cx.cvec, cx.cvec))
+                  * sqrt(list_inner_product(cy.cvec, cy.cvec))) AS sim
+           FROM cells x
+           JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN C cx ON cx.vec_id = x.vec_id
+           JOIN C cy ON cy.vec_id = y.vec_id)
+         SELECT b AS vec_id, cell, min(a) AS keeper, count(*) AS n_dups,
+           round(max(sim), 6) AS max_sim
+         FROM pairs WHERE sim >= 0.3
+         GROUP BY 1, 2 ORDER BY 1""",
     "q60_ann_pq" ->
       s"""WITH $cosineParts,
          cbseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, cvec

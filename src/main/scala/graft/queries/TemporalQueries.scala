@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, RangeJoin, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -147,7 +147,31 @@ object TemporalQueries {
       .orderBy("stage")
   }
 
+  /** Z-order tile histogram over (user, day): each event lands in the
+    * Morton tile of its bucketized (user_id, day) pair — the 2-D locality
+    * key `ops/ZOrder.layout` physically sorts by so parquet min/max stats
+    * prune on EITHER dimension (the user-scoped AND the time-scoped scan
+    * both skip). The histogram is what the layout's file sizing reads;
+    * bucket extents come from a one-row aggregate broadcast, and all tile
+    * math is integer (bit-exact in any engine). */
+  val q70ZorderLayout: Q = (s, dir) => {
+    val base = lit(1704067200L)
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        floor((col("ts").cast("double") - base) / 86400).cast("long").as("day"))
+    val ext = e.agg(max("user_id").as("maxu"),
+      min("day").as("mind"), max("day").as("maxd"))
+    e.crossJoin(broadcast(ext))
+      .withColumn("ub", ZOrder.bucket(col("user_id"), lit(0L), col("maxu"), 4))
+      .withColumn("db", ZOrder.bucket(col("day"), col("mind"), col("maxd"), 4))
+      .withColumn("tile", ZOrder.morton(col("ub"), col("db"), 4))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("tile")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q70_zorder_layout" -> q70ZorderLayout,
     "q50_asof_join" -> q50AsofJoin,
     "q51_range_join" -> q51RangeJoin,
     "q62_attribution" -> q62Attribution,
@@ -156,6 +180,27 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer bucket + bit-interleave math; floor() is explicit
+    // because DuckDB's CAST rounds where Spark's truncates
+    "q70_zorder_layout" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) AS day
+           FROM events),
+         ext AS (SELECT max(user_id) AS maxu, min(day) AS mind,
+                   max(day) AS maxd FROM e),
+         b AS (SELECT event_id, user_id,
+             CAST(floor((user_id * 16.0) / (maxu + 1)) AS BIGINT) AS ub,
+             CAST(floor(((day - mind) * 16.0) / (maxd - mind + 1)) AS BIGINT) AS db
+           FROM e CROSS JOIN ext),
+         t AS (SELECT event_id, user_id,
+             (((ub >> 0) & 1) << 0) | (((db >> 0) & 1) << 1)
+             | (((ub >> 1) & 1) << 2) | (((db >> 1) & 1) << 3)
+             | (((ub >> 2) & 1) << 4) | (((db >> 2) & 1) << 5)
+             | (((ub >> 3) & 1) << 6) | (((db >> 3) & 1) << 7) AS tile
+           FROM b)
+         SELECT tile, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+         FROM t GROUP BY 1 ORDER BY 1""",
     // DuckDB native ASOF LEFT JOIN; the same within-instant tiebreak is
     // applied first so both engines resolve equal-ts events identically.
     "q50_asof_join" ->

@@ -79,6 +79,51 @@ object Bm25 {
   }
 }
 
+/** Positional phrase search — the ES `match_phrase` query half (the
+  * reference's search tier supports phrase queries over the indexed
+  * articles; `src/utils/elasticsearch_settings.md` text fields are
+  * position-indexed by default).
+  *
+  * Scale shape: the positional postings are filtered to the PHRASE'S OWN
+  * TERMS before anything shuffles — at 100 TB a 2-word phrase query
+  * shuffles two terms' postings, never the corpus token stream. Each
+  * adjacency step is then an equi-join on (doc, pos), i.e. a hash join on
+  * a high-cardinality composite key; n-term phrases fold n−1 such joins,
+  * and every intermediate is no larger than the rarest term's postings.
+  */
+object PhraseSearch {
+
+  /** Positional postings restricted to `terms`: (idCol, term, pos),
+    * 0-based token positions. Tokens are lower-cased `[a-z0-9]+` runs (the
+    * standard-analyzer shape, exactly reproducible in an oracle). */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol), posexplode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.distinct: _*))
+
+  /** Per-document occurrence counts of an exact token phrase (terms at
+    * strictly consecutive positions). Only matching docs appear. */
+  def phraseCount(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = positionalPostings(docs, idCol, textCol, phrase)
+    val base = postings.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
+      // term i must sit at (phrase start + i): shift its positions back by
+      // i and equi-join on the start position
+      acc.join(
+        postings.filter(col("term") === t)
+          .select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+}
+
 /** Inverted-index materialization: the ES index structure itself (term →
   * posting list), built as a table a downstream search tier reads.
   *

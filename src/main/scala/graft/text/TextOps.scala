@@ -44,6 +44,13 @@ object TextOps {
   def md5Int32Seeded(c: Column, seed: Column): Column =
     md5Int32(concat(c, lit("#"), seed.cast("string")))
 
+  /** 60-bit long from the md5 hex prefix (15 nibbles — fits a signed
+    * 64-bit on both engines; DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`).
+    * Use over md5Int32 when the keyed population is large enough for
+    * 32-bit birthday collisions to matter. */
+  def md5Int60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   // ---- O3: full-width → half-width CJK normalization ----------------------
   /** `strQ2B`: U+3000 → space; U+FF01..U+FF5E shifted down by 0xFEE0.
     * Codepoint mapping has no built-in equivalent; implemented as a native

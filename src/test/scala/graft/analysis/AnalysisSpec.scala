@@ -20,6 +20,23 @@ class AnalysisSpec extends SparkSpec {
     assert(got.sameElements(Array("en", "de", "es", "fr", "und")))
   }
 
+  test("ngramNovelty: copies score 0, fresh docs 1, partial overlap in between") {
+    val d = Seq(
+      (1L, "a b c d e f"),       // 6 tokens → grams "a b c d e", "b c d e f"
+      (2L, "a b c d e f"),       // exact copy of 1 → novelty 0
+      (3L, "p q r s t u v"),     // 7 fresh tokens → 3 novel grams
+      (4L, "a b c d e f g")      // shares both of doc 1's grams, adds 1
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.ngramNovelty(d, "doc_id", "text", n = 5)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, g, n, f) => id -> ((g, n, f)) }.toMap
+    assert(m(1L) == ((2L, 2L, 1.0)))
+    assert(m(2L) == ((2L, 0L, 0.0)))
+    assert(m(3L) == ((3L, 3L, 1.0)))
+    assert(m(4L) == ((3L, 1L, 0.3333)))
+  }
+
   test("LangId tie resolves in profile order (en first)") {
     // 'a' is en-profile; 'es' is es-profile — one hit each → en wins
     val got = Seq("a es").toDF("s").select(LangId.predict(toks).as("r")).as[String].collect()(0)

@@ -37,6 +37,32 @@ class SearchSpec extends SparkSpec {
     assert(scores(2L) > scores(1L))
   }
 
+  test("phraseCount finds adjacent tokens, case/punct-insensitively") {
+    val d = Seq(
+      (1L, "the Table. hash join"),        // "Table." then "hash" — 1 hit
+      (2L, "table x hash"),                // not adjacent — no row
+      (3L, "table hash table hash table"), // two occurrences
+      (4L, "hash table")                   // reversed — no row
+    ).toDF("id", "text")
+    val hits = PhraseSearch.phraseCount(d, "id", "text", Seq("table", "hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("phraseCount handles 3-term phrases and overlapping repeats") {
+    val d = Seq(
+      (1L, "x y z x y z"),   // two full occurrences
+      (2L, "x y x y z"),     // one (first x-y lacks the z)
+      (3L, "a a a a")        // self-overlap: "a a a" at pos 0 and 1
+    ).toDF("id", "text")
+    val xyz = PhraseSearch.phraseCount(d, "id", "text", Seq("x", "y", "z"))
+      .as[(Long, Long)].collect().toMap
+    assert(xyz == Map(1L -> 2L, 2L -> 1L))
+    val aaa = PhraseSearch.phraseCount(d, "id", "text", Seq("a", "a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(aaa == Map(3L -> 2L))
+  }
+
   test("postings are sorted doc ids, df and total_tf consistent") {
     val p = InvertedIndex.postings(docs, "id", "text", maxPostings = 10)
       .filter(col("term") === "spark")

@@ -61,6 +61,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 2, s"ANN recalled only $hits true top-1s")
   }
 
+  test("SemanticDedup drops within-cell near-dups keep-lowest-id; cross-cell near-dups survive") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),     // cell 0, keeper
+      (2L, Seq(0.999, 0.01)),  // near-dup of 1 in the same cell → dropped
+      (3L, Seq(0.0, 1.0)),     // cell 1, unique
+      (4L, Seq(0.72, 0.69)),   // cell 0 ┐ cos(4,5) ≈ 0.999 but the pair
+      (5L, Seq(0.69, 0.72)),   // cell 1 ┘ straddles cells → both survive
+    ).toDF("vec_id", "vec")
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cen_id", "cen_vec")
+    val cells = IvfFlat.assign(vecs, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    val dropped = SemanticDedup.dropReport(cells, vecs, "vec_id", "vec", tau = 0.99)
+      .select("vec_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(dropped == Map(2L -> 1L))
+    val surv = SemanticDedup.survivors(cells, vecs, "vec_id", "vec", tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(1L, 3L, 4L, 5L))
+  }
+
   test("IvfFlat: identical vector lands in its own centroid's cell; probes are nearest-first") {
     val mk = (id: Long, v: Seq[Double]) => (id, v)
     val corpus = Seq(
