@@ -174,7 +174,30 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** One BPE-training step: corpus-wide adjacent character-pair counts
+    * within tokens (the statistic each merge round of byte-pair-encoding
+    * tokenizer training maximizes), top-20 by frequency. Pure explode +
+    * one hash aggregation on a high-cardinality key; the top-k cut is the
+    * salted two-phase TopK. At 100 TB this is the per-round inner loop of
+    * training a tokenizer on the corpus itself. */
+  val q71BpeMergeStep: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val pairs = d
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2) // sequence(1, len-1) must ascend
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    TopK.perGroup(counts, groupCols = Nil,
+        order = Seq(col("cnt").desc, col("pair").asc), k = 20,
+        saltOn = TextOps.md5Int32(col("pair")))
+      .drop("rn")
+      .orderBy(col("cnt").desc, col("pair"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q71_bpe_merge_step" -> q71BpeMergeStep,
     "q67_quality_gate" -> q67QualityGate,
     "q68_source_mixture" -> q68SourceMixture,
     "q69_ngram_novelty" -> q69NgramNovelty,
@@ -192,6 +215,13 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q71_bpe_merge_step" ->
+      s"""WITH $tokCte,
+         t AS (SELECT unnest(toks) AS tok FROM tok),
+         p AS (SELECT unnest([tok[i:i+1] for i in range(1, len(tok))]) AS pair
+               FROM t WHERE len(tok) >= 2),
+         c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+         SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""",
     "q67_quality_gate" ->
       """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.1) AS th,
              count(*) AS n_docs

@@ -212,7 +212,25 @@ object RelationalQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Pivot: event_type × day-of-week count matrix via the native
+    * `pivot(col, values)` relational operator — values are DECLARED, so
+    * Spark skips the extra distinct-scan pass and plans one partial-
+    * aggregated shuffle on event_type alone (each output row carries its
+    * seven counters in the aggregation buffer; scale-equivalent to q09's
+    * hourly rollup). Spark's dayofweek is 1=Sunday..7=Saturday. */
+  val q72PivotMatrix: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .groupBy("event_type")
+      .pivot("dow", (1 to 7).map(i => i: Any))
+      .agg(count(lit(1)))
+      .select(col("event_type") +:
+        (1 to 7).map(i => coalesce(col(s"$i"), lit(0L)).as(s"dow$i")): _*)
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q72_pivot_matrix" -> q72PivotMatrix,
     "q01_pricing_summary" -> q01PricingSummary,
     "q38_sessionize" -> q38Sessionize,
     "q02_filtered_revenue" -> q02FilteredRevenue,
@@ -228,6 +246,17 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB dayofweek() is 0=Sunday..6 — shifted to Spark's 1..7
+    "q72_pivot_matrix" ->
+      """SELECT event_type,
+           count(*) FILTER (dayofweek(ts) = 0) AS dow1,
+           count(*) FILTER (dayofweek(ts) = 1) AS dow2,
+           count(*) FILTER (dayofweek(ts) = 2) AS dow3,
+           count(*) FILTER (dayofweek(ts) = 3) AS dow4,
+           count(*) FILTER (dayofweek(ts) = 4) AS dow5,
+           count(*) FILTER (dayofweek(ts) = 5) AS dow6,
+           count(*) FILTER (dayofweek(ts) = 6) AS dow7
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q38_sessionize" ->
       """WITH lagged AS (
            SELECT user_id, event_id, ts, value,
