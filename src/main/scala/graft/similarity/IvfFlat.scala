@@ -22,15 +22,22 @@ import org.apache.spark.sql.functions._
 object IvfFlat {
 
   /** Nearest-centroid assignment: (idCol, cell, dist), deterministic
-    * tie-break on centroid id. */
+    * tie-break on centroid id.
+    *
+    * argmin as `min(struct(dist, cen_id))` — a codegen'd hash aggregation
+    * whose map-side combine collapses the k candidate rows per vector
+    * BEFORE the shuffle, so the exchange carries n rows. (The
+    * row_number-window form needs the full n×k scored rows shuffled to
+    * sort each vector's candidates together — a k× exchange-volume tax on
+    * the corpus-side hot path.) Struct comparison is lexicographic, so
+    * ordering matches (dist ASC, cen_id ASC) exactly. */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cenIdCol: String, cenVecCol: String): DataFrame = {
     val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("__dist", Cosine.l2sq(col(vecCol), col(cenVecCol)))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("__dist").asc, col(cenIdCol).asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col(idCol), col(cenIdCol).as("cell"), col("__dist").as("dist"))
+    scored.groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col(cenIdCol).as("__cen"))).as("__m"))
+      .select(col(idCol), col("__m.__cen").as("cell"), col("__m.__dist").as("dist"))
   }
 
   /** The `nprobe` nearest cells per query: (idCol, cell, probe_rank). */
