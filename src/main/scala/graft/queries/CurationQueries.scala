@@ -252,15 +252,19 @@ object CurationQueries {
          ORDER BY 1, 2""",
     "q69_ngram_novelty" ->
       s"""WITH $tokCte,
+         h AS (SELECT doc_id,
+                 list_transform(toks, t ->
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+               FROM tok),
          g0 AS (SELECT doc_id,
-                  CASE WHEN len(toks) >= 5
-                    THEN list_distinct([array_to_string(toks[i:i+4], ' ')
-                                        for i in range(1, len(toks) - 3)])
-                    ELSE [array_to_string(toks, ' ')] END AS gs
-                FROM tok),
-         g AS (SELECT doc_id,
-                 CAST(('0x' || substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS g
-               FROM g0),
+                  CASE WHEN len(hs) >= 5
+                    THEN list_distinct([hs[i]*923521 + hs[i+1]*29791
+                           + hs[i+2]*961 + hs[i+3]*31 + hs[i+4]
+                           for i in range(1, len(hs) - 3)])
+                    WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+                    ELSE [list_reduce(hs, (a, b) -> a*31 + b)] END AS gs
+                FROM h),
+         g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
          fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
          SELECT g.doc_id, count(*) AS n_grams,
            CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
