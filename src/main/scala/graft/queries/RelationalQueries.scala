@@ -229,7 +229,38 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Sliding windows (2h width, 1h slide): each event contributes to two
+    * overlapping windows — the trend-smoothing counterpart of q09's
+    * tumbling hour (W1) with the same partial-agg-then-one-shuffle shape
+    * (the explode to window instances happens map-side; the composite
+    * (window, type) key is well distributed). Streaming twin:
+    * `StreamingOps.slidingCounts`. */
+  val q73SlidingWindow: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** CUBE over (event_type, day-of-week): all four grouping sets in one
+    * pass — the full-lattice sibling of q08's ROLLUP (A2's grouping-set
+    * shape). Value sums go through decimal so every grouping set is
+    * partition-order independent. */
+  val q74Cube: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        col("value"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(25,10)")).cast("double"), 4)
+          .as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q73_sliding_window" -> q73SlidingWindow,
+    "q74_cube" -> q74Cube,
     "q72_pivot_matrix" -> q72PivotMatrix,
     "q01_pricing_summary" -> q01PricingSummary,
     "q38_sessionize" -> q38Sessionize,
@@ -246,6 +277,22 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // each event lands in the window starting at its hour and the one
+    // starting an hour earlier (width 2h, slide 1h)
+    "q73_sliding_window" ->
+      """WITH x AS (SELECT event_type,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+           FROM events)
+         SELECT w_start, event_type, count(*) AS n_events
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q74_cube" ->
+      """SELECT event_type, dayofweek(ts) + 1 AS dow,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_value
+         FROM events
+         GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // DuckDB dayofweek() is 0=Sunday..6 — shifted to Spark's 1..7
     "q72_pivot_matrix" ->
       """SELECT event_type,

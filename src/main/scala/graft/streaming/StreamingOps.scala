@@ -36,6 +36,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col(keyCol), col("n_events"))
 
+  /** Sliding-window counts (width/slide, e.g. 2h every 1h): each event
+    * lands in width/slide overlapping windows — the trend-smoothing
+    * variant of `hourlyCounts` (same shape batch-side in q73). State per
+    * open window is one aggregation buffer; the watermark closes
+    * windows, so state is (width/slide) × keys regardless of input
+    * volume. */
+  def slidingCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    width: String = "2 hours", slide: String = "1 hour",
+                    lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n_events"))
+
   /** Gap-based sessionization — the streaming twin of q38's batch
     * lag/cumsum form, expressed with `session_window` so Spark manages
     * session state + merge and the watermark bounds it. */

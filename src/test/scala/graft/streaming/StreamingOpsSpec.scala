@@ -53,6 +53,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts: each event lands in width/slide overlapping windows (q73's streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.slidingCounts(
+      input.toDF().toDF("ts", "etype"), "ts", "etype",
+      width = "2 hours", slide = "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("sliding_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-03-01 10:10:00"), "click"),  // windows 09:00 and 10:00
+        (ts("2024-03-01 10:40:00"), "click"),  // windows 09:00 and 10:00
+        (ts("2024-03-01 11:10:00"), "click"))  // windows 10:00 and 11:00
+      q.processAllAvailable()
+      input.addData((ts("2024-03-01 16:00:00"), "late")) // close all windows
+      q.processAllAvailable()
+      val rows = spark.table("sliding_out")
+        .select("w_start", "etype", "n_events")
+        .as[(Timestamp, String, Long)].collect()
+        .filter(_._2 == "click").map(r => r._1 -> r._3).toMap
+      assert(rows == Map(
+        ts("2024-03-01 09:00:00") -> 2L,
+        ts("2024-03-01 10:00:00") -> 3L,
+        ts("2024-03-01 11:00:00") -> 1L))
+    } finally q.stop()
+  }
+
   test("sessionCounts: gap merge + session split (q38's streaming twin)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
