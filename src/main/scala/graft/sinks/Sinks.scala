@@ -88,6 +88,39 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction (K5's maintenance sibling): rewrite a parquet
+    * table into ~`targetFileBytes` files. A streaming/micro-batch sink
+    * leaves thousands of tiny files per day; at 100 TB the scan's task
+    * count (and the NameNode/object-store listing) is governed by file
+    * count, so periodic compaction is a standing maintenance pass. File
+    * count derives from the table's ACTUAL on-disk bytes (FileSystem
+    * content summary, works on HDFS/S3), clamped to ≥ 1; a `sortCol`
+    * re-sorts while rewriting (range exchange) so compaction can also
+    * restore clustering (e.g. `ops/ZOrder.morton` codes) — otherwise it
+    * is a plain `repartition` round-robin, one total shuffle either way.
+    * Writes to a sibling temp dir then swaps, so a failed compaction
+    * never destroys the table. Returns the output file count. */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long,
+              sortCol: Option[String] = None): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val laid = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case None    => df.repartition(nFiles)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(hPath, old)
+    fs.rename(tmp, hPath)
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** K4 (fixed semantics): flip `just_insert` to false ONLY for ids in
     * `acked`; failed docs stay staged for retry. Returns the updated
     * staging table (caller persists it transactionally — Delta UPDATE in

@@ -55,6 +55,34 @@ class SinksSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("compact rewrites many small files into the byte-targeted count, preserving rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 64 tiny files
+    (1 to 6400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(64).write.parquet(dir)
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles() = fs.listStatus(fsPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 64)
+    val bytes = fs.getContentSummary(fsPath).getLength
+    val n = Sinks.compact(spark, dir, targetFileBytes = bytes / 4 + 1)
+    assert(n == 4 && parquetFiles() == 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 6400)
+    assert(back.agg(sum("id")).as[Long].collect()(0) == 6400L * 6401 / 2)
+    // sorted variant restores clustering: per-file id ranges are disjoint
+    Sinks.compact(spark, dir, targetFileBytes = bytes / 4 + 1, sortCol = Some("id"))
+    val ranges = spark.read.parquet(dir)
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("bucketedWrite: same-key bucketed tables join with NO shuffle exchange") {
     val facts = (1 to 200).map(i => (i.toLong % 40, s"f$i")).toDF("k", "f")
     val dims = (0 to 39).map(i => (i.toLong, s"d$i")).toDF("k", "d")
