@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Custom-state streaming dedup via flatMapGroupsWithState — the exact
   * semantic twin of the reference's Redis gate
@@ -61,4 +62,41 @@ object StatefulDedup {
           transition(rows, state, ttlMs)
       }
   }
+
+  /** Spark-4-native twin via `transformWithState`: a `ValueState` with a
+    * `TTLConfig` IS the Redis SETEX — the store expires the entry a TTL
+    * after it was WRITTEN, and duplicates never rewrite it, so
+    * from-first-sighting semantics need no timer bookkeeping at all (the
+    * whole re-arm subtlety `transition` documents disappears). Requires
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  class TtlDedupProcessor[V](ttl: java.time.Duration)
+      extends StatefulProcessor[String, Keyed[V], Keyed[V]] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+        TTLConfig(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[Keyed[V]],
+                                 timerValues: TimerValues): Iterator[Keyed[V]] =
+      if (seen.exists()) Iterator.empty // duplicate within TTL: keep-first
+      else {
+        seen.update(true) // the SETEX — TTL runs from this write
+        rows.take(1)
+      }
+  }
+
+  /** `dedupWithTtl` on the `transformWithState` API (state-store-native
+    * TTL, RocksDB provider required).
+    *
+    * Operational note: in processing-time mode the engine schedules
+    * ongoing maintenance batches, so `processAllAvailable`/AvailableNow
+    * termination is not prompt — production queries run on a continuous
+    * trigger anyway; tests should poll progress and stop explicitly. */
+  def dedupWithNativeTtl[V](ds: Dataset[Keyed[V]], ttl: java.time.Duration)(
+      implicit ev: org.apache.spark.sql.Encoder[Keyed[V]]): Dataset[Keyed[V]] =
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new TtlDedupProcessor[V](ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
 }

@@ -39,6 +39,64 @@ class StatefulDedupSpec extends SparkSpec {
     assert(vals == Map("a" -> "first-a", "b" -> "first-b", "c" -> "first-c"))
   }
 
+  test("transformWithState dedup: native state TTL keeps-first, expires, re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
+      val outDir = Files.createTempDirectory("graft-tws-out").toString
+      val input = MemoryStream[Keyed[String]]
+      val ttlSecs = 30L
+      val out = StatefulDedup.dedupWithNativeTtl(
+        input.toDS(), java.time.Duration.ofSeconds(ttlSecs))
+      // In processing-time mode the engine keeps scheduling maintenance
+      // batches, so neither processAllAvailable nor an AvailableNow run
+      // terminates promptly — start a query per step, poll its progress
+      // until the data batch is processed, then stop. Restarting from one
+      // checkpoint also proves TWS state survives a query restart.
+      def runOnce(): Unit = {
+        val q = out.writeStream.format("parquet")
+          .option("path", outDir).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        val deadline = System.currentTimeMillis() + 120000
+        while (!q.recentProgress.exists(_.numInputRows > 0) &&
+               q.exception.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        q.stop()
+      }
+      val t0 = System.currentTimeMillis()
+      input.addData(Keyed("a", "first-a"), Keyed("a", "dup-same-batch"),
+        Keyed("b", "first-b"))
+      runOnce()
+      input.addData(Keyed("a", "dup-across-restart"))
+      runOnce()
+      // the dup batch must have run inside the TTL for the test to mean
+      // anything (poll-driven runs take seconds; the TTL is 30s)
+      assert(System.currentTimeMillis() - t0 < ttlSecs * 1000,
+        "runs too slow to assert within-TTL suppression")
+      val beforeExpiry = spark.read.parquet(outDir).as[Keyed[String]]
+        .collect().map(_.value).toSet
+      assert(beforeExpiry == Set("first-a", "first-b"))
+      // let the state TTL lapse, then the key is admitted again
+      val sinceFirst = System.currentTimeMillis() - t0
+      Thread.sleep(math.max(0, ttlSecs * 1000 + 2000 - sinceFirst))
+      input.addData(Keyed("a", "second-life"))
+      runOnce()
+      val vals = spark.read.parquet(outDir).as[Keyed[String]]
+        .collect().map(_.value).toSet
+      assert(vals == Set("first-a", "first-b", "second-life"))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // Deterministic transition tests via TestGroupState — no wall clock, no
   // streaming query; this is what guards the round-2 advice regression
   // (timeout lost on the duplicate branch → key deduped forever).
