@@ -196,7 +196,29 @@ object CurationQueries {
       .orderBy(col("cnt").desc, col("pair"))
   }
 
+  /** Table-statistics collection — the ANALYZE TABLE pass a cost-based
+    * optimizer (and any data-quality monitor) runs: per-column null
+    * count, exact distinct count, and min/max over the stringified
+    * values, in ONE scan via an unpivot-explode (5 struct literals per
+    * row, no re-reads). At 100 TB the countDistinct swaps for
+    * approx_count_distinct (q58's HLL) with the same plan shape. */
+  val q75TableStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    d.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("col_name")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q75_table_stats" -> q75TableStats,
     "q71_bpe_merge_step" -> q71BpeMergeStep,
     "q67_quality_gate" -> q67QualityGate,
     "q68_source_mixture" -> q68SourceMixture,
@@ -215,6 +237,18 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q75_table_stats" ->
+      """WITH u AS (
+           SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+           UNION ALL SELECT 'text', text FROM documents
+           UNION ALL SELECT 'lang', lang FROM documents
+           UNION ALL SELECT 'source', source FROM documents
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+         SELECT col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT v) AS n_distinct,
+           min(v) AS min_v, max(v) AS max_v
+         FROM u GROUP BY 1 ORDER BY 1""",
     "q71_bpe_merge_step" ->
       s"""WITH $tokCte,
          t AS (SELECT unnest(toks) AS tok FROM tok),

@@ -170,7 +170,32 @@ object TemporalQueries {
       .orderBy("tile")
   }
 
+  /** Time-decayed trending mass per event type: each event weighs
+    * 1/(1 + age_days/7), "now" anchored to the stream's max timestamp so
+    * the result is deterministic. Hyperbolic decay instead of exp() on
+    * purpose: every step is an IEEE-exact arithmetic op, so two engines
+    * compute bit-identical weights (libm exp() differs in the last ulp
+    * across platforms); production can swap exp in, the plan shape — a
+    * one-row broadcast anchor + one partial-aggregated shuffle on the
+    * type key — is unchanged. Weights round to 8dp then decimal-sum:
+    * partition-order independent. */
+  val q76Trending: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val anchor = e.agg(max(col("ts")).as("now"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("age_days",
+        (col("now").cast("double") - col("ts").cast("double")) / 86400.0)
+      .withColumn("w",
+        round(lit(1.0) / (lit(1.0) + col("age_days") / lit(7.0)), 8)
+          .cast("decimal(20,8)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w")).cast("double"), 4).as("decayed_mass"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q76_trending" -> q76Trending,
     "q70_zorder_layout" -> q70ZorderLayout,
     "q50_asof_join" -> q50AsofJoin,
     "q51_range_join" -> q51RangeJoin,
@@ -180,6 +205,15 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical IEEE arithmetic chain (no libm): epoch seconds → age →
+    // hyperbolic weight → 8dp round → decimal sum
+    "q76_trending" ->
+      """WITH m AS (SELECT max(ts) AS now FROM events)
+         SELECT event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(round(
+             1.0 / (1.0 + ((epoch(now) - epoch(ts)) / 86400.0) / 7.0), 8)
+             AS DECIMAL(20,8))) AS DOUBLE), 4) AS decayed_mass
+         FROM events CROSS JOIN m GROUP BY 1 ORDER BY 1""",
     // identical integer bucket + bit-interleave math; floor() is explicit
     // because DuckDB's CAST rounds where Spark's truncates
     "q70_zorder_layout" ->
