@@ -21,8 +21,12 @@ import graft.expressions._
   * analysis-time error rather than a runtime one.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Opt-in optimizer rule (inert unless spark.graft.approxDistinct
+    // .enabled=true): exact distinct counts → HLL++ sketches.
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+  }
 }
 
 object GraftExtensions {

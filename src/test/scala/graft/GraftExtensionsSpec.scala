@@ -37,4 +37,32 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("literal integer"))
   }
+
+  test("ApproxDistinctRewrite: flag flips exact distinct counts to HLL++, schema unchanged") {
+    import graft.plans.ApproxDistinctRewrite
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ ApproxDistinctRewrite
+    try {
+      val df = (1 to 1000).map(i => (i % 137, s"u${i % 211}")).toDF("g", "u")
+      def q() = df.groupBy("g").agg(
+        countDistinct(col("u")).as("nd"), count(lit(1)).as("n"))
+
+      // flag off: rule is inert, result exact
+      spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+      val exact = q().agg(max("nd")).as[Long].collect()(0)
+      assert(exact == 8) // 1000 rows, 137 groups, 211 users: ≤ 8 per group
+      assert(!q().queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+
+      // flag on: optimized plan carries the sketch, name/type/values hold
+      spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+      val approx = q()
+      assert(approx.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      assert(approx.schema("nd").dataType.typeName == "long")
+      // tiny cardinalities: HLL++ is exact well below its sparse threshold
+      assert(approx.agg(max("nd")).as[Long].collect()(0) == exact)
+    } finally {
+      spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
 }
