@@ -88,6 +88,37 @@ object AsOfJoin {
       key, "__negt_l", "__negt_r", rightPayload, rightTieBreak)
       .drop("__negt_l")
 
+  /** Nearest-in-time as-of: the right row with MINIMAL |right.time −
+    * left.time| in either direction (ties prefer the past row —
+    * "state-at" beats "state-after" when equidistant). Composed from one
+    * backward and one forward pass — two single-shuffle as-ofs plus a
+    * join on `leftId` (which must be unique per left row); no pair
+    * blow-up anywhere. Returns the left columns + the chosen payload +
+    * `direction` ('past'/'future', null when the key has no right rows
+    * at all). The right time column is always part of the payload (the
+    * chooser needs it); callers get it back as `rightTime`. */
+  def nearest(left: DataFrame, right: DataFrame,
+              key: String, leftId: String, leftTime: String, rightTime: String,
+              rightPayload: Seq[String],
+              rightTieBreak: Option[String] = None): DataFrame = {
+    val pw = (rightTime +: rightPayload).distinct
+    val b = backward(left, right, key, leftTime, rightTime, pw, rightTieBreak)
+      .select(col(leftId) +: pw.map(p => col(p).as(s"__b_$p")): _*)
+    val f = forward(left, right, key, leftTime, rightTime, pw, rightTieBreak)
+      .select(col(leftId) +: pw.map(p => col(p).as(s"__f_$p")): _*)
+    val bT = col(s"__b_$rightTime").cast("double")
+    val fT = col(s"__f_$rightTime").cast("double")
+    val lT = col(leftTime).cast("double")
+    val pickPast = bT.isNotNull && (fT.isNull || (lT - bT) <= (fT - lT))
+    val direction = when(pickPast, lit("past"))
+      .when(fT.isNotNull, lit("future"))
+    left.join(b, Seq(leftId)).join(f, Seq(leftId))
+      .select(left.columns.map(col) ++
+        pw.map(p => when(pickPast, col(s"__b_$p"))
+          .otherwise(col(s"__f_$p")).as(p)) :+
+        direction.as("direction"): _*)
+  }
+
   /** Skew-safe backward as-of join for HOT KEYS. The plain `backward`
     * sorts each key on one task; when one key carries a large fraction
     * of all rows (one hot ticker, one bot user) that task is the job.

@@ -194,7 +194,29 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** Nearest-event attribution: each projected order attaches the user's
+    * event CLOSEST in time in either direction (ties prefer the past) —
+    * `ops/AsOfJoin.nearest`, two single-shuffle as-of passes + an id
+    * join. Oracle: two native DuckDB ASOF joins (<= and >=) and the same
+    * chooser. */
+  val q77NearestEvent: Q = (s, dir) => {
+    val events = Tables(s, dir, "events")
+      .select(col("user_id").as("o_custkey"), col("ts"),
+        col("event_id"), col("event_type"))
+    AsOfJoin.nearest(projectedOrders(s, dir), events,
+        key = "o_custkey", leftId = "o_orderkey",
+        leftTime = "o_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "event_type"),
+        rightTieBreak = Some("event_id"))
+      .select(col("o_orderkey"),
+        col("event_id").as("nearest_event_id"),
+        col("event_type").as("nearest_event_type"),
+        col("direction"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q77_nearest_event" -> q77NearestEvent,
     "q76_trending" -> q76Trending,
     "q70_zorder_layout" -> q70ZorderLayout,
     "q50_asof_join" -> q50AsofJoin,
@@ -205,6 +227,34 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // two native ASOF joins (<= and >=) + the same tie-prefers-past
+    // chooser on epoch doubles
+    "q77_nearest_event" ->
+      s"""WITH $projectedOrdersSql,
+         ev AS (
+           SELECT user_id, ts,
+             arg_max(event_id, event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT o.o_orderkey, o.o_ts, e.ts AS b_ts,
+                 e.event_id AS b_id, e.event_type AS b_ty
+               FROM po o ASOF LEFT JOIN ev e
+                 ON o.o_custkey = e.user_id AND e.ts <= o.o_ts),
+         f AS (SELECT o.o_orderkey, e.ts AS f_ts,
+                 e.event_id AS f_id, e.event_type AS f_ty
+               FROM po o ASOF LEFT JOIN ev e
+                 ON o.o_custkey = e.user_id AND e.ts >= o.o_ts),
+         j AS (SELECT b.*, f.f_ts, f.f_id, f.f_ty,
+                 (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                   (epoch(o_ts) - epoch(b_ts)) <= (epoch(f_ts) - epoch(o_ts))))
+                   AS pick_past
+               FROM b JOIN f USING (o_orderkey))
+         SELECT o_orderkey,
+           CASE WHEN pick_past THEN b_id ELSE f_id END AS nearest_event_id,
+           CASE WHEN pick_past THEN b_ty ELSE f_ty END AS nearest_event_type,
+           CASE WHEN pick_past THEN 'past'
+                WHEN f_ts IS NOT NULL THEN 'future' END AS direction
+         FROM j ORDER BY o_orderkey""",
     // identical IEEE arithmetic chain (no libm): epoch seconds → age →
     // hyperbolic weight → 8dp round → decimal sum
     "q76_trending" ->

@@ -31,6 +31,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(("o1", 1L), ("o2", 2L), ("o3", 5L), ("o4", -1L)))
   }
 
+  test("nearest as-of: closer side wins, exact ties prefer past, keyless rows get null direction") {
+    val l = Seq(
+      ("o1", "u1", 100L), // b at 90 (d=10), f at 105 (d=5) → future
+      ("o2", "u1", 95L),  // b at 90 (d=5), f at 105 (d=10) → past
+      ("o3", "u1", 110L), // b at 105 (d=5), f at 115 (d=5) → tie → past
+      ("o4", "u9", 10L)   // no right rows for u9 → nulls
+    ).toDF("order_id", "uid", "t")
+    val r = Seq(
+      ("u1", 90L, 1L), ("u1", 105L, 2L), ("u1", 115L, 3L)
+    ).toDF("uid", "ts", "eid")
+    val out = AsOfJoin.nearest(l, r, key = "uid", leftId = "order_id",
+        leftTime = "t", rightTime = "ts", rightPayload = Seq("eid"),
+        rightTieBreak = Some("eid"))
+      .orderBy("order_id")
+      .collect()
+      .map(row => (row.getAs[String]("order_id"),
+        Option(row.getAs[Any]("eid")), Option(row.getAs[String]("direction"))))
+    assert(out.toSeq == Seq(
+      ("o1", Some(2L), Some("future")),
+      ("o2", Some(1L), Some("past")),
+      ("o3", Some(2L), Some("past")),
+      ("o4", None, None)))
+  }
+
   test("as-of result has one row per left row (no pair blow-up)") {
     val out = AsOfJoin.backward(left, right, "uid", "t", "ts", Seq("eid"))
     assert(out.count() == 4)
