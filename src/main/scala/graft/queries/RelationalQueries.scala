@@ -258,7 +258,32 @@ object RelationalQueries {
       .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
   }
 
+  /** Per-nation revenue through `ops/SaltedJoin` (32 salts on the
+    * lineitem→supplier key): the skew-safe equi-join shape for when a
+    * dimension is replicable but a hot key would pin one task — the
+    * oracle is the PLAIN join, so ground truth proves salting changes
+    * nothing but the distribution. Revenue decimal-sums (partition-order
+    * independent). */
+  val q78SaltedJoin: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name"))
+    graft.ops.SaltedJoin.join(li, sup, key = "l_suppkey", numSalts = 32,
+        saltOn = hash(col("l_orderkey")))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev").cast("decimal(25,10)")).cast("double"), 4)
+          .as("revenue"))
+      .orderBy("n_name")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q78_salted_join" -> q78SaltedJoin,
     "q73_sliding_window" -> q73SlidingWindow,
     "q74_cube" -> q74Cube,
     "q72_pivot_matrix" -> q72PivotMatrix,
@@ -277,6 +302,15 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the PLAIN join — salting must be result-invariant
+    "q78_salted_join" ->
+      """SELECT n.n_name, count(*) AS n_items,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
     // each event lands in the window starting at its hour and the one
     // starting an hour earlier (width 2h, slide 1h)
     "q73_sliding_window" ->

@@ -215,7 +215,45 @@ object TemporalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q50's semantics on the skew-safe bucketed as-of (`backwardBucketed`,
+    * 1-day time buckets): the heavy window partitions by (key, bucket)
+    * so a hot user cannot pin one task, and the per-key pass touches
+    * bucket summaries only. Same oracle as q50 — ground truth proves the
+    * variant, not just the equivalence test. */
+  val q79AsofBucketed: Q = (s, dir) => {
+    val events = Tables(s, dir, "events")
+      .select(col("user_id").as("o_custkey"), col("ts"),
+        col("event_id"), col("event_type"))
+    AsOfJoin.backwardBucketed(projectedOrders(s, dir), events,
+        key = "o_custkey", leftTime = "o_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "event_type"),
+        bucketWidth = 86400L, rightTieBreak = Some("event_id"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Forward as-of: the user's EARLIEST event at-or-after each order —
+    * "what did they do next". Backward plan on a negated time axis (one
+    * shuffle); DuckDB's native ASOF with >= is the oracle. */
+  val q80AsofForward: Q = (s, dir) => {
+    val events = Tables(s, dir, "events")
+      .select(col("user_id").as("o_custkey"), col("ts"),
+        col("event_id"), col("event_type"))
+    AsOfJoin.forward(projectedOrders(s, dir), events,
+        key = "o_custkey", leftTime = "o_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "event_type"),
+        rightTieBreak = Some("event_id"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("event_id").as("next_event_id"),
+        col("event_type").as("next_event_type"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q79_asof_bucketed" -> q79AsofBucketed,
+    "q80_asof_forward" -> q80AsofForward,
     "q77_nearest_event" -> q77NearestEvent,
     "q76_trending" -> q76Trending,
     "q70_zorder_layout" -> q70ZorderLayout,
@@ -226,7 +264,34 @@ object TemporalQueries {
     "q64_event_funnel" -> q64EventFunnel,
   )
 
+  private val asofBackwardSql =
+    s"""WITH $projectedOrdersSql,
+       ev AS (
+         SELECT user_id, ts,
+           arg_max(event_id, event_id) AS event_id,
+           arg_max(event_type, event_id) AS event_type
+         FROM events GROUP BY 1, 2)
+       SELECT o.o_orderkey, o.o_custkey,
+         e.event_id AS last_event_id, e.event_type AS last_event_type
+       FROM po o ASOF LEFT JOIN ev e
+         ON o.o_custkey = e.user_id AND e.ts <= o.o_ts
+       ORDER BY o.o_orderkey"""
+
   val oracles: Map[String, String] = Map(
+    // identical ground truth to q50 — proves the bucketed variant
+    "q79_asof_bucketed" -> asofBackwardSql,
+    "q80_asof_forward" ->
+      s"""WITH $projectedOrdersSql,
+         ev AS (
+           SELECT user_id, ts,
+             arg_max(event_id, event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type
+           FROM events GROUP BY 1, 2)
+         SELECT o.o_orderkey, o.o_custkey,
+           e.event_id AS next_event_id, e.event_type AS next_event_type
+         FROM po o ASOF LEFT JOIN ev e
+           ON o.o_custkey = e.user_id AND e.ts >= o.o_ts
+         ORDER BY o.o_orderkey""",
     // two native ASOF joins (<= and >=) + the same tie-prefers-past
     // chooser on epoch doubles
     "q77_nearest_event" ->
@@ -287,18 +352,7 @@ object TemporalQueries {
          FROM t GROUP BY 1 ORDER BY 1""",
     // DuckDB native ASOF LEFT JOIN; the same within-instant tiebreak is
     // applied first so both engines resolve equal-ts events identically.
-    "q50_asof_join" ->
-      s"""WITH $projectedOrdersSql,
-         ev AS (
-           SELECT user_id, ts,
-             arg_max(event_id, event_id) AS event_id,
-             arg_max(event_type, event_id) AS event_type
-           FROM events GROUP BY 1, 2)
-         SELECT o.o_orderkey, o.o_custkey,
-           e.event_id AS last_event_id, e.event_type AS last_event_type
-         FROM po o ASOF LEFT JOIN ev e
-           ON o.o_custkey = e.user_id AND e.ts <= o.o_ts
-         ORDER BY o.o_orderkey""",
+    "q50_asof_join" -> asofBackwardSql,
     "q62_attribution" ->
       s"""WITH $projectedOrdersSql,
          ev AS (
