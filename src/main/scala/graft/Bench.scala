@@ -26,11 +26,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup (sf0.001, untimed): JVM/codegen + one query per table family
-    // (TPC-H star, documents, embeddings) so the first timed query of each
-    // family doesn't absorb parquet-reader/codegen init
+    // (TPC-H star, documents, embeddings, events) so the first timed query
+    // of each family doesn't absorb parquet-reader/codegen init
     SparkEntry.entry(spark).collect()
     SparkEntry.queries("q12_token_stats")(spark, "/root/testdata/sf0.001").collect()
     SparkEntry.queries("q21_cosine_topk")(spark, "/root/testdata/sf0.001").collect()
+    SparkEntry.queries("q09_events_hourly")(spark, "/root/testdata/sf0.001").collect()
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
