@@ -81,7 +81,33 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Multimodal frame sampling: each payload is treated as a clip whose
+    * duration derives from its byte length; one frame is sampled per
+    * second (explode over a sequence — scan-side, zero shuffle until the
+    * final rollup) and per-frame features derive from (content digest,
+    * frame index). This is the sampling half of a video pipeline with
+    * the codec swapped for deterministic byte math (real decoders:
+    * `multimodal/Multimodal.scala`, same batch shape). */
+  val q81FrameSample: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val frames = d.select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("digest"),
+        (length(col("text").cast("binary")) * 40L).as("duration_ms"))
+      .select(col("source"), col("doc_id"), col("digest"),
+        explode(sequence(lit(0L), (col("duration_ms") / 1000L).cast("long")))
+          .as("frame_idx"))
+      .withColumn("fval",
+        TextOps.md5Int32(concat(col("digest"), lit(":"), col("frame_idx"))))
+    frames.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_media"),
+        count(lit(1)).as("total_frames"),
+        round(avg(col("fval")), 4).as("avg_feature"),
+        countDistinct(col("fval")).as("n_distinct_features"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q81_frame_sample" -> q81FrameSample,
     "q25_array_ops" -> q25ArrayOps,
     "q26_job_expansion" -> q26JobExpansion,
     "q27_jsonp_parse" -> q27JsonpParse,
@@ -89,6 +115,24 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer frame count (bytes*40 ms, 1 fps), md5-derived frame values;
+    // avg over <2^53-bounded integer sums is exact in both engines
+    "q81_frame_sample" ->
+      """WITH m AS (SELECT source, doc_id, md5(text) AS digest,
+             octet_length(encode(text)) * 40 AS duration_ms
+           FROM documents),
+         idx AS (SELECT source, doc_id, digest,
+                   unnest(range(0, duration_ms // 1000 + 1)) AS i
+                 FROM m),
+         f AS (SELECT source, doc_id,
+             CAST(('0x' || substr(md5(digest || ':' || CAST(i AS VARCHAR)), 1, 8))
+               AS BIGINT) AS fval
+           FROM idx)
+         SELECT source, count(DISTINCT doc_id) AS n_media,
+           count(*) AS total_frames,
+           round(avg(fval), 4) AS avg_feature,
+           count(DISTINCT fval) AS n_distinct_features
+         FROM f GROUP BY 1 ORDER BY 1""",
     "q25_array_ops" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
