@@ -217,7 +217,33 @@ object CurationQueries {
       .orderBy("col_name")
   }
 
+  /** Equi-depth histogram of n_chars (10 buckets) — the second CBO
+    * statistic next to q75's per-column profile (selectivity estimation
+    * reads exactly this). Boundaries are the exact interior deciles from
+    * ONE percentile aggregate (a single row, broadcast back); bucket
+    * assignment is a codegen'd sum of boundary comparisons, so the scan
+    * is never sorted and nothing shuffles but the 10-row rollup. At
+    * 100 TB the exact percentile swaps for approx_percentile (q58), same
+    * plan. */
+  val q82EquiDepthHist: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val bounds = d.agg(expr(
+      "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("bs"))
+    // bucket = number of interior boundaries strictly below the value
+    val bucket = (1 to 9).map(i =>
+      when(col("n_chars") > element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    d.crossJoin(broadcast(bounds))
+      .select(bucket.cast("long").as("bucket"), col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q82_equidepth_hist" -> q82EquiDepthHist,
     "q75_table_stats" -> q75TableStats,
     "q71_bpe_merge_step" -> q71BpeMergeStep,
     "q67_quality_gate" -> q67QualityGate,
@@ -237,6 +263,26 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    // same interior deciles (quantile_cont ≡ Spark percentile, both
+    // linear interpolation — q67 established the parity), same
+    // strictly-greater bucket assignment
+    "q82_equidepth_hist" ->
+      """WITH b AS (SELECT quantile_cont(n_chars,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM documents),
+         x AS (SELECT d.n_chars,
+             (CASE WHEN d.n_chars > bs[1] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[2] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[3] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[4] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[5] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[6] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[7] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[8] THEN 1 ELSE 0 END
+              + CASE WHEN d.n_chars > bs[9] THEN 1 ELSE 0 END) AS bucket
+           FROM documents d CROSS JOIN b)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+           min(n_chars) AS lo, max(n_chars) AS hi
+         FROM x GROUP BY 1 ORDER BY 1""",
     "q75_table_stats" ->
       """WITH u AS (
            SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
