@@ -74,4 +74,24 @@ object Clusters {
     connectedComponents(pairs, aCol, bCol)
       .select(col("v").as("id"), col("component").as("cluster"),
         (col("v") === col("component")).as("is_representative"))
+
+  /** Best-member representative per cluster: production dedup keeps the
+    * BEST copy of each duplicate group (longest, cleanest, highest
+    * quality score), not the lowest id `assign` flags. One codegen'd
+    * `min(struct(-priority, id))` hash aggregation per cluster (argmax
+    * on priority, ties to the lowest id — deterministic).
+    *
+    * @param memberClusters (idCol, clusterCol) rows, one per member,
+    *                       with whatever priority feeds `priority`
+    * @return (clusterCol, n_members, keeper, keeper_priority)
+    */
+  def representativesBy(memberClusters: DataFrame, idCol: String,
+                        clusterCol: String,
+                        priority: org.apache.spark.sql.Column): DataFrame =
+    memberClusters
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-priority).as("np"), col(idCol).as("id"))).as("__m"))
+      .select(col(clusterCol), col("n_members"),
+        col("__m.id").as("keeper"), (-col("__m.np")).as("keeper_priority"))
 }

@@ -158,7 +158,27 @@ object DedupQueries {
       .orderBy("batch_id", "history_id")
   }
 
+  /** Best-keeper cluster report: same pairs → components as q39, but the
+    * representative is the member with the MOST CHARACTERS (ties →
+    * lowest id) via `Clusters.representativesBy` — what production
+    * corpus dedup actually keeps. One row per non-singleton cluster. */
+  val q83BestKeeper: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    val members = Clusters.assign(pairs, "doc_a", "doc_b")
+      .join(d.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    Clusters.representativesBy(members, "id", "cluster",
+        col("n_chars").cast("double"))
+      .select(col("cluster"), col("n_members"), col("keeper"),
+        col("keeper_priority").cast("long").as("keeper_chars"))
+      .orderBy("cluster")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q83_best_keeper" -> q83BestKeeper,
     "q59_incremental_neardup" -> q59IncrementalNeardup,
     "q44_decontamination" -> q44Decontamination,
     "q48_dedup_corpus" -> q48DedupCorpus,
@@ -245,6 +265,26 @@ object DedupQueries {
          ORDER BY 1, 2""",
     // ground-truth edges (all-pairs Jaccard) + transitive closure via a
     // recursive CTE; component id = min reachable doc_id
+    // same recursive components as q39; keeper = max n_chars, tie min id
+    "q83_best_keeper" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u),
+         comp AS (SELECT v, min(u) AS cluster FROM reach GROUP BY v),
+         ranked AS (SELECT c.cluster, c.v, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY d.n_chars DESC, c.v ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster) AS n_members
+           FROM comp c JOIN documents d ON d.doc_id = c.v)
+         SELECT cluster, n_members, v AS keeper, n_chars AS keeper_chars
+         FROM ranked WHERE rn = 1 ORDER BY cluster""",
     "q39_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
          e AS (SELECT a.doc_id AS a, b.doc_id AS b

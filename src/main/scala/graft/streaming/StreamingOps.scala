@@ -63,6 +63,19 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Live leaderboard: running global top-k by count — the aggregation
+    * family where `OutputMode.Complete` is the right tool (sorting and
+    * `limit` on a streaming aggregate are ONLY legal in complete mode,
+    * and the sink rewrites the whole — small — result each batch). State
+    * is one counter per key, never per event, so it is bounded by key
+    * cardinality regardless of stream volume; the sort runs over the
+    * aggregated counters only. */
+  def runningTopK(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col(keyCol).asc)
+      .limit(k)
+
   /** J1 in streaming: stream-static broadcast enrichment. The static
     * dimension is re-read per micro-batch (so a refreshed universe table
     * is picked up) and broadcast — the join never shuffles the stream. */

@@ -159,6 +159,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTopK: complete-mode leaderboard re-ranks as batches arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val top = StreamingOps.runningTopK(input.toDF().toDF("tag"), "tag", k = 2)
+    val q = top.writeStream.format("memory")
+      .queryName("topk_out").outputMode("complete").start()
+    try {
+      input.addData("a", "a", "b", "c")
+      q.processAllAvailable()
+      val r1 = spark.table("topk_out").as[(String, Long)].collect().toSeq
+      assert(r1 == Seq(("a", 2L), ("b", 1L))) // tie b/c → lexicographic
+      // c overtakes everything; leaderboard must re-rank, not append
+      input.addData("c", "c", "c")
+      q.processAllAvailable()
+      val r2 = spark.table("topk_out").as[(String, Long)].collect().toSeq
+      assert(r2 == Seq(("c", 4L), ("a", 2L)))
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join enriches without shuffling the stream (J1)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("AAPL", 4510L), ("TSLA", 4010L)).toDF("ticker", "icb_code")
