@@ -88,6 +88,26 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Write with in-plan data-quality metrics (A3/A6 accounting on the
+    * modern API): `observe()` attaches aggregate metrics to the exact
+    * rows the write consumes — no second scan, no accumulator
+    * double-count on task retries (observations are collected from the
+    * SUCCESSFUL attempt only, the documented accumulator hazard). The
+    * returned map carries row/null/distinct tallies a data-quality gate
+    * alerts on. Metrics are (name → value) from one map-side-combined
+    * pass fused into the write job. */
+  def writeWithMetrics(df: DataFrame, path: String, idCol: String,
+                       requiredCols: Seq[String]): Map[String, Long] = {
+    val obs = new org.apache.spark.sql.Observation("write_metrics")
+    val nullChecks = requiredCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+    val metrics = count(lit(1)).as("n_rows") +:
+      approx_count_distinct(col(idCol)).as("n_distinct_ids") +: nullChecks
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    observed.write.mode(SaveMode.Append).parquet(path)
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
+
   /** Small-file compaction (K5's maintenance sibling): rewrite a parquet
     * table into ~`targetFileBytes` files. A streaming/micro-batch sink
     * leaves thousands of tiny files per day; at 100 TB the scan's task

@@ -55,6 +55,18 @@ class SinksSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("writeWithMetrics: quality tallies ride the write job itself (A3/A6 via observe)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-obs").toString + "/t"
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (1L, Some("d"))
+    ).toDF("id", "v")
+    val m = Sinks.writeWithMetrics(df, dir, idCol = "id", requiredCols = Seq("v"))
+    assert(m("n_rows") == 4L)
+    assert(m("null_v") == 1L)
+    assert(m("n_distinct_ids") == 3L) // HLL exact at this cardinality
+    assert(spark.read.parquet(dir).count() == 4L)
+  }
+
   test("compact rewrites many small files into the byte-targeted count, preserving rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // 64 tiny files
