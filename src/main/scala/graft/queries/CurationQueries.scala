@@ -69,7 +69,9 @@ object CurationQueries {
     * once the corpus is 100 TB (SURVEY §2.6's HLL note). No SQL oracle:
     * sketch outputs are algorithm-specific, so the driver records the
     * rows-only check; the unit test bounds HLL error against the exact
-    * count instead. */
+    * count instead. Output columns are flat scalars (one percentile
+    * sketch, two element_at reads — the compare harness can't sort/hash
+    * array cells). */
   val q58SketchStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val vocab = d
@@ -79,7 +81,10 @@ object CurationQueries {
     val lengths = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
-          .as("n_chars_p50_p95"))
+          .as("ps"))
+      .select(col("source"), col("n_docs"),
+        element_at(col("ps"), 1).as("n_chars_p50"),
+        element_at(col("ps"), 2).as("n_chars_p95"))
     lengths.join(vocab, Seq("source")).orderBy("source")
   }
 

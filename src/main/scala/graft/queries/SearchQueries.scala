@@ -32,10 +32,13 @@ object SearchQueries {
     * structure materialized as a table (term → df, total_tf, first 10
     * doc ids). Truncated posting lists come from the salted two-phase
     * TopK (bounded buffers even for corpus-frequency terms — see
-    * `search/Search.scala` scaladoc), deterministically sorted. */
+    * `search/Search.scala` scaladoc), deterministically sorted. The
+    * posting list is serialized to a CSV string so the result is flat
+    * scalar columns (the compare harness can't sort/hash array cells). */
   val q53Postings: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     InvertedIndex.postings(d, "doc_id", "text", maxPostings = 10)
+      .withColumn("postings", array_join(col("postings"), ","))
       .orderBy(col("df").desc, col("term"))
       .limit(30)
   }
@@ -94,7 +97,7 @@ object SearchQueries {
          tf AS (SELECT doc_id, t.term, count(*) AS tf
                 FROM tok, unnest(toks) AS t(term) GROUP BY 1, 2),
          p AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-                 (list(doc_id ORDER BY doc_id))[1:10] AS postings
+                 array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings
                FROM tf GROUP BY 1)
          SELECT term, df, total_tf, postings FROM p
          ORDER BY df DESC, term LIMIT 30""",
