@@ -68,6 +68,17 @@ object Ingest {
       .as[Doc]
   }
 
+  /** L3: dry-run — the reference's `dryrun()` (`src/base.py:230-244`)
+    * drives the scraper only until ONE document survives every gate,
+    * then reports. The Spark re-expression is a declarative `limit(1)`
+    * over the full ingest plan: Catalyst plans a CollectLimit whose
+    * scan stops consuming input once a row is produced — no early-exit
+    * flag threads through the operators, and at 100 TB the dry run
+    * still touches only as much input as one surviving doc needs. */
+  def dryRun(posts: DataFrame, universe: DataFrame, history: DataFrame,
+             retrievalTime: Column): Dataset[Doc] =
+    ingest(posts, universe, history, retrievalTime).limit(1)
+
   /** Streaming twin of [[ingest]] (the reference worker loop IS a stream
     * consumer): same gates, re-shaped for unbounded input —
     *

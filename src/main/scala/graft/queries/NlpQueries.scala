@@ -84,12 +84,45 @@ object NlpQueries {
       .orderBy("doc_id")
   }
 
+  /** N2: per-document labeled sentiment — the reference's classify API
+    * returns a (label, confidence, probabilities) struct
+    * (`/root/reference/src/utils/baidu_api.py:108-121`); flattened to
+    * scalar columns so the driver harness can sort/hash the result
+    * (q53's lesson). Scores are exact rationals over lexicon hits, so
+    * the oracle matches bit-for-bit before rounding. */
+  val q84SentimentLabeled: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val labeled = NlpFunctions.sentimentLabeled(TextOps.tokens(col("text")), Pos, Neg)
+    d.select(col("doc_id"), labeled.as("r"))
+      .select(col("doc_id"),
+        col("r.label").as("label"),
+        col("r.confidence").as("confidence"),
+        col("r.pos_prob").as("pos_prob"),
+        col("r.neg_prob").as("neg_prob"))
+      .orderBy("doc_id")
+  }
+
+  /** N5: extractive summary — the reference's news-summary API truncates
+    * to a length budget (`/root/reference/src/utils/tencent_api.py:70-82`);
+    * here the leading-12-token window per doc, plus the token count, so
+    * short docs verify the no-truncation branch. */
+  val q85Summary: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    d.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        NlpFunctions.summary(toks, maxWords = 12).as("summary"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q29_tfidf_keywords" -> q29TfidfKeywords,
     "q30_sentiment" -> q30Sentiment,
     "q31_topic" -> q31Topic,
     "q32_word_similarity" -> q32WordSimilarity,
     "q33_hash_embedding" -> q33HashEmbedding,
+    "q84_sentiment_labeled" -> q84SentimentLabeled,
+    "q85_summary" -> q85Summary,
   )
 
   private val toksCte =
@@ -165,5 +198,24 @@ object NlpQueries {
            CAST(emb[1] AS DOUBLE) AS c0, CAST(emb[2] AS DOUBLE) AS c1,
            round(sqrt(CAST(list_sum(list_transform(emb, x -> x * x)) AS DOUBLE)), 4) AS norm
          FROM e ORDER BY doc_id""",
+    "q84_sentiment_labeled" ->
+      s"""WITH $toksCte,
+         sc AS (SELECT doc_id,
+             (CAST(len(list_filter(toks, x -> x IN ('fast','big','value'))) AS DOUBLE)
+              - len(list_filter(toks, x -> x IN ('slow','small','error'))))
+             / greatest(CAST(len(list_filter(toks, x -> x IN ('fast','big','value'))) AS DOUBLE)
+                        + len(list_filter(toks, x -> x IN ('slow','small','error'))), 1.0) AS score
+           FROM T)
+         SELECT doc_id,
+           CAST(CASE WHEN score > 0.2 THEN 2 WHEN score < -0.2 THEN 0 ELSE 1 END AS INT) AS label,
+           round(abs(score), 6) AS confidence,
+           round((score + 1.0) / 2.0, 6) AS pos_prob,
+           round((1.0 - score) / 2.0, 6) AS neg_prob
+         FROM sc ORDER BY doc_id""",
+    "q85_summary" ->
+      s"""WITH $toksCte
+         SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           array_to_string(toks[1:12], ' ') AS summary
+         FROM T ORDER BY doc_id""",
   )
 }

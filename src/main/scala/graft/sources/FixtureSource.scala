@@ -55,4 +55,33 @@ object FixtureSource {
       regexp_extract(html, "(?is)<(?:title|h1)[^>]*>(.*?)</(?:title|h1)>", 1))
     struct(title.as("title"), TextOps.htmlStrip(html).as("body"))
   }
+
+  /** S16 step 2: Baidu-Baike page parse (`baidu_api.py:31-55`): the
+    * paragraph text is the `div.para` blocks' tag-stripped contents;
+    * summary = first paragraph, content = the remaining paragraphs
+    * joined, with newlines and NBSP removed exactly like the reference's
+    * post-processing. `get` (0-based) is the ANSI-safe element read —
+    * a para-less page yields ("", ""), the reference's empty fallback. */
+  def parseBaikeParas(html: Column): Column = {
+    val paras = transform(
+      regexp_extract_all(html,
+        lit("(?is)<div[^>]*class=\"para\"[^>]*>(.*?)</div>"), lit(1)),
+      p => regexp_replace(TextOps.htmlStrip(p), "[\\n\\u00A0]", ""))
+    struct(
+      coalesce(get(paras, lit(0)), lit("")).as("summary"),
+      array_join(slice(paras, lit(2), greatest(size(paras) - 1, lit(0))), "").as("content"))
+  }
+
+  /** S16 step 1: resolve each query's Chinese entity name from a Baidu
+    * SERP payload (`baidu_api.py:59-81`): scan the `c-tools` tool-spans'
+    * `data-tools` attributes for a 百度百科 entry and strip the 百度百科
+    * suffix off its title. Null when no baike link is on the page (the
+    * reference returns the empty tuple). */
+  def baikeNameFromSerp(serpHtml: Column): Column = {
+    val tools = regexp_extract_all(serpHtml,
+      lit("(?is)<span[^>]*class=\"c-tools[^\"]*\"[^>]*data-tools=\"([^\"]*)\""), lit(1))
+    val baike = filter(tools, t => t.contains("百度百科"))
+    get(transform(baike,
+      t => regexp_extract(t, "title:'(.*?)[_ -]*百度百科", 1)), lit(0))
+  }
 }

@@ -54,6 +54,17 @@ class IngestSpec extends SparkSpec {
     assert(kept.contains(101L))
   }
 
+  test("dryRun: L3 limit-1 through the full ingest spine (base.py:230-244)") {
+    val one = Ingest.dryRun(posts, universe, emptyHistory, clock)
+    val rows = one.collect()
+    assert(rows.length == 1)
+    // the survivor is a real gate-passing doc, not an arbitrary input row
+    assert(Set("101", "102", "108").contains(rows(0).unique_identifier))
+    // the plan carries the declarative limit (early-exit, not full-scan+head)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"), plan)
+  }
+
   test("ingestStream: same gates over an unbounded source, watermark dedup (streaming §3.2 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -63,6 +63,40 @@ class FixtureSourceSpec extends SparkSpec {
     assert(out == Set(("apple", "Apple Inc."), ("tesla", "Tesla, Inc.")))
   }
 
+  test("S16 Baidu Baike two-step resolve: SERP zh-name -> baike para parse (baidu_api.py:31-81)") {
+    def load(name: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource(s"/fixtures/$name").getPath)), "UTF-8")
+    // step 1 (baidu_api.py:59-81): resolve the Chinese entity name from
+    // the SERP's 百度百科 tool-span; a page with no baike link yields null
+    val serp = Seq(("xiaomi", load("serp_baidu.html")), ("nolink", "<html></html>"))
+      .toDF("query", "html")
+    val named = serp.select(col("query"),
+      FixtureSource.baikeNameFromSerp(col("html")).as("zh_name"))
+    val byQuery = named.as[(String, String)].collect().toMap
+    assert(byQuery("xiaomi") == "小米集团")
+    assert(byQuery("nolink") == null)
+    // step 2 (baidu_api.py:31-55): join resolved names to the fetched
+    // baike pages and split div.para blocks into summary + content
+    val pages = Seq(("小米集团", load("baike.html"))).toDF("zh_name", "html")
+    val out = named.filter(col("zh_name").isNotNull)
+      .join(pages, Seq("zh_name"))
+      .select(col("query"), FixtureSource.parseBaikeParas(col("html")).as("p"))
+      .select("query", "p.summary", "p.content")
+      .as[(String, String, String)].collect()
+    assert(out.length == 1)
+    val (q, summary, content) = out(0)
+    assert(q == "xiaomi")
+    assert(summary == "小米集团是一家消费电子公司。 成立于2010年。")
+    assert(content == "公司主要产品包括 智能手机 与IoT设备。2018年在香港上市。 股票代码1810。")
+  }
+
+  test("parseBaikeParas: para-less page falls back to empty summary/content (baidu_api.py:51-55)") {
+    val row = Seq("<html><p>no paras here</p></html>").toDF("h")
+      .select(FixtureSource.parseBaikeParas(col("h")).as("p"))
+      .select("p.summary", "p.content").as[(String, String)].collect()(0)
+    assert(row == (("", "")))
+  }
+
   test("parseArticleHtml extracts title and tag-stripped body (S2/S7)") {
     val html = "<html><head><title>Quarterly Results</title></head>" +
       "<body><script>x()</script><p>Revenue grew <b>12%</b> yoy.</p></body></html>"
