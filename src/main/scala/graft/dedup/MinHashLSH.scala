@@ -22,9 +22,26 @@ import org.apache.spark.sql.functions._
   * keeps near-linear. A hot band key
   * (thousands of identical docs) produces a quadratic bucket — callers
   * dealing with boilerplate-heavy corpora should pre-dedup exact hashes
-  * first (ExactDedup), which bounds bucket sizes by construction.
+  * first (ExactDedup), which bounds bucket sizes by construction; as a
+  * defense-in-depth backstop every candidate join also drops band
+  * buckets larger than `maxBucket` (see [[DefaultMaxBucket]]), so one
+  * boilerplate key can never go quadratic even when the pre-dedup
+  * assumption is violated. Use [[oversizedBuckets]] to audit what the
+  * guard would drop on a given corpus.
   */
 object MinHashLSH {
+
+  /** Per-(band, key) bucket-size cap for candidate generation. A bucket
+    * of n docs emits ~n²/2 candidate pairs, so the cap bounds the worst
+    * single bucket at ~500k pairs; buckets PAST the cap are dropped, not
+    * salt-split — a salt split of a size-n bucket keeps only ~1/s of its
+    * pairs anyway (arbitrary which), while dropping is predictable and
+    * loses nothing for corpora that ran ExactDedup first (identical docs
+    * are the only way an honest band bucket gets this hot: 1000 docs in
+    * one bucket of one band at r=4 rows/band means 1000 docs whose
+    * signatures agree on that band — overwhelmingly true duplicates,
+    * which exact dedup already removed). */
+  val DefaultMaxBucket: Int = 1000
 
   /** Large Mersenne prime for the affine hash family. */
   val P: Long = graft.expressions.MinHashSig.P
@@ -89,12 +106,45 @@ object MinHashLSH {
         xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand)).as("key"))
     }: _*)
 
-  /** Candidate pairs (a < b) sharing at least one band bucket. */
-  def candidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
-                     numBands: Int, rowsPerBand: Int): DataFrame = {
-    val exploded = sigs
+  /** (id, band, key) band-bucket membership rows for a signature table. */
+  private def bandRows(sigs: DataFrame, idCol: String, sigCol: String,
+                       numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs
       .select(col(idCol), explode(bandKeys(col(sigCol), numBands, rowsPerBand)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Drop membership rows of buckets larger than `maxBucket`. The size
+    * is a window count over the SAME (band, key) the candidate join
+    * shuffles and sorts on — the window slots into the exchange+sort the
+    * sort-merge join needs anyway, so the guard costs one streaming pass,
+    * not an extra aggregation+join (the groupBy+semi-join form measured
+    * ~2× on the LSH queries at sf0.1). */
+  private def capBuckets(rows: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) rows
+    else rows
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
+  /** Audit the hot-bucket guard: (band, key, n_docs) of every bucket the
+    * candidate join would DROP at `maxBucket` — run this (cheap: one
+    * aggregation) when a corpus hasn't been exact-deduped to tally what
+    * the backstop is costing. Empty means the guard is a no-op. */
+  def oversizedBuckets(sigs: DataFrame, idCol: String, sigCol: String,
+                       numBands: Int, rowsPerBand: Int,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandRows(sigs, idCol, sigCol, numBands, rowsPerBand)
+      .groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** Candidate pairs (a < b) sharing at least one band bucket of size ≤
+    * `maxBucket` (the hot-bucket backstop — see [[DefaultMaxBucket]]). */
+  def candidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
+                     numBands: Int, rowsPerBand: Int,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val exploded = capBuckets(
+      bandRows(sigs, idCol, sigCol, numBands, rowsPerBand), maxBucket)
     val l = exploded.toDF("a", "band", "key")
     val r = exploded.toDF("b", "band", "key")
     l.join(r, Seq("band", "key"))
@@ -110,7 +160,8 @@ object MinHashLSH {
   /** End-to-end near-dup pairs over (id, shingles): LSH candidates, then
     * exact-Jaccard filter at `threshold`. Output: (doc_a, doc_b, jaccard). */
   def nearDupPairs(shingled: DataFrame, idCol: String, shCol: String,
-                   numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+                   numHashes: Int, numBands: Int, threshold: Double,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
     // The shingle computation is evaluated by three consumers (signature
@@ -122,7 +173,7 @@ object MinHashLSH {
     // that in — the API takes any DataFrame.
     val sigs = signatures(shingled, idCol, shCol, numHashes)
     verifyCandidates(shingled, idCol, shCol,
-      candidatePairs(sigs, idCol, "__sig", numBands, r), threshold)
+      candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
   }
 
   /** `nearDupPairs` over a PRE-HASHED shingle column (see
@@ -132,12 +183,13 @@ object MinHashLSH {
     * document, negligible), and the verify join shuffles 8-byte hashes
     * instead of shingle text. */
   def nearDupPairsHashed(hashed: DataFrame, idCol: String, hCol: String,
-                         numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+                         numHashes: Int, numBands: Int, threshold: Double,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
     val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
     verifyCandidates(hashed, idCol, hCol,
-      candidatePairs(sigs, idCol, "__sig", numBands, r), threshold)
+      candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
   }
 
   /** INCREMENTAL near-dup gate: candidates between a NEW batch and an
@@ -155,14 +207,20 @@ object MinHashLSH {
   def nearDupAgainstHashed(batchHashed: DataFrame, historyHashed: DataFrame,
                            idCol: String, hCol: String,
                            numHashes: Int, numBands: Int,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
+    // cap each SIDE's bucket at maxBucket: the bipartite blow-up is
+    // |batch ∩ bucket| × |history ∩ bucket|, so the per-side cap bounds
+    // any one bucket's output at maxBucket².
     def bands(df: DataFrame, as: String) =
-      signaturesFromHashArray(df, idCol, hCol, numHashes)
-        .select(col(idCol).as(as),
-          explode(bandKeys(col("__sig"), numBands, r)).as("bk"))
-        .select(col(as), col("bk.band").as("band"), col("bk.key").as("key"))
+      capBuckets(
+        signaturesFromHashArray(df, idCol, hCol, numHashes)
+          .select(col(idCol).as(as),
+            explode(bandKeys(col("__sig"), numBands, r)).as("bk"))
+          .select(col(as), col("bk.band").as("band"), col("bk.key").as("key")),
+        maxBucket)
     val cands = bands(batchHashed, "a").join(bands(historyHashed, "b"), Seq("band", "key"))
       .select("a", "b").distinct()
     val setsA = batchHashed.select(col(idCol).as("a"), col(hCol).as("__sh_a"))

@@ -119,6 +119,47 @@ object AsOfJoin {
         direction.as("direction"): _*)
   }
 
+  /** Decide between [[backward]] and [[backwardBucketed]] from a cheap
+    * stats probe: ONE aggregate over both sides' key columns (column-
+    * pruned scans — at any scale this reads one column and returns one
+    * row) giving total rows and an HLL approximate key count. When the
+    * average rows-per-key exceeds `maxAvgRowsPerKey`, some window
+    * partition is guaranteed at least that large (pigeonhole), so the
+    * bucketed variant wins. The probe is average-based: a single hot key
+    * hiding under a high-cardinality average is not detected — callers
+    * who KNOW a specific key is hot should call `backwardBucketed`
+    * directly. */
+  def chooseBucketed(left: DataFrame, right: DataFrame, key: String,
+                     maxAvgRowsPerKey: Double): Boolean = {
+    val row = left.select(col(key).as("__k"))
+      .unionByName(right.select(col(key).as("__k")))
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col("__k")).as("k"))
+      .head()
+    val n = row.getLong(0)
+    val k = math.max(row.getLong(1), 1L)
+    n.toDouble / k > maxAvgRowsPerKey
+  }
+
+  /** Backward as-of join with the hot-key fallback built in: probes the
+    * key profile ([[chooseBucketed]]) and routes to [[backward]]
+    * (dimensioned keys — one window partition per key) or
+    * [[backwardBucketed]] (few/hot keys — (key, time-bucket) partitions)
+    * behind one code path. Both variants are equivalence-tested, so the
+    * routing never changes results, only the physical plan. The default
+    * threshold (100k rows/key) keeps a window partition comfortably
+    * inside one task's memory at ~100-byte rows. */
+  def backwardAuto(left: DataFrame, right: DataFrame,
+                   key: String, leftTime: String, rightTime: String,
+                   rightPayload: Seq[String],
+                   bucketWidth: Long,
+                   rightTieBreak: Option[String] = None,
+                   maxAvgRowsPerKey: Double = 100000.0): DataFrame =
+    if (chooseBucketed(left, right, key, maxAvgRowsPerKey))
+      backwardBucketed(left, right, key, leftTime, rightTime, rightPayload,
+        bucketWidth, rightTieBreak)
+    else
+      backward(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak)
+
   /** Skew-safe backward as-of join for HOT KEYS. The plain `backward`
     * sorts each key on one task; when one key carries a large fraction
     * of all rows (one hot ticker, one bot user) that task is the job.

@@ -78,6 +78,53 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (11L, 1L)))
   }
 
+  test("hot-bucket guard: 1k identical docs stay near-linear; honest pairs survive") {
+    // 1000 byte-identical docs — WITHOUT the guard their shared band
+    // buckets emit ~1000²/2 ≈ 500k candidate pairs; the cap drops those
+    // buckets entirely, and the honest near-dup pair (its buckets hold 2
+    // docs) is untouched.
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val rows = (1L to 1000L).map(_ -> boiler) ++ Seq(2000L -> base, 2001L -> nearDup)
+    val d = docs(rows: _*)
+      .select(col("doc_id"), TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val sigs = MinHashLSH.signatures(d, "doc_id", "sh", 64)
+
+    // audit view: every band's boilerplate bucket is over the cap
+    val dropped = MinHashLSH.oversizedBuckets(sigs, "doc_id", "__sig",
+      numBands = 16, rowsPerBand = 4, maxBucket = 500)
+    assert(dropped.count() == 16)
+    assert(dropped.agg(max("n_docs")).as[Long].collect()(0) == 1000L)
+
+    val cands = MinHashLSH.candidatePairs(sigs, "doc_id", "__sig",
+      numBands = 16, rowsPerBand = 4, maxBucket = 500)
+    val got = cands.as[(Long, Long)].collect()
+    assert(got.length == 1, s"expected 1 candidate pair, got ${got.length}")
+    assert(got(0) == ((2000L, 2001L)))
+
+    // end-to-end at the same cap: verified output is exactly the honest pair
+    val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "sh", 64, 16, 0.8, maxBucket = 500)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.sameElements(Array((2000L, 2001L))))
+  }
+
+  test("hot-bucket guard caps the bipartite gate's history side too") {
+    import graft.expressions.NgramHashes
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    def hashed(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val history = hashed((1L to 800L).map(_ -> boiler) :+ (900L -> base))
+    val batch = hashed(Seq(1000L -> boiler, 1001L -> nearDup))
+    val got = MinHashLSH.nearDupAgainstHashed(batch, history, "doc_id", "sh",
+        numHashes = 64, numBands = 16, threshold = 0.8, maxBucket = 500)
+      .select("batch_id", "history_id").as[(Long, Long)].collect().toSet
+    // the boilerplate match is suppressed by the cap; the honest one survives
+    assert(got == Set((1001L, 900L)))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val d = docs(1L -> "a b c d e f g h")
       .select(TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))

@@ -98,4 +98,36 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(plan.contains("__b"), s"expected bucket column in plan:\n$plan")
   }
+
+  test("backwardAuto routes on the key profile and matches both variants") {
+    // hot regime: 2 distinct keys over 500+ rows → avg rows/key ≫ 3
+    val rng = new scala.util.Random(11)
+    val hotLeft = ((1 to 300).map(i => (s"L$i", "hot", rng.nextInt(1000).toLong)) ++
+      Seq(("La", "cold", 950L))).toDF("order_id", "uid", "t")
+    val hotRight = ((1 to 200).map(_ => ("hot", rng.nextInt(1000).toLong,
+      rng.nextInt(100000).toLong, "x")) ++
+      Seq(("cold", 10L, 900L, "y"))).toDF("uid", "ts", "eid", "etype")
+    assert(AsOfJoin.chooseBucketed(hotLeft, hotRight, "uid", maxAvgRowsPerKey = 3.0))
+    // dimensioned regime: every row its own key → avg ≈ 2 < 3
+    assert(!AsOfJoin.chooseBucketed(left, right, "uid", maxAvgRowsPerKey = 3.0))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("order_id").collect().map(_.toSeq).toSeq
+    // auto (bucketed route) ≡ plain on the hot input
+    val auto = AsOfJoin.backwardAuto(hotLeft, hotRight, "uid", "t", "ts",
+      Seq("eid", "etype"), bucketWidth = 100L, rightTieBreak = Some("eid"),
+      maxAvgRowsPerKey = 3.0)
+    val plain = AsOfJoin.backward(hotLeft, hotRight, "uid", "t", "ts",
+      Seq("eid", "etype"), rightTieBreak = Some("eid"))
+    assert(canon(auto) == canon(plain))
+    assert(auto.queryExecution.executedPlan.toString.contains("__b"))
+    // auto (plain route) ≡ plain on the dimensioned input
+    val autoSmall = AsOfJoin.backwardAuto(left, right, "uid", "t", "ts",
+      Seq("eid", "etype"), bucketWidth = 100L, rightTieBreak = Some("eid"),
+      maxAvgRowsPerKey = 3.0)
+    val plainSmall = AsOfJoin.backward(left, right, "uid", "t", "ts",
+      Seq("eid", "etype"), rightTieBreak = Some("eid"))
+    assert(canon(autoSmall) == canon(plainSmall))
+    assert(!autoSmall.queryExecution.executedPlan.toString.contains("__b"))
+  }
 }
