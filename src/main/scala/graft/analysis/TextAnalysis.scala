@@ -67,16 +67,6 @@ object TextAnalysis {
     aggregate(hashes, lit(0L), (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
   }
 
-  /** Cross-document n-gram novelty: per doc, the fraction of its DISTINCT
-    * word n-grams not present in any lower-id document — the corpus-level
-    * repetition signal next to the within-doc one (`qualityScore` /
-    * repetition fractions): boilerplate already emitted upstream scores
-    * near 0 even when each copy is internally clean.
-    *
-    * Scale shape: grams shuffle as 60-bit md5 longs (never shingle
-    * strings); first-sighting is one min-aggregation on a well-distributed
-    * high-cardinality key, joined back postings-side, then one per-doc
-    * aggregation. Returns (idCol, n_grams, n_novel, novelty). */
   /** Distinct n-gram keys of a token-HASH array: each gram is the
     * polynomial combine h[i]·31⁴ + h[i+1]·31³ + … + h[i+n-1] (for n=5) —
     * integer-only, so no gram string is ever built and no per-gram md5
@@ -99,6 +89,23 @@ object TextAnalysis {
       .otherwise(array(aggregate(hs, lit(0L), (acc, h) => acc * 31 + h)))
   }
 
+  /** Cross-document n-gram novelty: per doc, the fraction of its DISTINCT
+    * word n-grams not present in any lower-id document — the corpus-level
+    * repetition signal next to the within-doc one (`qualityScore` /
+    * repetition fractions): boilerplate already emitted upstream scores
+    * near 0 even when each copy is internally clean.
+    *
+    * Scale shape: grams shuffle as 60-bit md5 longs (never shingle
+    * strings); first-sighting is one min-aggregation on a well-distributed
+    * high-cardinality key, joined back postings-side, then one per-doc
+    * aggregation. Returns (idCol, n_grams, n_novel, novelty).
+    *
+    * Both branches below evaluate tokenize+md5+gramKeys — deliberate:
+    * the per-doc branch needs only size(grams) and stays scan-side
+    * (no explode, no shuffle), while persisting the hashed projection to
+    * share it would cache ~the corpus's token stream. Callers that ALSO
+    * need the grams elsewhere should materialize `__hs` once as a table
+    * and adapt (same guidance as MinHashLSH's shingle recompute note). */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     val hs = docs.select(col(idCol),

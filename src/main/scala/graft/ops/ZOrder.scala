@@ -28,12 +28,15 @@ object ZOrder {
     }
 
   /** Proportional bucket of `c` into [0, 2^bits) over the closed range
-    * [minV, maxV] — integer arithmetic only (floor division), so engines
-    * agree bit-for-bit. */
+    * [minV, maxV]. Computed as a double divide + trunc-cast, which equals
+    * floor division (and thus agrees bit-for-bit with an integer-SQL
+    * oracle) ONLY while both `(c - minV) * 2^bits` and
+    * `(maxV - minV + 1)` stay below 2^53, where every intermediate is
+    * exactly representable in double — callers bucketing wider-than-2^53
+    * domains must pre-scale the column. */
   def bucket(c: Column, minV: Column, maxV: Column, bits: Int): Column = {
+    require(bits > 0 && bits < 53, s"bits=$bits outside the double-exact range")
     val n = lit(1L << bits)
-    // non-negative operands: double divide + trunc-cast == floor division,
-    // and the intermediates are small enough to be exact in double
     (((c - minV) * n) / (maxV - minV + lit(1L))).cast("long")
   }
 

@@ -106,12 +106,52 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Q8/K1 exactly-once EFFECT, driver-certified end-to-end: stream the
+    * documents table through `foreachBatch` + `Sinks.idempotentAppend`,
+    * then run the ENTIRE stream a second time from a fresh checkpoint —
+    * the strongest at-least-once redelivery (every batch delivered
+    * twice). The sink is a dynamic-partition overwrite keyed by a
+    * batch-stable partition column, so the redelivery REPLACES its own
+    * earlier output instead of double-appending; reading the sink back
+    * and aggregating must therefore equal plain batch aggregation over
+    * the input — which is exactly what the DuckDB oracle checks
+    * (SURVEY §7.4's "at-least-once + idempotent sink = exactly-once"). */
+  val q86ExactlyOnce: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q86").toString
+    val out = s"$tmp/sink"
+    val schema = Tables(s, dir, "documents").schema
+    def deliverAll(run: String): Unit = {
+      // the file source wants a directory; glob-filter it to this table
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sinks.Sinks.idempotentAppend(
+            batch.withColumn("part", pmod(col("doc_id"), lit(8))),
+            out, Seq("part"))
+        }
+        .option("checkpointLocation", s"$tmp/ckpt-$run")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    deliverAll("first")
+    deliverAll("redelivery")
+    s.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q81_frame_sample" -> q81FrameSample,
     "q25_array_ops" -> q25ArrayOps,
     "q26_job_expansion" -> q26JobExpansion,
     "q27_jsonp_parse" -> q27JsonpParse,
     "q28_binary_features" -> q28BinaryFeatures,
+    "q86_exactly_once" -> q86ExactlyOnce,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +213,11 @@ object PipelineQueries {
            count(DISTINCT digest) AS n_distinct,
            min(prefix_b64) AS min_prefix
          FROM b GROUP BY 1 ORDER BY 1""",
+    // The sink after a FULL redelivery must hold each document exactly
+    // once — i.e. match plain batch aggregation over the input table.
+    "q86_exactly_once" ->
+      """SELECT source, count(*) AS n_docs,
+           count(DISTINCT doc_id) AS n_distinct
+         FROM documents GROUP BY 1 ORDER BY 1""",
   )
 }

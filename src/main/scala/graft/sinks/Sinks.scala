@@ -135,8 +135,24 @@ object Sinks {
     laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
+    // The swap is two renames; each can fail (dest-exists race, S3 rename
+    // semantics), so every return value is checked and a failed second
+    // rename rolls the original back — the table path must never be left
+    // missing, which is the whole point of the sibling-dir dance.
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(
+        s"compact: could not move $hPath aside to $old; table untouched")
+    if (!fs.rename(tmp, hPath)) {
+      val restored = fs.rename(old, hPath)
+      throw new java.io.IOException(
+        s"compact: could not move compacted $tmp into place" +
+          (if (restored) s"; original restored at $hPath"
+           else s"; RESTORE FAILED — original data is at $old"))
+    }
+    // only drop the backup once the new table is verifiably readable
+    require(fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")) ||
+      fs.listStatus(hPath).nonEmpty,
+      s"compact: swapped table at $hPath looks empty; backup kept at $old")
     fs.delete(old, true)
     nFiles
   }

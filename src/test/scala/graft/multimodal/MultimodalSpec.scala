@@ -45,6 +45,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.media_id == 7L))
   }
 
+  test("imageDecode: a real checked-in PNG yields true dims + luminance histogram") {
+    // 8x5 PNG: 16 black px (bin 0), 16 white px (bin 7), one 8-px red row
+    // (lum 76 -> bin 2) — generated deterministically, checked in
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/tiny.png").getPath))
+    val media = Seq(Multimodal.MediaRow(1L, "image", png)).toDS()
+    val f = Multimodal.decodeFeatures(media).collect()(0)
+    assert(f.width == 8 && f.height == 5)
+    assert(f.n_bytes == png.length)
+    assert(math.abs(f.feature.sum - 1f) < 1e-6) // histogram normalizes
+    assert(math.abs(f.feature(0) - 0.4f) < 1e-6) // black
+    assert(math.abs(f.feature(2) - 0.2f) < 1e-6) // red row
+    assert(math.abs(f.feature(7) - 0.4f) < 1e-6) // white
+    // the stand-in never produces these dims from this payload: the real
+    // codec ran. Non-image bytes under the same kind still route to the
+    // stand-in (q28/q81's text-derived payloads are unchanged).
+    val fake = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(2L, "image", "not a png".getBytes)).toDS()).collect()(0)
+    assert(fake.height == (fake.width * 9) / 16) // stand-in's synthetic aspect
+  }
+
   test("audio kind gets a duration; image does not") {
     val df = Seq((1L, "wavbytes")).toDF("id", "text")
     val img = Multimodal.decodeFeatures(Multimodal.fromText(df, "id", "text", "image")).collect()(0)

@@ -50,7 +50,10 @@ class StatefulDedupSpec extends SparkSpec {
       val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
       val outDir = Files.createTempDirectory("graft-tws-out").toString
       val input = MemoryStream[Keyed[String]]
-      val ttlSecs = 30L
+      // 12s: long enough that two poll-driven runs land inside the TTL on
+      // a normal machine, short enough that the mandatory expiry sleep
+      // stays modest (the old 30s TTL slept ~30s every run)
+      val ttlSecs = 12L
       val out = StatefulDedup.dedupWithNativeTtl(
         input.toDS(), java.time.Duration.ofSeconds(ttlSecs))
       // In processing-time mode the engine keeps scheduling maintenance
@@ -77,8 +80,9 @@ class StatefulDedupSpec extends SparkSpec {
       input.addData(Keyed("a", "dup-across-restart"))
       runOnce()
       // the dup batch must have run inside the TTL for the test to mean
-      // anything (poll-driven runs take seconds; the TTL is 30s)
-      assert(System.currentTimeMillis() - t0 < ttlSecs * 1000,
+      // anything — a timing PRECONDITION, not an assertion: on a loaded
+      // machine slow runs cancel the test instead of failing the suite
+      assume(System.currentTimeMillis() - t0 < ttlSecs * 1000,
         "runs too slow to assert within-TTL suppression")
       val beforeExpiry = spark.read.parquet(outDir).as[Keyed[String]]
         .collect().map(_.value).toSet
