@@ -61,13 +61,24 @@ object TextAnalysis {
   /** Polynomial rolling-hash fingerprint over the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (acc*31 + md5Int32(t)) mod 2^31-1).
     * Order-sensitive (unlike a bag-of-words hash) so token reordering
-    * changes the fingerprint; cross-engine stable via md5Int32. */
-  def fingerprint(text: Column): Column = {
+    * changes the fingerprint; cross-engine stable via md5Int32.
+    * Evaluated by the codegen'd `PolyFingerprint` kernel — one byte scan
+    * per doc instead of an interpreted transform+aggregate HOF chain
+    * (value-identical; equality-tested against [[fingerprintHof]]). */
+  def fingerprint(text: Column): Column =
+    graft.expressions.PolyFingerprint.poly_fingerprint(text)
+
+  /** The declarative HOF form of [[fingerprint]] — kept as the
+    * executable specification the kernel is equality-tested against. */
+  def fingerprintHof(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), t => TextOps.md5Int32(t))
     aggregate(hashes, lit(0L), (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
   }
 
-  /** Distinct n-gram keys of a token-HASH array: each gram is the
+  /** Distinct n-gram keys of a token-HASH array — the declarative
+    * SPECIFICATION of the codegen'd `WordGramKeys` kernel (which is what
+    * `ngramNovelty` executes; equality-tested in AnalysisSpec). Each
+    * gram is the
     * polynomial combine h[i]·31⁴ + h[i+1]·31³ + … + h[i+n-1] (for n=5) —
     * integer-only, so no gram string is ever built and no per-gram md5
     * runs (the per-token md5 is the only hashing; measured 4.5 s → ~1 s
@@ -100,24 +111,26 @@ object TextAnalysis {
     * high-cardinality key, joined back postings-side, then one per-doc
     * aggregation. Returns (idCol, n_grams, n_novel, novelty).
     *
-    * Both branches below evaluate tokenize+md5+gramKeys — deliberate:
-    * the per-doc branch needs only size(grams) and stays scan-side
-    * (no explode, no shuffle), while persisting the hashed projection to
+    * Both branches below evaluate the gram-key kernel — deliberate: the
+    * per-doc branch needs only size(grams) and stays scan-side (no
+    * explode, no shuffle), while persisting the keyed projection to
     * share it would cache ~the corpus's token stream. Callers that ALSO
-    * need the grams elsewhere should materialize `__hs` once as a table
-    * and adapt (same guidance as MinHashLSH's shingle recompute note). */
+    * need the grams elsewhere should materialize the key arrays once as
+    * a table (same guidance as MinHashLSH's shingle recompute note).
+    * Keys come from the codegen'd `WordGramKeys` kernel (one byte scan
+    * per doc); `gramKeys` below is its declarative specification. */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
-    val hs = docs.select(col(idCol),
-      transform(TextOps.tokens(col(textCol)), t => TextOps.md5Int32(t)).as("__hs"))
+    val keyed = docs.select(col(idCol),
+      graft.expressions.WordGramKeys.word_gram_keys(col(textCol), n).as("__gs"))
     // n_grams is per-row metadata — computed at the scan, never shuffled.
-    val perDoc = hs.select(col(idCol),
-      size(gramKeys(col("__hs"), n)).cast("long").as("n_grams"))
+    val perDoc = keyed.select(col(idCol),
+      size(col("__gs")).cast("long").as("n_grams"))
     // Novel counts come from the first-sighting side ALONE: min per gram,
     // then count per winning doc — doc-cardinality output, so the final
     // join is per-doc, never a join against the full gram stream.
-    val novel = hs
-      .select(col(idCol), explode(gramKeys(col("__hs"), n)).as("__g"))
+    val novel = keyed
+      .select(col(idCol), explode(col("__gs")).as("__g"))
       .groupBy("__g").agg(min(col(idCol)).as("__first"))
       .groupBy(col("__first").as(idCol)).agg(count(lit(1)).as("n_novel"))
     perDoc.join(novel, Seq(idCol), "left")

@@ -73,6 +73,40 @@ class AnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(2))
   }
 
+  test("PolyFingerprint kernel ≡ the declarative HOF fold (incl. unicode/ws edges)") {
+    val inputs = Seq(
+      "alpha beta gamma", "  leading and trailing  ", "one",
+      "", "   ", "tabs\tand\nnewlines\rmixed\fhere",
+      "unicode héllo wörld 中文 टोकन emoji🙂 end",
+      (1 to 200).map(i => s"tok$i").mkString(" "))
+    val both = inputs.toDF("s").select(
+      TextAnalysis.fingerprint(col("s")).as("k"),
+      TextAnalysis.fingerprintHof(col("s")).as("h"))
+      .as[(Long, Long)].collect()
+    both.zip(inputs).foreach { case ((k, h), in) =>
+      assert(k == h, s"kernel $k != hof $h for input '$in'")
+    }
+  }
+
+  test("WordGramKeys kernel ≡ gramKeys over transform'd md5 hashes") {
+    import graft.text.TextOps
+    val inputs = Seq(
+      "a b c d e f g h i j",     // > n windows
+      "a b c d e",               // exactly n
+      "a b c",                   // < n → whole-doc fold
+      "solo", "", "   ",         // 1 / 0 tokens
+      "dup dup dup dup dup dup", // identical windows → dedup
+      "unicode héllo wörld 中文 টোকেন mixed in here")
+    val both = inputs.toDF("s").select(
+      graft.expressions.WordGramKeys.word_gram_keys(col("s"), 5).as("k"),
+      TextAnalysis.gramKeys(
+        transform(TextOps.tokens(col("s")), t => TextOps.md5Int32(t)), 5).as("h"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.zip(inputs).foreach { case ((k, h), in) =>
+      assert(k == h, s"kernel $k != spec $h for input '$in'")
+    }
+  }
+
   test("bpeTokenCount segments like a GPT-2 pre-tokenizer") {
     val got = Seq("don't stop 123!!").toDF("s")
       .select(TextAnalysis.bpeTokens(col("s")).as("t")).as[Seq[String]].collect()(0)
