@@ -95,6 +95,53 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("Retention: delete phase drops only expired date partitions (K5 ILM delete)") {
+    import java.time.LocalDate
+    val path = tmp()
+    val rows = Seq(
+      (1L, "2024-01-01"), (2L, "2024-02-15"), (3L, "2024-03-01"), (4L, "not-a-date"))
+      .toDF("id", "ds")
+    rows.write.partitionBy("ds").parquet(path)
+    val dropped = Retention.dropExpiredPartitions(spark, path, "ds",
+      minAgeDays = 30, today = LocalDate.parse("2024-03-10"))
+    // cutoff 2024-02-09: jan partition expired, feb/mar kept, junk untouched
+    assert(dropped == Seq("2024-01-01"))
+    val left = spark.read.option("basePath", path)
+      .parquet(path + "/ds=2024-02-15", path + "/ds=2024-03-01")
+    assert(left.count() == 2)
+    val dirs = new java.io.File(path).list().toSet
+    assert(dirs.contains("ds=not-a-date") && !dirs.contains("ds=2024-01-01"))
+  }
+
+  test("Retention: rollover decision trips on age OR size (K5 ILM rollover)") {
+    import java.time.LocalDate
+    val path = tmp()
+    (1 to 100).toDF("x").write.parquet(path)
+    val policy = Retention.Policy(rolloverMaxAgeDays = 7,
+      rolloverMaxBytes = 5L * 1024 * 1024 * 1024, deleteMinAgeDays = 85)
+    val born = LocalDate.parse("2024-03-01")
+    assert(!Retention.needsRollover(spark, path, policy, born, born.plusDays(6)))
+    assert(Retention.needsRollover(spark, path, policy, born, born.plusDays(7)))
+    val tiny = policy.copy(rolloverMaxBytes = 10L)
+    assert(Retention.needsRollover(spark, path, tiny, born, born)) // size trip
+    assert(!Retention.needsRollover(spark, path + "-missing", policy, born, born))
+  }
+
+  test("Retention: policy sidecar roundtrip drives applyPolicy (K5 TBLPROPERTIES analog)") {
+    import java.time.LocalDate
+    val path = tmp()
+    Seq((1L, "2024-01-01"), (2L, "2024-03-05")).toDF("id", "ds")
+      .write.partitionBy("ds").parquet(path)
+    assert(Retention.readPolicy(spark, path).isEmpty)
+    val policy = Retention.Policy(7, 5L * 1024 * 1024 * 1024, 30)
+    Retention.writePolicy(spark, path, policy)
+    assert(Retention.readPolicy(spark, path).contains(policy))
+    val dropped = Retention.applyPolicy(spark, path, "ds", LocalDate.parse("2024-03-10"))
+    assert(dropped == Seq("2024-01-01"))
+    // idempotent: a second pass has nothing left to drop
+    assert(Retention.applyPolicy(spark, path, "ds", LocalDate.parse("2024-03-10")).isEmpty)
+  }
+
   test("bucketedWrite: same-key bucketed tables join with NO shuffle exchange") {
     val facts = (1 to 200).map(i => (i.toLong % 40, s"f$i")).toDF("k", "f")
     val dims = (0 to 39).map(i => (i.toLong, s"d$i")).toDF("k", "d")
