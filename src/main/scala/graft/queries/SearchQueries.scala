@@ -54,10 +54,50 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60, the standard
+    * constant) of the BM25 lexical ranking and a dense cosine ranking
+    * against one query embedding — the fusion step every hybrid search
+    * tier (lexical index + vector index) runs over its two candidate
+    * lists. Docs absent from a list contribute nothing to the fused
+    * score; ties break on doc_id.
+    *
+    * Scale shape: BOTH candidate lists are k-bounded before fusion (BM25
+    * via its salted TopK, the dense side via TopK over a broadcast
+    * single-vector score) — the fusion join and the ranking windows run
+    * on ≤2k rows regardless of corpus size; the corpus is scanned once
+    * per ranker and never joined against itself. */
+  val q87HybridRrf: Q = (s, dir) => {
+    import graft.ops.TopK
+    import graft.similarity.Cosine
+    val n = 100 // per-ranker candidate list size
+    val d = Tables(s, dir, "documents")
+    val lex = TopK.perGroup(
+        Bm25.topK(d, "doc_id", "text", terms, k = n),
+        groupCols = Nil, order = Seq(col("score").desc, col("doc_id").asc),
+        k = n, saltOn = col("doc_id"), rankCol = "lex_rank")
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
+    val qv = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    val sims = e.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"), Cosine.cosine(col("vec"), col("qvec")).as("sim"))
+    val vec = TopK.perGroup(sims,
+        groupCols = Nil, order = Seq(col("sim").desc, col("doc_id").asc),
+        k = n, saltOn = col("doc_id"), rankCol = "vec_rank")
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("lex_rank").isNotNull, lit(1.0) / (col("lex_rank") + 60)).otherwise(lit(0.0)) +
+        when(col("vec_rank").isNotNull, lit(1.0) / (col("vec_rank") + 60)).otherwise(lit(0.0)), 8))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q52_bm25" -> q52Bm25,
     "q53_postings" -> q53Postings,
     "q66_phrase_search" -> q66PhraseSearch,
+    "q87_hybrid_rrf" -> q87HybridRrf,
   )
 
   private val tokCte =
@@ -114,5 +154,44 @@ object SearchQueries {
          SELECT doc_id, count(*) AS n_hits
          FROM a JOIN b USING (doc_id, pos)
          GROUP BY 1 ORDER BY 1""",
+    // same BM25 pipeline as q52 (ranked on the ROUNDED score), same
+    // double-cosine convention as q21; RRF = 1/(60+rank) per list
+    "q87_hybrid_rrf" ->
+      s"""WITH $tokCte,
+         tf AS (SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+                FROM tok, unnest(toks) AS t(term)
+                WHERE t.term IN ('spark', 'merge', 'window')
+                GROUP BY 1, 2, 3),
+         stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         w AS (SELECT tf.doc_id, tf.term,
+                 ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+               FROM tf JOIN df USING (term) CROSS JOIN stats s),
+         p AS (SELECT doc_id,
+                 round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0)
+                   + coalesce(max(CASE WHEN term = 'merge' THEN w END), 0)
+                   + coalesce(max(CASE WHEN term = 'window' THEN w END), 0), 4) AS score
+               FROM w GROUP BY 1),
+         lex AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+                 FROM p QUALIFY lex_rank <= 100),
+         qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+                FROM embeddings WHERE vec_id = 0),
+         sims AS (SELECT e.vec_id AS doc_id,
+             list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(q.qvec, q.qvec))) AS sim
+           FROM embeddings e, qv q),
+         vec AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+                 FROM sims QUALIFY vec_rank <= 100)
+         SELECT doc_id, lex_rank, vec_rank,
+           round(coalesce(1.0 / (60 + lex_rank), 0)
+             + coalesce(1.0 / (60 + vec_rank), 0), 8) AS rrf
+         FROM lex FULL OUTER JOIN vec USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
   )
 }
