@@ -71,5 +71,17 @@ object GraftExtensions {
     fn("word_ngram_hashes", "word_ngram_hashes(str, k) - distinct 64-bit hashes of k-word shingles", 2) {
       case Seq(c, k) => WordNgramHashes(c, litInt(k, "word_ngram_hashes"))
     },
+    fn("minhash_sig", "minhash_sig(hashes, n) - n-entry MinHash signature over a bigint-array of shingle hashes", 2) {
+      case Seq(c, n) => MinHashSig(c, litInt(n, "minhash_sig"))
+    },
+    fn("simhash48", "simhash48(hashes, bits) - SimHash of a bigint-array of token hashes", 2) {
+      case Seq(c, b) => SimHash48(c, litInt(b, "simhash48"))
+    },
+    fn("poly_fingerprint", "poly_fingerprint(str) - rolling-hash document fingerprint over whitespace tokens", 1) {
+      case Seq(c) => PolyFingerprint(c)
+    },
+    fn("word_gram_keys", "word_gram_keys(str, n) - distinct polynomial word-n-gram keys over md5 token hashes", 2) {
+      case Seq(c, n) => WordGramKeys(c, litInt(n, "word_gram_keys"))
+    },
   )
 }

@@ -30,6 +30,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getInt(5) == 3)
   }
 
+  test("sketch + fingerprint kernels are SQL-callable and match their Column forms") {
+    import graft.analysis.TextAnalysis
+    import graft.text.TextOps
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(text).toDF("s").createOrReplaceTempView("ext_s")
+    val row = spark.sql(
+      """SELECT size(minhash_sig(word_ngram_hashes(s, 3), 16)) AS nm,
+                simhash48(split(s, ' '), 48) AS sh,
+                poly_fingerprint(s) AS fp,
+                size(word_gram_keys(s, 5)) AS ng
+         FROM ext_s""").collect()(0)
+    assert(row.getInt(0) == 16)
+    val (fpCol, ngCol) = Seq(text).toDF("s").select(
+        TextAnalysis.fingerprint(col("s")).as("fp"),
+        size(graft.expressions.WordGramKeys.word_gram_keys(col("s"), 5)).as("ng"))
+      .as[(Long, Int)].collect()(0)
+    assert(row.getLong(2) == fpCol)
+    assert(row.getInt(3) == ngCol && ngCol == 4) // 8 tokens -> 4 windows
+    assert(row.getLong(1) == Seq(text).toDF("s").select(
+      graft.expressions.SimHash48.simhash48(split(col("s"), " "), 48))
+      .as[Long].collect()(0))
+  }
+
   test("non-literal k is rejected with a helpful error") {
     Seq(("abc", 2)).toDF("s", "k").createOrReplaceTempView("ext_k")
     val ex = intercept[Exception] {
