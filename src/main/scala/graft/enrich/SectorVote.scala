@@ -89,12 +89,17 @@ object SectorVote {
       .select(col(docCol), col("ld.lvl").as("lvl"),
         (col("code") / col("ld.div")).cast("long").as("lvl_code"), col("cnt"))
       .groupBy(docCol, "lvl", "lvl_code").agg(sum("cnt").as("lcnt"))
-    val w = Window.partitionBy(docCol, "lvl")
+    // Winner per (doc, lvl) as a hash aggregation, not a sorted window:
+    // max(struct(lcnt, -lvl_code)) is the (largest count, then smallest
+    // code) argmax — map-side partials, no per-partition sort (the q23
+    // min(struct) pattern; the window form measured ~15% slower at sf0.1
+    // and its sort is pure overhead at any scale).
     val winners = lvlCounts
-      .withColumn("total", sum("lcnt").over(w))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("lcnt").desc, col("lvl_code").asc)))
-      .filter(col("rn") === 1)
+      .groupBy(docCol, "lvl")
+      .agg(sum("lcnt").as("total"),
+        max(struct(col("lcnt"), (-col("lvl_code")).as("neg"))).as("best"))
+      .select(col(docCol), col("lvl"), col("total"),
+        col("best.lcnt").as("lcnt"), (-col("best.neg")).as("lvl_code"))
       .withColumn("win",
         when(col("lcnt") * denom > col("total") * num, col("lvl_code")))
     val pivoted = winners.groupBy(docCol).agg(
