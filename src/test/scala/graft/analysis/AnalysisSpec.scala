@@ -107,6 +107,39 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("property: kernels ≡ HOF specs on random unicode strings (ScalaCheck)") {
+    import org.scalacheck.Gen
+    import graft.text.TextOps
+    val params = Gen.Parameters.default
+    // mix whitespace-heavy unicode strings with plain ascii
+    val gen = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "), Gen.const("\t"),
+        Gen.const("héllo"), Gen.const("中文词"), Gen.const("\n"))).map(_.mkString))
+    val samples = (1 to 60).flatMap(i =>
+      gen.apply(params, org.scalacheck.rng.Seed(9000L + i)))
+    val rows = samples.toDF("s").select(
+      TextAnalysis.fingerprint(col("s")).as("fpK"),
+      TextAnalysis.fingerprintHof(col("s")).as("fpH"),
+      graft.expressions.WordGramKeys.word_gram_keys(col("s"), 3).as("gk"),
+      TextAnalysis.gramKeys(
+        transform(TextOps.tokens(col("s")), t => TextOps.md5Int32(t)), 3).as("gh"))
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect()
+    rows.zip(samples).foreach { case ((fpK, fpH, gk, gh), in) =>
+      assert(fpK == fpH, s"fingerprint mismatch for '${in.take(60)}'")
+      assert(gk == gh, s"gramKeys mismatch for '${in.take(60)}'")
+    }
+  }
+
+  test("PolyFingerprint and WordGramKeys participate in whole-stage codegen") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.expressions.PolyFingerprint.poly_fingerprint(col("text")).as("fp"),
+        graft.expressions.WordGramKeys.word_gram_keys(col("text"), 5).as("gk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[poly_fingerprint.*"), s"plan was:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("bpeTokenCount segments like a GPT-2 pre-tokenizer") {
     val got = Seq("don't stop 123!!").toDF("s")
       .select(TextAnalysis.bpeTokens(col("s")).as("t")).as[Seq[String]].collect()(0)
