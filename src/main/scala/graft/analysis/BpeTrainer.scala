@@ -1,0 +1,93 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level BPE tokenizer training — the full iterative loop whose
+  * single inner step is q71's pair-count aggregation. (Sennrich et al.
+  * 2016's algorithm, re-expressed for a distributed corpus; the
+  * reference pipeline counts tokens for budgeting — training the
+  * tokenizer ON the corpus is the capability an LLM data pipeline
+  * actually wants from that statistic.)
+  *
+  * Scale shape — the standard two-tier trick:
+  *  - ONE corpus-scale pass builds the word-frequency table
+  *    (`groupBy(token).count`, map-side combined). Everything after
+  *    operates on the WORD TABLE (vocabulary-sized: ~10⁵–10⁶ rows for
+  *    100 TB of text), never the corpus again — K merge rounds cost
+  *    K × (vocabulary aggregation), not K × (corpus scan).
+  *  - each round: adjacent-pair counts weighted by word frequency (one
+  *    hash aggregation), driver pulls ONE row (the argmax — count desc,
+  *    then pair asc, so training is deterministic), and the merge is
+  *    applied per word with a typed map (a per-row sequential rewrite —
+  *    inherently imperative, the documented exception shape).
+  *  - `localCheckpoint` truncates lineage each round, as `Clusters`
+  *    does — without it round i replans rounds 0..i-1.
+  *
+  * Returns the ordered merge list — the tokenizer model; apply it with
+  * [[encode]].
+  */
+object BpeTrainer {
+
+  /** One word as its current symbol sequence + corpus frequency. */
+  case class WordSyms(syms: Seq[String], freq: Long)
+
+  /** Apply one merge (a, b) → a+b left-to-right over a symbol sequence —
+    * the same greedy semantics as the original implementation. */
+  def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Train `numMerges` BPE merges over a tokenized corpus column.
+    * Returns merges in application order. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tier 1: corpus → word-frequency table, split to character symbols
+    var words: Dataset[WordSyms] = docs
+      .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => WordSyms(w.map(_.toString), f) }
+      .localCheckpoint(true)
+
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    while (round < numMerges) {
+      // adjacent-pair counts weighted by word frequency (q71's statistic);
+      // argmax pulls ONE row to the driver: count desc, then pair asc
+      val best = words
+        .flatMap(ws => ws.syms.iterator.zip(ws.syms.iterator.drop(1))
+          .map { case (a, b) => (a, b, ws.freq) })
+        .toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect().headOption
+      best match {
+        case Some((a, b, cnt)) if cnt >= 2 =>
+          merges += ((a, b))
+          words = words.map(ws => ws.copy(syms = mergeOnce(ws.syms, a, b)))
+            .localCheckpoint(true)
+          round += 1
+        case _ => round = numMerges // nothing left worth merging
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode a word with a trained merge list (applied in order) —
+    * the tokenizer's inference half. */
+  def encode(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (a, b)) => mergeOnce(syms, a, b)
+    }
+}

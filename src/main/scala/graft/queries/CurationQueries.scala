@@ -247,7 +247,25 @@ object CurationQueries {
       .orderBy("bucket")
   }
 
+  /** Full BPE tokenizer training over the corpus (8 merge rounds) — the
+    * iterative loop whose single step is q71; see `analysis/BpeTrainer`
+    * for the two-tier scale shape (one corpus pass → vocabulary-sized
+    * rounds). No SQL oracle: K-round iterative training with a greedy
+    * argmax per round is not SQL-expressible, so the driver records the
+    * rows-only check; BpeTrainerSpec equality-checks the trainer against
+    * a single-machine reference implementation instead. Output: the
+    * ordered merge table (the tokenizer model). */
+  val q88BpeTrain: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val merges = graft.analysis.BpeTrainer.train(d, "text", numMerges = 8)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("merge_idx", "left_sym", "right_sym")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q88_bpe_train" -> q88BpeTrain,
     "q82_equidepth_hist" -> q82EquiDepthHist,
     "q75_table_stats" -> q75TableStats,
     "q71_bpe_merge_step" -> q71BpeMergeStep,

@@ -1,0 +1,59 @@
+package graft.analysis
+
+import graft.SparkSpec
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // single-machine reference implementation (Sennrich et al. semantics,
+  // same deterministic tie-break: count desc, then pair asc)
+  private def refTrain(freq0: Map[String, Long], k: Int): Seq[(String, String)] = {
+    var words: Seq[(Seq[String], Long)] =
+      freq0.toSeq.map { case (w, f) => (w.map(_.toString), f) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          out += ((a, b))
+          words = words.map { case (s, f) => (BpeTrainer.mergeOnce(s, a, b), f) }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  private val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+  private def corpus = freq.toSeq.flatMap { case (w, f) =>
+    Seq.fill(f.toInt)(w)
+  }.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+
+  test("distributed train ≡ single-machine reference on the classic corpus") {
+    val got = BpeTrainer.train(corpus, "text", numMerges = 6)
+    val want = refTrain(freq, 6)
+    assert(got == want, s"got $got, want $want")
+    // the classic first merges: (e,s) 9 then (es,t) 9 dominate
+    assert(got.take(2) == Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("encode applies the merge list in training order") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    assert(BpeTrainer.encode("newest", merges) == Seq("n", "e", "w", "est"))
+    assert(BpeTrainer.encode("lowest", merges) == Seq("low", "est"))
+    assert(BpeTrainer.encode("", merges).isEmpty)
+  }
+
+  test("training stops early when no pair repeats") {
+    val tiny = Seq("ab cd").toDF("text") // every adjacent pair has count 1
+    assert(BpeTrainer.train(tiny, "text", numMerges = 5).isEmpty)
+  }
+
+  test("mergeOnce is greedy left-to-right (overlapping runs)") {
+    assert(BpeTrainer.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+  }
+}
