@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analysis.UnigramLm
+import graft.analysis.{NaiveBayes, UnigramLm}
 import graft.dedup.{BloomDecontaminate, ChunkDedup}
 import graft.ops.{Sampling, TopK}
 import graft.text.TextOps
@@ -264,7 +264,37 @@ object CurationQueries {
       .toDF("merge_idx", "left_sym", "right_sym")
   }
 
+  /** Naive Bayes classifier training over the md5-bucket<80 split
+    * (labels = source): the per-label model summary — doc/token counts
+    * and the decimal prior/unseen NLL terms. The fasttext-style
+    * supervised router every curation pipeline trains; see
+    * `analysis/NaiveBayes` for the sparse two-term scale shape. */
+  val q89NbTrain: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val trainSplit = d.filter(pmod(TextOps.md5Int32(col("text")), lit(100)) < 80)
+    val (_, stats) = NaiveBayes.train(trainSplit, "source", "text")
+    stats.select(col("label").as("source"),
+        col("n_docs_l").as("n_docs"), col("total_l").as("n_tokens"),
+        round(col("prior_nll").cast("double"), 4).as("prior_nll"),
+        round(col("unseen_nll").cast("double"), 4).as("unseen_nll"))
+      .orderBy("source")
+  }
+
+  /** Naive Bayes inference: classify the held-out split (bucket >= 80)
+    * with the bucket<80 model. Scores are exact decimal sums, so the
+    * argmin label is partition-order independent and hash-matches the
+    * DuckDB mirror bit-for-bit. */
+  val q90NbClassify: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val (model, stats) = NaiveBayes.train(d.filter(bucket < 80), "source", "text")
+    NaiveBayes.classify(d.filter(bucket >= 80), "doc_id", "text", model, stats)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q90_nb_classify" -> q90NbClassify,
+    "q89_nb_train" -> q89NbTrain,
     "q88_bpe_train" -> q88BpeTrain,
     "q82_equidepth_hist" -> q82EquiDepthHist,
     "q75_table_stats" -> q75TableStats,
@@ -420,6 +450,62 @@ object CurationQueries {
          FROM documents)
          SELECT doc_id, n_chars, sample_key FROM s
          ORDER BY sample_key, doc_id LIMIT 50""",
+    "q89_nb_train" ->
+      s"""WITH $tokCte,
+         sp AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b
+                FROM documents),
+         trd AS (SELECT d.doc_id, d.source, tok.toks
+                 FROM tok JOIN sp USING (doc_id) JOIN documents d USING (doc_id)
+                 WHERE sp.b < 80),
+         t AS (SELECT doc_id, source, unnest(toks) AS token FROM trd),
+         pair AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+         lt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_l FROM pair GROUP BY 1),
+         v AS (SELECT count(DISTINCT token) AS vocab FROM pair),
+         nd AS (SELECT source, count(*) AS n_docs_l FROM trd GROUP BY 1),
+         na AS (SELECT count(*) AS n_docs FROM trd)
+         SELECT lt.source, nd.n_docs_l AS n_docs, lt.total_l AS n_tokens,
+           round(CAST(CAST(-ln(nd.n_docs_l / CAST(na.n_docs AS DOUBLE)) AS DECIMAL(16,12)) AS DOUBLE), 4) AS prior_nll,
+           round(CAST(CAST(-ln(1.0 / (lt.total_l + v.vocab)) AS DECIMAL(16,12)) AS DOUBLE), 4) AS unseen_nll
+         FROM lt JOIN nd USING (source) CROSS JOIN v CROSS JOIN na
+         ORDER BY source""",
+    "q90_nb_classify" ->
+      s"""WITH $tokCte,
+         sp AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b
+                FROM documents),
+         trd AS (SELECT d.doc_id, d.source AS label, tok.toks
+                 FROM tok JOIN sp USING (doc_id) JOIN documents d USING (doc_id)
+                 WHERE sp.b < 80),
+         t AS (SELECT doc_id, label, unnest(toks) AS token FROM trd),
+         pair AS (SELECT label, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+         lt AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS total_l FROM pair GROUP BY 1),
+         v AS (SELECT count(DISTINCT token) AS vocab FROM pair),
+         nd AS (SELECT label, count(*) AS n_docs_l FROM trd GROUP BY 1),
+         na AS (SELECT count(*) AS n_docs FROM trd),
+         st AS (SELECT lt.label,
+                  CAST(-ln(nd.n_docs_l / CAST(na.n_docs AS DOUBLE)) AS DECIMAL(16,12)) AS prior_nll,
+                  CAST(-ln(1.0 / (lt.total_l + v.vocab)) AS DECIMAL(16,12)) AS unseen_nll,
+                  lt.total_l, v.vocab
+                FROM lt JOIN nd USING (label) CROSS JOIN v CROSS JOIN na),
+         m AS (SELECT p.label, p.token,
+                 CAST(-ln((p.cnt + 1.0) / (st.total_l + st.vocab)) AS DECIMAL(28,12))
+                   - CAST(-ln(1.0 / (st.total_l + st.vocab)) AS DECIMAL(28,12)) AS delta
+               FROM pair p JOIN st USING (label)),
+         ho AS (SELECT tok.doc_id, unnest(toks) AS token
+                FROM tok JOIN sp USING (doc_id) WHERE sp.b >= 80),
+         sparse AS (SELECT ho.doc_id, m.label,
+                      CAST(sum(m.delta) AS DECIMAL(28,12)) AS sum_delta
+                    FROM ho JOIN m USING (token) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS n_tokens FROM ho GROUP BY 1),
+         scored AS (SELECT dl.doc_id, st.label,
+                      st.prior_nll + CAST(st.unseen_nll * dl.n_tokens AS DECIMAL(28,12))
+                        + coalesce(s2.sum_delta, CAST(0 AS DECIMAL(28,12))) AS score
+                    FROM dl CROSS JOIN st
+                    LEFT JOIN sparse s2 ON s2.doc_id = dl.doc_id AND s2.label = st.label),
+         r AS (SELECT doc_id, label, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score, label) AS rn
+               FROM scored)
+         SELECT doc_id, label AS pred_label, round(CAST(score AS DOUBLE), 4) AS score
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q56_unigram_lm" ->
       s"""WITH $tokCte,
          t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
