@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.analysis.{NaiveBayes, UnigramLm}
-import graft.dedup.{BloomDecontaminate, ChunkDedup}
+import graft.dedup.{BloomDecontaminate, ChunkDedup, SubstringDedup}
 import graft.ops.{Sampling, TopK}
 import graft.text.TextOps
 
@@ -292,7 +292,17 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-span dedup report (width-10 sliding windows,
+    * global keep-first): the sub-chunk-granularity "deduplicating
+    * training data" pass — catches repeated passages that straddle
+    * q54's aligned chunk boundaries. See `dedup/SubstringDedup`. */
+  val q91SubstringDedup: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    SubstringDedup.report(d, "doc_id", "text", width = 10).orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q91_substring_dedup" -> q91SubstringDedup,
     "q90_nb_classify" -> q90NbClassify,
     "q89_nb_train" -> q89NbTrain,
     "q88_bpe_train" -> q88BpeTrain,
@@ -450,6 +460,29 @@ object CurationQueries {
          FROM documents)
          SELECT doc_id, n_chars, sample_key FROM s
          ORDER BY sample_key, doc_id LIMIT 50""",
+    "q91_substring_dedup" ->
+      s"""WITH $tokCte,
+         w0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10
+                  THEN [array_to_string(toks[i:i+9], ' ') for i in range(1, len(toks) - 8)]
+                  ELSE [] END AS gs FROM tok),
+         w AS (SELECT doc_id, unnest(range(0, len(gs))) AS w_pos, unnest(gs) AS gram
+               FROM w0),
+         k AS (SELECT doc_id, w_pos,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, w_pos) AS rn
+               FROM w),
+         dup AS (SELECT doc_id, w_pos FROM k WHERE rn > 1),
+         cov AS (SELECT DISTINCT doc_id, p FROM
+                   (SELECT doc_id, unnest(range(w_pos, w_pos + 10)) AS p FROM dup)),
+         dc AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY 1),
+         rc AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1),
+         base AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CASE WHEN len(toks) >= 10 THEN len(toks) - 9 ELSE 0 END AS n_windows
+                  FROM tok)
+         SELECT base.doc_id, base.n_tokens, base.n_windows,
+           coalesce(dc.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(rc.n_removed, 0) AS n_removed
+         FROM base LEFT JOIN dc USING (doc_id) LEFT JOIN rc USING (doc_id)
+         ORDER BY doc_id""",
     "q89_nb_train" ->
       s"""WITH $tokCte,
          sp AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b
