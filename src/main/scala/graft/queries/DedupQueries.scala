@@ -177,7 +177,24 @@ object DedupQueries {
       .orderBy("cluster")
   }
 
+  /** Same pairs → clusters as q39 but through the large-star/small-star
+    * alternation (`Clusters.connectedComponentsStar`) — the O(log n)
+    * -round variant for adversarially deep components; must produce the
+    * identical clustering. */
+  val q92StarClusters: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    Clusters.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("component").as("cluster"),
+        (col("v") === col("component")).as("is_representative"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q92_star_clusters" -> q92StarClusters,
     "q83_best_keeper" -> q83BestKeeper,
     "q59_incremental_neardup" -> q59IncrementalNeardup,
     "q44_decontamination" -> q44Decontamination,
@@ -286,6 +303,22 @@ object DedupQueries {
          SELECT cluster, n_members, v AS keeper, n_chars AS keeper_chars
          FROM ranked WHERE rn = 1 ORDER BY cluster""",
     "q39_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u)
+         SELECT v AS doc_id, min(u) AS cluster,
+           (v = min(u)) AS is_representative
+         FROM reach GROUP BY v ORDER BY doc_id""",
+    // identical ground truth to q39: the star-contraction variant must
+    // produce the same clustering
+    "q92_star_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
          e AS (SELECT a.doc_id AS a, b.doc_id AS b
                FROM SH a JOIN SH b ON a.doc_id < b.doc_id

@@ -48,6 +48,31 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("star contraction ≡ label propagation on random graphs (incl. self-loops)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) :+
+        ((n + 5L, n + 5L)) // self-loop-only vertex
+      val df = edges.toDF("a", "b")
+      val prop = Clusters.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val star = Clusters.connectedComponentsStar(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial: $star != $prop")
+    }
+  }
+
+  test("star contraction resolves a 64-chain within its O(log n) round budget") {
+    // diameter 63: label propagation would need 63 rounds — star
+    // contraction must finish far inside maxIter = 10
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Clusters.connectedComponentsStar(edges, "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 1L), got.filter(_._2 != 1L).mkString(","))
+  }
+
   test("assign: exactly one representative per cluster, labeled with the min id") {
     val edges = Seq((5L, 6L), (6L, 9L), (11L, 12L)).toDF("a", "b")
     val got = Clusters.assign(edges, "a", "b")
