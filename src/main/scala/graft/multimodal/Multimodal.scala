@@ -82,12 +82,64 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE magic-byte sniff — same cheap gate as the image probe. */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+      b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+      b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** REAL audio decode (javax.sound.sampled — pure JVM, PCM WAV): true
+    * duration from the frame count/rate and an 8-segment normalized RMS
+    * loudness profile as the feature vector (channel 0 of 16-bit PCM).
+    * Anything the JVM codec can't parse (compressed formats, truncated
+    * payloads) falls back to [[fakeDecode]] — quarantine-able rows, not
+    * job aborts, same policy as the image path. */
+  def audioDecode(r: MediaRow): MediaFeatures = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      if (frames <= 0 || fmt.getFrameRate <= 0 || fmt.getSampleSizeInBits != 16)
+        fakeDecode(r)
+      else {
+        val durMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+        val data = ais.readAllBytes()
+        val stride = fmt.getFrameSize // all channels; we read channel 0
+        val bigEndian = fmt.isBigEndian
+        val n = data.length / stride
+        val rms = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val off = i * stride
+          val s =
+            if (bigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+            else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+          val seg = (i * 8L / math.max(n, 1)).toInt
+          rms(seg) += s.toDouble * s.toDouble
+          cnt(seg) += 1
+          i += 1
+        }
+        val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+        val feat = Array.tabulate(8)(j =>
+          if (cnt(j) == 0) 0f
+          else (math.sqrt(rms(j) / cnt(j)) / Short.MaxValue).toFloat)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, h,
+          width = 0, height = 0, duration_ms = durMs, feature = feat)
+      }
+    } catch { case _: Exception => fakeDecode(r) }
+  }
+
   /** Kind-dispatching decoder: the real JVM image codec for image
-    * payloads carrying a PNG/JPEG header, the deterministic stand-in for
-    * everything else (audio/video). This is the default codec of both
-    * decode entry points. */
+    * payloads carrying a PNG/JPEG header, the real JVM WAV codec for
+    * audio payloads carrying a RIFF/WAVE header, the deterministic
+    * stand-in for everything else (video, unparseable bytes). This is
+    * the default codec of both decode entry points. */
   def decode(r: MediaRow): MediaFeatures =
     if (r.kind == "image" && looksLikeImage(r.payload)) imageDecode(r)
+    else if (r.kind == "audio" && looksLikeWav(r.payload)) audioDecode(r)
     else fakeDecode(r)
 
   /** Batched per-partition decode: one pass per partition, constant

@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSpec {
     assert(fake.height == (fake.width * 9) / 16) // stand-in's synthetic aspect
   }
 
+  test("audioDecode: a real in-memory PCM WAV yields true duration + RMS profile") {
+    // canonical 44-byte WAV header, 16-bit mono 8000 Hz, 4000 samples
+    // (500 ms): first half silence, second half constant 16384
+    val nSamples = 4000
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    (0 until nSamples).foreach(i => bb.putShort(if (i < nSamples / 2) 0 else 16384))
+    val wav = bb.array()
+    val f = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(9L, "audio", wav)).toDS()).collect()(0)
+    assert(f.duration_ms == 500L)
+    assert(f.width == 0 && f.height == 0)
+    (0 until 4).foreach(i => assert(f.feature(i) == 0f, s"bin $i"))
+    (4 until 8).foreach(i =>
+      assert(math.abs(f.feature(i) - 16384f / Short.MaxValue) < 1e-4, s"bin $i"))
+    // non-WAV bytes under the audio kind still route to the stand-in
+    val fake = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(10L, "audio", "not a wav".getBytes)).toDS()).collect()(0)
+    assert(fake.height == (fake.width * 9) / 16)
+  }
+
   test("audio kind gets a duration; image does not") {
     val df = Seq((1L, "wavbytes")).toDF("id", "text")
     val img = Multimodal.decodeFeatures(Multimodal.fromText(df, "id", "text", "image")).collect()(0)
