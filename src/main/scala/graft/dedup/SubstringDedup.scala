@@ -58,7 +58,10 @@ object SubstringDedup {
   /** Per-doc removal report over ALL docs (short docs report zeros):
     * (idCol, n_tokens, n_windows, n_dup_windows, n_removed). */
   def report(docs: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
-    val dups = dupWindows(docs, idCol, textCol, width)
+    // dup windows feed two aggregations (count + coverage); materialize
+    // once — the set is dup-window-sized (≪ corpus), the generation
+    // pipeline is a full corpus explode
+    val dups = dupWindows(docs, idCol, textCol, width).localCheckpoint(true)
     val nTok = size(TextOps.tokens(col(textCol)))
     val base = docs.select(col(idCol), nTok.cast("long").as("n_tokens"),
       when(nTok >= width, nTok - (width - 1)).otherwise(lit(0))
