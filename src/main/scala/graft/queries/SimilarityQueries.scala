@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TopK
-import graft.similarity.{Cosine, IvfFlat, ProductQuantizer, RandomHyperplaneLSH, SemanticDedup}
+import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
   * operators; reference analog N8/N9 `tencent_api.py:111-136`).
@@ -182,7 +182,46 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** kNN-GRAPH construction: every vector's top-3 cosine neighbors among
+    * its LSH bucket-mates (both directions — each vector is a query).
+    * The input to graph-based semantic dedup / diversity scoring; same
+    * implementation-parity oracle story as q22/q37, then exact rerank +
+    * salted TopK. Vectors whose buckets are all singletons emit no rows
+    * (an honest ANN answer, mirrored by the oracle). */
+  val q93KnnGraph: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, NearDupBits, Dims)
+    val cands = b.toDF("src", "table", "sig")
+      .join(b.toDF("dst", "table", "sig"), Seq("table", "sig"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val scored = cands
+      .join(all.select(col("vec_id").as("src"), col("vec").as("vs")), "src")
+      .join(all.select(col("vec_id").as("dst"), col("vec").as("vd")), "dst")
+      .withColumn("sim", Cosine.cosine(col("vs"), col("vd")))
+    TopK.perGroup(scored, Seq("src"), Seq(col("sim").desc, col("dst").asc), 3,
+        saltOn = hash(col("dst")), rankCol = "rank")
+      .select(col("src"), col("rank"), col("dst"), round(col("sim"), 6).as("sim"))
+      .orderBy("src", "rank")
+  }
+
+  /** Dominant-direction projection (power-iteration PCA, 8 unrolled
+    * rounds): the "all-but-the-top" debias signal per vector. Oracle is
+    * the GENERATED unrolled-CTE mirror (`Pca.oracleSql`) — decimal sums
+    * make every round bit-identical cross-engine. */
+  val q94PcaProject: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+    val xc = Pca.centered(all, "vec_id", "embedding").localCheckpoint(true)
+    val v = Pca.principalComponent(xc, "vec_id", Dims, iters = 8)
+    Pca.project(xc, "vec_id", v)
+      .select(col("vec_id"), round(col("proj"), 4).as("proj"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q94_pca_project" -> q94PcaProject,
+    "q93_knn_graph" -> q93KnnGraph,
     "q65_semantic_dedup" -> q65SemanticDedup,
     "q60_ann_pq" -> q60AnnPq,
     "q49_kmeans_step" -> q49KmeansStep,
@@ -200,6 +239,32 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    // generated unrolled-CTE mirror of the 8-round power iteration
+    "q94_pca_project" -> Pca.oracleSql(Dims, iters = 8),
+    // identical md5 hyperplanes -> identical buckets -> exact top-3
+    // among bucket-mates, both directions
+    "q93_knn_graph" ->
+      s"""WITH pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
+             CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+           FROM range(0, $NumTables) t, range(0, $NearDupBits) b, range(0, $Dims) d),
+         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
+           FROM allv a, pl p GROUP BY 1, 2, 3),
+         sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
+           FROM dots GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
+           FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+           WHERE l.vec_id <> r.vec_id),
+         scored AS (SELECT cand.src, cand.dst,
+             list_inner_product(x.v, y.v)
+               / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS sim
+           FROM cand JOIN allv x ON x.vec_id = cand.src JOIN allv y ON y.vec_id = cand.dst),
+         ranked AS (SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+           FROM scored)
+         SELECT src, CAST(rank AS INT) AS rank, dst, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY 1, 2""",
     // same deterministic cell assignment as q34's oracle, then pairs
     // within each cell only, keep-lowest-id
     "q65_semantic_dedup" ->

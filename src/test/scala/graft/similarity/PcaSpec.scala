@@ -1,0 +1,47 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // points strung along (0.6, 0.8, 0, 0) with tiny orthogonal noise:
+  // the dominant direction is unambiguous
+  private def corpus = Seq(
+    (1L, Array(6f, 8f, 0.1f, 0f)),
+    (2L, Array(12f, 16f, -0.1f, 0f)),
+    (3L, Array(18f, 24f, 0.2f, 0f)),
+    (4L, Array(24f, 32f, -0.2f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("power iteration recovers the dominant direction, sign-canonicalized") {
+    val xc = Pca.centered(corpus, "vec_id", "embedding")
+    val v = Pca.principalComponent(xc, "vec_id", dims = 4, iters = 20)
+    // the orthogonal noise tilts the true eigenvector by O(noise²/gap):
+    // ~1e-4 here, so assert at that scale, not machine precision
+    assert(math.abs(v(0) - 0.6) < 1e-3, v.mkString(","))
+    assert(math.abs(v(1) - 0.8) < 1e-3) // largest |component| positive
+    assert(math.abs(v(2)) < 0.05 && math.abs(v(3)) < 1e-9)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("projections are the centered coordinates along the component") {
+    val xc = Pca.centered(corpus, "vec_id", "embedding")
+    val v = Pca.principalComponent(xc, "vec_id", dims = 4, iters = 20)
+    val p = Pca.project(xc, "vec_id", v).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // t values 10,20,30,40 centered at 25
+    assert(math.abs(p(1L) - (-15.0)) < 1e-2, p)
+    assert(math.abs(p(2L) - (-5.0)) < 1e-2)
+    assert(math.abs(p(3L) - 5.0) < 1e-2)
+    assert(math.abs(p(4L) - 15.0) < 1e-2)
+  }
+
+  test("decimal sums make the component bit-identical across partitionings") {
+    val one = Pca.centered(corpus.coalesce(1), "vec_id", "embedding")
+    val many = Pca.centered(corpus.repartition(8), "vec_id", "embedding")
+    val v1 = Pca.principalComponent(one, "vec_id", dims = 4, iters = 6)
+    val v8 = Pca.principalComponent(many, "vec_id", dims = 4, iters = 6)
+    assert(v1.toSeq == v8.toSeq) // exact, not approximate
+  }
+}
