@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, RangeJoin, ZOrder}
+import graft.ops.{AsOfJoin, GapFill, RangeJoin, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -251,7 +251,17 @@ object TemporalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Daily gap fill + LOCF per event type: aggregate first (events →
+    * type×day grid), densify each key's own [min, max] span, zero-fill
+    * counts, forward-fill the daily value. See `ops/GapFill`. */
+  val q95GapFill: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    GapFill.forwardFillDaily(ev, "event_type", "ts", "value")
+      .orderBy("event_type", "bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q95_gap_fill" -> q95GapFill,
     "q79_asof_bucketed" -> q79AsofBucketed,
     "q80_asof_forward" -> q80AsofForward,
     "q77_nearest_event" -> q77NearestEvent,
@@ -278,6 +288,21 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    "q95_gap_fill" ->
+      """WITH agg AS (SELECT event_type, date_trunc('day', ts) AS bucket,
+             count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 4) AS bv
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                  FROM agg GROUP BY 1),
+         cal AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+                 FROM span),
+         j AS (SELECT cal.event_type, cal.bucket,
+                 coalesce(agg.n, 0) AS n_events, agg.bv
+               FROM cal LEFT JOIN agg USING (event_type, bucket))
+         SELECT event_type, bucket, n_events,
+           last_value(bv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM j ORDER BY 1, 2""",
     // identical ground truth to q50 — proves the bucketed variant
     "q79_asof_bucketed" -> asofBackwardSql,
     "q80_asof_forward" ->
