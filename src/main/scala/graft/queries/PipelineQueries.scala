@@ -145,7 +145,33 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** SCD2 dimension historization over customer: one merge batch
+    * covering all four cases — %7==0 changed (close + reopen), %7==3
+    * no-op update, %50==0 brand-new key, everything else untouched.
+    * See `sinks/Scd2`. */
+  val q96Scd2: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val base = c.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment"),
+      lit("2024-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    val upd = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal") + 100).as("c_acctbal"),
+          lit("MOVED").as("c_mktsegment"), lit("2024-06-01").as("eff"))
+      .unionByName(c.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"), lit("2024-06-01").as("eff")))
+      .unionByName(c.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"), col("c_nationkey"),
+          col("c_acctbal"), lit("NEW").as("c_mktsegment"), lit("2024-06-01").as("eff")))
+    graft.sinks.Scd2.merge(base, upd, "c_custkey",
+        Seq("c_nationkey", "c_acctbal", "c_mktsegment"), "eff")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q96_scd2" -> q96Scd2,
     "q81_frame_sample" -> q81FrameSample,
     "q25_array_ops" -> q25ArrayOps,
     "q26_job_expansion" -> q26JobExpansion,
@@ -155,6 +181,42 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+             '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             TRUE AS is_current
+           FROM customer),
+         upd AS (
+           SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             'MOVED' AS c_mktsegment, '2024-06-01' AS eff
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, '2024-06-01'
+           FROM customer WHERE c_custkey % 7 = 3
+           UNION ALL
+           SELECT c_custkey + 100000, c_nationkey, c_acctbal, 'NEW', '2024-06-01'
+           FROM customer WHERE c_custkey % 50 = 0),
+         m AS (SELECT c_custkey,
+             b.c_nationkey AS bn, b.c_acctbal AS ba, b.c_mktsegment AS bm,
+             b.valid_from AS bvf, b.valid_to AS bvt,
+             u.c_nationkey AS un, u.c_acctbal AS ua, u.c_mktsegment AS um, u.eff,
+             b.valid_from IS NOT NULL AS cur_exists,
+             u.eff IS NOT NULL AS upd_exists,
+             NOT (b.c_nationkey IS NOT DISTINCT FROM u.c_nationkey
+              AND b.c_acctbal IS NOT DISTINCT FROM u.c_acctbal
+              AND b.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment) AS changed
+           FROM base b FULL JOIN upd u USING (c_custkey)),
+         fromcur AS (SELECT c_custkey, bn AS c_nationkey, ba AS c_acctbal,
+             bm AS c_mktsegment, bvf AS valid_from,
+             CASE WHEN upd_exists AND changed THEN eff ELSE bvt END AS valid_to,
+             NOT (upd_exists AND changed) AS is_current
+           FROM m WHERE cur_exists),
+         fromupd AS (SELECT c_custkey, un AS c_nationkey, ua AS c_acctbal,
+             um AS c_mktsegment, eff AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+           FROM m WHERE upd_exists AND (NOT cur_exists OR changed))
+         SELECT * FROM fromcur UNION ALL SELECT * FROM fromupd
+         ORDER BY c_custkey, valid_from""",
     // integer frame count (bytes*40 ms, 1 fps), md5-derived frame values;
     // avg over <2^53-bounded integer sums is exact in both engines
     "q81_frame_sample" ->
