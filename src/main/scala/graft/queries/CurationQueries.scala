@@ -301,7 +301,20 @@ object CurationQueries {
     SubstringDedup.report(d, "doc_id", "text", width = 10).orderBy("doc_id")
   }
 
+  /** Exact top-20 tokens via the bounded-memory two-pass (Misra-Gries
+    * prune → exact recount): same truth as a plain groupBy top-k, but
+    * no task ever holds more than `cap` counters — the path for item
+    * domains that dwarf executor memory. See `ops/HeavyHitters`. */
+  val q97HeavyHitters: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+    graft.ops.HeavyHitters.topItems(toks, "token", k = 20, cap = 4096)
+      .select(col("item").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q97_heavy_hitters" -> q97HeavyHitters,
     "q91_substring_dedup" -> q91SubstringDedup,
     "q90_nb_classify" -> q90NbClassify,
     "q89_nb_train" -> q89NbTrain,
@@ -460,6 +473,11 @@ object CurationQueries {
          FROM documents)
          SELECT doc_id, n_chars, sample_key FROM s
          ORDER BY sample_key, doc_id LIMIT 50""",
+    "q97_heavy_hitters" ->
+      s"""WITH $tokCte,
+         t AS (SELECT unnest(toks) AS token FROM tok),
+         c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+         SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20""",
     "q91_substring_dedup" ->
       s"""WITH $tokCte,
          w0 AS (SELECT doc_id, CASE WHEN len(toks) >= 10
