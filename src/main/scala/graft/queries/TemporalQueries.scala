@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, GapFill, RangeJoin, ZOrder}
+import graft.ops.{AsOfJoin, GapFill, PrefixSum, RangeJoin, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -260,7 +260,22 @@ object TemporalQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Global running total of event value over (ts, event_id) — the
+    * two-phase distributed prefix sum (`ops/PrefixSum`): day buckets,
+    * per-bucket partials + tiny offsets window, bounded within-bucket
+    * windows. A naive global-order window would run in ONE task. */
+  val q98RunningTotal: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    PrefixSum.runningSum(ev.select("event_id", "ts", "value"),
+        bucket = date_trunc("day", col("ts")),
+        order = Seq(col("ts"), col("event_id")),
+        value = col("value"), outCol = "run_total")
+      .select(col("event_id"), round(col("run_total"), 4).as("run_total"))
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q98_running_total" -> q98RunningTotal,
     "q95_gap_fill" -> q95GapFill,
     "q79_asof_bucketed" -> q79AsofBucketed,
     "q80_asof_forward" -> q80AsofForward,
@@ -288,6 +303,13 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    "q98_running_total" ->
+      """SELECT event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(28,12)))
+             OVER (ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+             AS run_total
+         FROM events ORDER BY event_id""",
     "q95_gap_fill" ->
       """WITH agg AS (SELECT event_type, date_trunc('day', ts) AS bucket,
              count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 4) AS bv
