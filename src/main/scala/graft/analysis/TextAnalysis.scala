@@ -100,6 +100,100 @@ object TextAnalysis {
       .otherwise(array(aggregate(hs, lit(0L), (acc, h) => acc * 31 + h)))
   }
 
+  /** Per-document token Shannon entropy (nats) — the gibberish/degeneracy
+    * detector next to [[qualityScore]]: token-soup spam maximizes entropy,
+    * degenerate repetition collapses it toward 0. H = ln n − (Σ c·ln c)/n
+    * over the doc's token histogram, so only one corpus pass and a
+    * two-level aggregation (both map-side combined, no join).
+    * Determinism: Σ c·ln c is a DECIMAL(28,12) sum ([[UnigramLm]]'s
+    * trick); the outer arithmetic is per-row IEEE. Returns (idCol,
+    * n_tokens, n_distinct, entropy rounded 4). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum((col("cnt") * log(col("cnt"))).cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) - col("__s").cast("double") / col("n_tokens"),
+          4).as("entropy"))
+
+  /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) with
+    * add-one smoothing over the CORPUS vocabulary — the snapshot-drift /
+    * source-skew monitor a recurring crawl runs between ingests (did this
+    * source's language shift vs the corpus it feeds?).
+    *
+    * Scale shape: the KL sum ranges over vocab × groups rows (every
+    * corpus term contributes to every group, including c_s = 0 terms —
+    * that's what makes it a true KL over the shared support). The grid is
+    * built vocab-side: corpus counts ⨯ broadcast per-group totals, left
+    * join of the group counts — exchanges are vocab-sized, map-side
+    * combined down to one row per group. Per-term contributions are
+    * DECIMAL(28,12)-quantized. Returns (groupCol, n_tokens,
+    * n_shared_vocab, kl rounded 6). */
+  def distributionDrift(docs: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val t = docs.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val cs = t.groupBy(groupCol, "token").agg(count(lit(1)).as("c_s"))
+    val ct = t.groupBy("token").agg(count(lit(1)).as("c_r"))
+    val ts = cs.groupBy(groupCol).agg(sum("c_s").as("t_s"))
+    val st = ct.agg(sum("c_r").as("total"), count(lit(1)).as("vocab"))
+    val pS = (col("c_s") + lit(1.0)) / (col("t_s") + col("vocab"))
+    val q = (col("c_r") + lit(1.0)) / (col("total") + col("vocab"))
+    ct.crossJoin(broadcast(ts))
+      .join(cs, Seq(groupCol, "token"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+      .crossJoin(broadcast(st))
+      .groupBy(col(groupCol))
+      .agg(max("t_s").as("n_tokens"),
+        sum(when(col("c_s") > 0, 1L).otherwise(0L)).as("n_shared_vocab"),
+        sum((pS * log(pS / q)).cast("decimal(28,12)")).as("__kl"))
+      .select(col(groupCol), col("n_tokens"), col("n_shared_vocab"),
+        round(col("__kl").cast("double"), 6).as("kl"))
+  }
+
+  /** Corpus-wide bigram PMI collocations: pointwise mutual information
+    * ln[(c_ab/B) · (T/c_a) · (T/c_b)] over consecutive token pairs, gated
+    * by a minimum pair count (PMI is noise below it), top-k by PMI — the
+    * phrase/collocation mining pass (word2vec-style statistics) of a text
+    * pipeline.
+    *
+    * Scale shape: bigrams stream out of the scan via a zip_with of two
+    * array slices (no self-join), aggregate to bigram-type cardinality;
+    * the unigram join is vocab-sized; totals are broadcast single rows.
+    * The ratio is computed in a FIXED double expression order and the
+    * ln is DECIMAL(28,12)-quantized, so the top-k cut (ordered by exact
+    * decimal, then words) is engine-independent. */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
+                 k: Int): DataFrame = {
+    val ts = docs.select(TextOps.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = ts.select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val bt = cb.agg(sum("c_ab").as("b"))
+    val cu = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ut = cu.agg(sum("cnt").as("t"))
+    val ratio = (col("c_ab").cast("double") / col("b")) *
+      (col("t").cast("double") / col("c_a")) *
+      (col("t").cast("double") / col("c_b"))
+    cb.filter(col("c_ab") >= minCount)
+      .crossJoin(broadcast(bt)).crossJoin(broadcast(ut))
+      .join(cu.select(col("token").as("w1"), col("cnt").as("c_a")), Seq("w1"))
+      .join(cu.select(col("token").as("w2"), col("cnt").as("c_b")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        log(ratio).cast("decimal(28,12)").as("__pmi"))
+      .orderBy(col("__pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(col("__pmi").cast("double"), 4).as("pmi"))
+  }
+
   /** Cross-document n-gram novelty: per doc, the fraction of its DISTINCT
     * word n-grams not present in any lower-id document — the corpus-level
     * repetition signal next to the within-doc one (`qualityScore` /

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analysis.{NaiveBayes, UnigramLm}
+import graft.analysis.{Dsir, NaiveBayes, TextAnalysis, UnigramLm}
 import graft.dedup.{BloomDecontaminate, ChunkDedup, SubstringDedup}
 import graft.ops.{Sampling, TopK}
 import graft.text.TextOps
@@ -313,7 +313,65 @@ object CurationQueries {
       .orderBy(col("cnt").desc, col("token").asc)
   }
 
+  /** CCNet-style perplexity terciles: score the corpus with the q56
+    * self-trained unigram LM, split each source into head/middle/tail
+    * thirds by avg NLL (ntile over (score, doc_id) — fully deterministic
+    * ordering), report per-bucket counts and score ranges. The per-source
+    * window is an exact global sort WITHIN each source — fine while a
+    * source fits a sort (CCNet buckets per shard); the constant-memory
+    * swap-in at 100 TB is threshold bucketing off q67-style approx
+    * percentile cut points. Mean is a decimal sum of the rounded scores,
+    * so it's partition-order independent. */
+  val q99CcnetBuckets: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+    val scored = UnigramLm.score(d, "doc_id", "text",
+      UnigramLm.train(d, "text"), java.math.BigDecimal.ZERO)
+    scored.join(d.select("doc_id", "source"), "doc_id")
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("source").orderBy("avg_nll", "doc_id")).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"),
+        round(sum(col("avg_nll").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("mean_nll"))
+      .orderBy("source", "bucket")
+  }
+
+  /** DSIR importance selection: top-50 documents by target-vs-raw unigram
+    * log-ratio, target = source 'src0'. See `analysis/Dsir`. */
+  val q100DsirWeights: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    Dsir.topImportance(d, "doc_id", "text", col("source") === "src0", k = 50)
+  }
+
+  /** Per-document token Shannon entropy — the degeneracy/gibberish
+    * signal. See `TextAnalysis.tokenEntropy`. */
+  val q101TokenEntropy: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    TextAnalysis.tokenEntropy(d, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Per-source KL drift vs the corpus token distribution — the
+    * snapshot/source skew monitor. See `TextAnalysis.distributionDrift`. */
+  val q102SourceDrift: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    TextAnalysis.distributionDrift(d, "source", "text").orderBy("source")
+  }
+
+  /** Top-20 bigram collocations by PMI (min pair count 5) — phrase
+    * mining. See `TextAnalysis.pmiBigrams`. */
+  val q103PmiBigrams: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    TextAnalysis.pmiBigrams(d, "text", minCount = 5L, k = 20)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q103_pmi_bigrams" -> q103PmiBigrams,
+    "q102_source_drift" -> q102SourceDrift,
+    "q101_token_entropy" -> q101TokenEntropy,
+    "q100_dsir_weights" -> q100DsirWeights,
+    "q99_ccnet_buckets" -> q99CcnetBuckets,
     "q97_heavy_hitters" -> q97HeavyHitters,
     "q91_substring_dedup" -> q91SubstringDedup,
     "q90_nb_classify" -> q90NbClassify,
@@ -339,6 +397,80 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q99_ccnet_buckets" ->
+      s"""WITH $tokCte,
+         t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM c),
+         m AS (SELECT token, CAST(-ln((cnt + 1.0) / (total + vocab)) AS DECIMAL(28,12)) AS nll
+               FROM c CROSS JOIN st),
+         sc AS (SELECT t.doc_id, round(CAST(sum(m.nll) AS DOUBLE) / count(*), 4) AS avg_nll
+                FROM t JOIN m USING (token) GROUP BY 1),
+         j AS (SELECT d.source, sc.doc_id, sc.avg_nll FROM sc JOIN documents d USING (doc_id)),
+         nb AS (SELECT source, avg_nll,
+                  ntile(3) OVER (PARTITION BY source ORDER BY avg_nll, doc_id) AS bucket
+                FROM j)
+         SELECT source, bucket, count(*) AS n_docs,
+           min(avg_nll) AS min_nll, max(avg_nll) AS max_nll,
+           round(CAST(sum(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_nll
+         FROM nb GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q100_dsir_weights" ->
+      s"""WITH $tokCte,
+         t AS (SELECT tok.doc_id, d.source, unnest(toks) AS token
+               FROM tok JOIN documents d USING (doc_id)),
+         m AS (SELECT token, count(*) AS c_r,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+               FROM t GROUP BY 1),
+         st AS (SELECT CAST(sum(c_r) AS BIGINT) AS t_r, CAST(sum(c_t) AS BIGINT) AS t_t,
+                  count(*) AS v FROM m),
+         w AS (SELECT token,
+                 CAST(-ln((c_r + 1.0) / (t_r + v)) AS DECIMAL(28,12))
+                   - CAST(-ln((c_t + 1.0) / (t_t + v)) AS DECIMAL(28,12)) AS dw
+               FROM m CROSS JOIN st),
+         sc AS (SELECT t.doc_id, count(*) AS n_tokens, sum(w.dw) AS wsum
+                FROM t JOIN w USING (token) GROUP BY 1)
+         SELECT doc_id, n_tokens, round(CAST(wsum AS DOUBLE), 4) AS weight
+         FROM sc ORDER BY wsum DESC, doc_id LIMIT 50""",
+    "q101_token_entropy" ->
+      s"""WITH $tokCte,
+         t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+         c AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+           round(ln(sum(cnt)) - CAST(sum(CAST(cnt * ln(cnt) AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(cnt), 4) AS entropy
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "q102_source_drift" ->
+      s"""WITH $tokCte,
+         t AS (SELECT d.source, unnest(tok.toks) AS token
+               FROM tok JOIN documents d USING (doc_id)),
+         cs AS (SELECT source, token, count(*) AS c_s FROM t GROUP BY 1, 2),
+         ct AS (SELECT token, count(*) AS c_r FROM t GROUP BY 1),
+         ts AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM cs GROUP BY 1),
+         st AS (SELECT CAST(sum(c_r) AS BIGINT) AS total, count(*) AS vocab FROM ct),
+         grid AS (SELECT ts.source, ct.token, ct.c_r, ts.t_s, coalesce(cs.c_s, 0) AS c_s
+           FROM ct CROSS JOIN ts LEFT JOIN cs ON cs.source = ts.source AND cs.token = ct.token)
+         SELECT g.source, max(g.t_s) AS n_tokens,
+           CAST(sum(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_vocab,
+           round(CAST(sum(CAST(
+             ((c_s + 1.0) / (t_s + vocab)) * ln(((c_s + 1.0) / (t_s + vocab)) / ((c_r + 1.0) / (total + vocab)))
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+         FROM grid g CROSS JOIN st GROUP BY 1 ORDER BY 1""",
+    "q103_pmi_bigrams" ->
+      s"""WITH $tokCte,
+         pr AS (SELECT unnest(list_zip(toks[:-1], toks[2:])) AS p FROM tok WHERE len(toks) >= 2),
+         bg AS (SELECT p[1] AS w1, p[2] AS w2 FROM pr WHERE p[2] IS NOT NULL),
+         cb AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+         bt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b FROM cb),
+         u AS (SELECT unnest(toks) AS token FROM tok),
+         cu AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+         ut AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cu),
+         s AS (SELECT cb.w1, cb.w2, cb.c_ab,
+             CAST(ln((CAST(cb.c_ab AS DOUBLE) / b) * (CAST(t AS DOUBLE) / a.cnt) * (CAST(t AS DOUBLE) / z.cnt)) AS DECIMAL(28,12)) AS pmi
+           FROM cb CROSS JOIN bt CROSS JOIN ut
+           JOIN cu a ON a.token = cb.w1 JOIN cu z ON z.token = cb.w2
+           WHERE cb.c_ab >= 5)
+         SELECT w1, w2, c_ab, round(CAST(pmi AS DOUBLE), 4) AS pmi
+         FROM s ORDER BY s.pmi DESC, w1, w2 LIMIT 20""",
     // same interior deciles (quantile_cont ≡ Spark percentile, both
     // linear interpolation — q67 established the parity), same
     // strictly-greater bucket assignment
