@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TopK
+import graft.ops.{PageRank, TopK}
 import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
@@ -188,7 +188,14 @@ object SimilarityQueries {
     * implementation-parity oracle story as q22/q37, then exact rerank +
     * salted TopK. Vectors whose buckets are all singletons emit no rows
     * (an honest ANN answer, mirrored by the oracle). */
-  val q93KnnGraph: Q = (s, dir) => {
+  val q93KnnGraph: Q = (s, dir) =>
+    knnTop3(s, dir)
+      .select(col("src"), col("rank"), col("dst"), round(col("sim"), 6).as("sim"))
+      .orderBy("src", "rank")
+
+  /** Shared kNN-graph edge builder (q93 output / q104 input): LSH bucket
+    * candidates → exact cosine rerank → salted top-3 per source. */
+  private def knnTop3(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
     val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, NearDupBits, Dims)
@@ -201,9 +208,21 @@ object SimilarityQueries {
       .join(all.select(col("vec_id").as("dst"), col("vec").as("vd")), "dst")
       .withColumn("sim", Cosine.cosine(col("vs"), col("vd")))
     TopK.perGroup(scored, Seq("src"), Seq(col("sim").desc, col("dst").asc), 3,
-        saltOn = hash(col("dst")), rankCol = "rank")
-      .select(col("src"), col("rank"), col("dst"), round(col("sim"), 6).as("sim"))
-      .orderBy("src", "rank")
+      saltOn = hash(col("dst")), rankCol = "rank")
+  }
+
+  /** PageRank centrality over the q93 kNN graph (5 damped rounds) —
+    * graph-based data selection: high-rank vectors sit in dense semantic
+    * neighborhoods (prototypes), low-rank ones are outliers. Oracle is
+    * the GENERATED unrolled-round mirror over the same edge CTEs
+    * (`ops/PageRank` holds the determinism contract). */
+  val q104Pagerank: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+    val edges = knnTop3(s, dir).select("src", "dst")
+    PageRank.run(all.select("vec_id"), "vec_id", edges, "src", "dst",
+        iters = 5)
+      .select(col("vec_id"), round(col("pr"), 8).as("pr"))
+      .orderBy("vec_id")
   }
 
   /** Dominant-direction projection (power-iteration PCA, 8 unrolled
@@ -220,6 +239,7 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q104_pagerank" -> q104Pagerank,
     "q94_pca_project" -> q94PcaProject,
     "q93_knn_graph" -> q93KnnGraph,
     "q65_semantic_dedup" -> q65SemanticDedup,
@@ -231,6 +251,60 @@ object SimilarityQueries {
     "q37_cosine_neardup" -> q37CosineNearDup,
     "q43_normalized_topk" -> q43NormalizedTopK,
   )
+
+  /** The q93 kNN-edge CTE chain (hyperplanes → signatures → bucket
+    * candidates → exact rerank → ranked). `mat` = "MATERIALIZED " when a
+    * consumer references the chain repeatedly (the Pca.oracleSql lesson:
+    * DuckDB inlines plain CTEs and re-evaluates the whole prefix per
+    * reference). */
+  private def knnCtes(mat: String): String =
+    s"""pl AS $mat(SELECT t.range AS t, b.range AS b, d.range AS d,
+             CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+           FROM range(0, $NumTables) t, range(0, $NearDupBits) b, range(0, $Dims) d),
+         allv AS $mat(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dots AS $mat(SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
+           FROM allv a, pl p GROUP BY 1, 2, 3),
+         sigs AS $mat(SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
+           FROM dots GROUP BY 1, 2),
+         cand AS $mat(SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
+           FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+           WHERE l.vec_id <> r.vec_id),
+         scored AS $mat(SELECT cand.src, cand.dst,
+             list_inner_product(x.v, y.v)
+               / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS sim
+           FROM cand JOIN allv x ON x.vec_id = cand.src JOIN allv y ON y.vec_id = cand.dst),
+         ranked AS $mat(SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+           FROM scored)"""
+
+  /** GENERATED unrolled PageRank mirror: q93 edges, then one
+    * (in-mass, rank) CTE pair per round — `ops/PageRank` semantics:
+    * decimal-quantized contributions, dangling mass dropped, teleport
+    * written as the literal 0.15/n (never 1−0.85). */
+  private def q104OracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${knnCtes("MATERIALIZED ")},\n"
+    sb ++= s"""edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         e AS MATERIALIZED (SELECT edges.src, edges.dst,
+             CAST(CAST(1.0 / outdeg AS DECIMAL(28,12)) AS DOUBLE) AS recip
+           FROM edges JOIN deg USING (src)),
+         ids AS MATERIALIZED (SELECT vec_id AS id FROM allv),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM ids),
+         p0 AS MATERIALIZED (SELECT id, 1.0 / n AS pr FROM ids, nn)"""
+    for (i <- 0 until iters) {
+      sb ++= s""",
+         i$i AS MATERIALIZED (SELECT e.dst AS id,
+             CAST(sum(CAST(p.pr * e.recip AS DECIMAL(28,12))) AS DOUBLE) AS inm
+           FROM e JOIN p$i p ON p.id = e.src GROUP BY 1),
+         p${i + 1} AS MATERIALIZED (SELECT ids.id, 0.15 / n + 0.85 * coalesce(inm, 0.0) AS pr
+           FROM ids LEFT JOIN i$i USING (id), nn)"""
+    }
+    sb ++= s"""
+         SELECT id AS vec_id, round(pr, 8) AS pr FROM p$iters ORDER BY 1"""
+    sb.toString
+  }
 
   private val cosineParts =
     """Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
@@ -244,27 +318,10 @@ object SimilarityQueries {
     // identical md5 hyperplanes -> identical buckets -> exact top-3
     // among bucket-mates, both directions
     "q93_knn_graph" ->
-      s"""WITH pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
-             CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
-               / 2147483648.0 - 1.0 AS w
-           FROM range(0, $NumTables) t, range(0, $NearDupBits) b, range(0, $Dims) d),
-         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
-           FROM allv a, pl p GROUP BY 1, 2, 3),
-         sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
-           FROM dots GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
-           FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
-           WHERE l.vec_id <> r.vec_id),
-         scored AS (SELECT cand.src, cand.dst,
-             list_inner_product(x.v, y.v)
-               / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS sim
-           FROM cand JOIN allv x ON x.vec_id = cand.src JOIN allv y ON y.vec_id = cand.dst),
-         ranked AS (SELECT src, dst, sim,
-             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
-           FROM scored)
+      s"""WITH ${knnCtes("")}
          SELECT src, CAST(rank AS INT) AS rank, dst, round(sim, 6) AS sim
          FROM ranked WHERE rank <= 3 ORDER BY 1, 2""",
+    "q104_pagerank" -> q104OracleSql(iters = 5),
     // same deterministic cell assignment as q34's oracle, then pairs
     // within each cell only, keep-lowest-id
     "q65_semantic_dedup" ->
