@@ -282,7 +282,49 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL entry
+    * point: small-quantity order revenue, each lineitem compared against
+    * ITS part's average quantity. Catalyst DECORRELATES the per-part
+    * aggregate subquery into one grouped aggregation joined back to the
+    * probe side — no per-row re-aggregation at any scale (plan-linted:
+    * no CartesianProduct; the rewrite is `RewriteCorrelatedScalarSubquery`).
+    * Inner and outer sums are decimal-quantized so both the 0.2·avg
+    * threshold and the revenue hash-match DuckDB exactly. */
+  val q105SmallQtyRevenue: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v_part")
+    s.sql("""
+      SELECT p.p_brand, count(*) AS n_small,
+        round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      FROM v_lineitem l1 JOIN v_part p ON p.p_partkey = l1.l_partkey
+      WHERE l1.l_quantity < 0.2 * (
+        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+        FROM v_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY p.p_brand ORDER BY p.p_brand""")
+  }
+
+  /** Aggregate-HAVING IN-subquery (TPC-H Q18 shape): orders whose total
+    * lineitem quantity clears a threshold, joined to their customers.
+    * Catalyst rewrites the IN into a left-semi join against the grouped
+    * aggregate — the membership probe never materializes per-row. The
+    * HAVING sum is decimal-quantized (a double sum's partition-order
+    * noise could flip rows AT the threshold). */
+  val q106BigOrders: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM v_orders o JOIN v_customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM v_lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(28,12))) > 200)
+      ORDER BY o.o_orderkey""")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q106_big_orders" -> q106BigOrders,
+    "q105_small_qty_revenue" -> q105SmallQtyRevenue,
     "q78_salted_join" -> q78SaltedJoin,
     "q73_sliding_window" -> q73SlidingWindow,
     "q74_cube" -> q74Cube,
@@ -302,6 +344,21 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_small_qty_revenue" ->
+      """SELECT p.p_brand, count(*) AS n_small,
+           round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+         FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+         WHERE l1.l_quantity < 0.2 * (
+           SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY p.p_brand ORDER BY p.p_brand""",
+    "q106_big_orders" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE o.o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(28,12))) > 200)
+         ORDER BY o.o_orderkey""",
     // the PLAIN join — salting must be result-invariant
     "q78_salted_join" ->
       """SELECT n.n_name, count(*) AS n_items,
