@@ -322,7 +322,49 @@ object RelationalQueries {
       ORDER BY o.o_orderkey""")
   }
 
+  /** Ungrouped scalar subquery + correlated NOT EXISTS (TPC-H Q22
+    * shape): above-average-balance customers with no high-value orders.
+    * The average becomes a broadcast single-row aggregate; the NOT
+    * EXISTS becomes a left-anti join (no per-row probes). The order
+    * filter inside the EXISTS keeps the result non-empty at sf0.01 —
+    * the unfiltered form returns 0 rows, a vacuous pass (the q05
+    * lesson). */
+  val q107NoOrderCustomers: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+    s.sql("""
+      SELECT c.c_mktsegment, count(*) AS n_cust,
+        round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,12))) AS DOUBLE), 2) AS total_bal
+      FROM v_customer c
+      WHERE c.c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+          FROM v_customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM v_orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+  }
+
+  /** Aggregate-of-aggregate scalar subquery (TPC-H Q15 shape): the
+    * supplier(s) achieving maximum total revenue. The revenue CTE is
+    * aggregated once and reused for both the join side and the max —
+    * equality against the max is DECIMAL-exact, so ties (and the
+    * winner) are engine-independent. */
+  val q108TopSupplier: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    s.sql("""
+      WITH rev AS (SELECT l_suppkey,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DECIMAL(38,10)) AS total_rev
+        FROM v_lineitem GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, round(CAST(r.total_rev AS DOUBLE), 4) AS total_rev
+      FROM v_supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+      WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s.s_suppkey""")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q108_top_supplier" -> q108TopSupplier,
+    "q107_no_order_customers" -> q107NoOrderCustomers,
     "q106_big_orders" -> q106BigOrders,
     "q105_small_qty_revenue" -> q105SmallQtyRevenue,
     "q78_salted_join" -> q78SaltedJoin,
@@ -352,6 +394,24 @@ object RelationalQueries {
            SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(28,12))) AS DOUBLE) / count(*)
            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY p.p_brand ORDER BY p.p_brand""",
+    "q107_no_order_customers" ->
+      """SELECT c.c_mktsegment, count(*) AS n_cust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,12))) AS DOUBLE), 2) AS total_bal
+         FROM customer c
+         WHERE c.c_acctbal > (
+             SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+             FROM customer c2 WHERE c2.c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    "q108_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DECIMAL(38,10)) AS total_rev
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, round(CAST(r.total_rev AS DOUBLE), 4) AS total_rev
+         FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+         WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s.s_suppkey""",
     "q106_big_orders" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
