@@ -42,7 +42,35 @@ object PageRank {
     val e = edges.join(deg, srcCol)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         (lit(1.0) / col("__outdeg")).cast(Dec).cast("double").as("__recip"))
-      .localCheckpoint(true)
+    iterate(nodes, idCol, e, iters, damping, teleportNumerator)
+  }
+
+  /** Weighted variant: each out-edge carries `weightCol` (e.g. cosine
+    * similarity) and a source's rank splits proportionally to weight,
+    * recip(u→v) = w/Σ_out w. Weights are decimal-quantized BEFORE the
+    * per-source sum (the raw doubles' sum would be partition-order
+    * dependent), then the share is one double division re-quantized —
+    * never a decimal÷decimal (engines disagree on result scale rules). */
+  def runWeighted(nodes: DataFrame, idCol: String, edges: DataFrame,
+                  srcCol: String, dstCol: String, weightCol: String,
+                  iters: Int, damping: Double = 0.85,
+                  teleportNumerator: Double = 0.15): DataFrame = {
+    val w = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast(Dec).as("__w"))
+    val sw = w.groupBy("__src").agg(sum("__w").as("__sumw"))
+    val e = w.join(sw, "__src")
+      .select(col("__src"), col("__dst"),
+        (col("__w").cast("double") / col("__sumw").cast("double"))
+          .cast(Dec).cast("double").as("__recip"))
+    iterate(nodes, idCol, e, iters, damping, teleportNumerator)
+  }
+
+  /** The shared damped-iteration core over a prepared
+    * (__src, __dst, __recip) edge table. */
+  private def iterate(nodes: DataFrame, idCol: String, edgesRecip: DataFrame,
+                      iters: Int, damping: Double,
+                      teleportNumerator: Double): DataFrame = {
+    val e = edgesRecip.localCheckpoint(true)
     val ids = nodes.select(col(idCol).as("__id")).localCheckpoint(true)
     val n = ids.count()
     var pr = ids.withColumn("__pr", lit(1.0 / n))

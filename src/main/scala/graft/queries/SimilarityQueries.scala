@@ -225,6 +225,19 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Similarity-weighted PageRank over the same kNN edges: rank mass
+    * flows proportionally to cosine similarity, so hubs in TIGHT
+    * neighborhoods pull ahead of equally-connected loose ones —
+    * the soft-density refinement of q104's structural centrality. */
+  val q109WeightedPagerank: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+    val edges = knnTop3(s, dir).select("src", "dst", "sim")
+    PageRank.runWeighted(all.select("vec_id"), "vec_id", edges,
+        "src", "dst", "sim", iters = 5)
+      .select(col("vec_id"), round(col("pr"), 8).as("pr"))
+      .orderBy("vec_id")
+  }
+
   /** Dominant-direction projection (power-iteration PCA, 8 unrolled
     * rounds): the "all-but-the-top" debias signal per vector. Oracle is
     * the GENERATED unrolled-CTE mirror (`Pca.oracleSql`) — decimal sums
@@ -239,6 +252,7 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q109_weighted_pagerank" -> q109WeightedPagerank,
     "q104_pagerank" -> q104Pagerank,
     "q94_pca_project" -> q94PcaProject,
     "q93_knn_graph" -> q93KnnGraph,
@@ -282,15 +296,34 @@ object SimilarityQueries {
     * (in-mass, rank) CTE pair per round — `ops/PageRank` semantics:
     * decimal-quantized contributions, dangling mass dropped, teleport
     * written as the literal 0.15/n (never 1−0.85). */
-  private def q104OracleSql(iters: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"WITH ${knnCtes("MATERIALIZED ")},\n"
-    sb ++= s"""edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+  private def q104OracleSql(iters: Int): String =
+    s"""WITH ${knnCtes("MATERIALIZED ")},
+         edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
          deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
          e AS MATERIALIZED (SELECT edges.src, edges.dst,
              CAST(CAST(1.0 / outdeg AS DECIMAL(28,12)) AS DOUBLE) AS recip
            FROM edges JOIN deg USING (src)),
-         ids AS MATERIALIZED (SELECT vec_id AS id FROM allv),
+         ${pagerankRounds(iters)}"""
+
+  /** q109's weighted mirror: edge mass ∝ decimal-quantized cosine sim;
+    * the share is a double division re-quantized (never decimal÷decimal —
+    * engines disagree on division result scales). */
+  private def q109OracleSql(iters: Int): String =
+    s"""WITH ${knnCtes("MATERIALIZED ")},
+         edges AS MATERIALIZED (SELECT src, dst, CAST(sim AS DECIMAL(28,12)) AS w
+           FROM ranked WHERE rank <= 3),
+         sw AS MATERIALIZED (SELECT src, sum(w) AS sumw FROM edges GROUP BY 1),
+         e AS MATERIALIZED (SELECT edges.src, edges.dst,
+             CAST(CAST(CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE) AS DECIMAL(28,12)) AS DOUBLE) AS recip
+           FROM edges JOIN sw USING (src)),
+         ${pagerankRounds(iters)}"""
+
+  /** Shared unrolled damped-iteration tail over a prepared
+    * (src, dst, recip) edge CTE `e` — `ops/PageRank.iterate` mirrored
+    * one CTE pair per round. */
+  private def pagerankRounds(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""ids AS MATERIALIZED (SELECT vec_id AS id FROM allv),
          nn AS MATERIALIZED (SELECT count(*) AS n FROM ids),
          p0 AS MATERIALIZED (SELECT id, 1.0 / n AS pr FROM ids, nn)"""
     for (i <- 0 until iters) {
@@ -322,6 +355,7 @@ object SimilarityQueries {
          SELECT src, CAST(rank AS INT) AS rank, dst, round(sim, 6) AS sim
          FROM ranked WHERE rank <= 3 ORDER BY 1, 2""",
     "q104_pagerank" -> q104OracleSql(iters = 5),
+    "q109_weighted_pagerank" -> q109OracleSql(iters = 5),
     // same deterministic cell assignment as q34's oracle, then pairs
     // within each cell only, keep-lowest-id
     "q65_semantic_dedup" ->

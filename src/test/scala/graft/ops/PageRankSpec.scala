@@ -35,6 +35,27 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(pr(1L) - (0.05 + 0.85 * (1.0 / 3.0) * 0.5)) < 1e-9)
   }
 
+  test("weighted: uniform weights reduce to the unweighted ranks") {
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 1L)).toDF("src", "dst")
+    val ew = e.withColumn("w", lit(0.5))
+    val ns = nodes(0L, 1L, 2L)
+    val a = PageRank.run(ns, "id", e, "src", "dst", iters = 5)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val b = PageRank.runWeighted(ns, "id", ew, "src", "dst", "w", iters = 5)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(a == b)
+  }
+
+  test("weighted: heavier edge carries more rank") {
+    // 0 splits 0.9/0.1 between 1 and 2
+    val e = Seq((0L, 1L, 0.9), (0L, 2L, 0.1)).toDF("src", "dst", "w")
+    val pr = PageRank.runWeighted(nodes(0L, 1L, 2L), "id", e, "src", "dst", "w",
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) > pr(2L))
+    assert(math.abs((pr(1L) - 0.05) / (pr(2L) - 0.05) - 9.0) < 1e-6)
+  }
+
   test("ranks are partition-order independent (decimal contributions)") {
     val rng = new scala.util.Random(7)
     val es = (1 to 300).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
