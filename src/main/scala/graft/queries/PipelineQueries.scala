@@ -170,7 +170,30 @@ object PipelineQueries {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** CDC changelog by snapshot diff over customer: the "new" dump
+    * deterministically mutates the base — %7==0 changed (U), %13==0
+    * dropped (D, and delete wins over change on keys like 91), %50==0
+    * re-keyed +100000 (I). See `sinks/Cdc` — the discovery complement
+    * of q96's SCD2 apply; output is change-sized, never dump-sized. */
+  val q110CdcDiff: Q = (s, dir) => {
+    val c = Tables(s, dir, "customer")
+    val attrs = Seq("c_nationkey", "c_acctbal", "c_mktsegment")
+    val oldSnap = c.select(col("c_custkey") +: attrs.map(col): _*)
+    val newSnap = c.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+    graft.sinks.Cdc.snapshotDiff(oldSnap, newSnap, "c_custkey", attrs)
+      .orderBy("c_custkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q110_cdc_diff" -> q110CdcDiff,
     "q96_scd2" -> q96Scd2,
     "q81_frame_sample" -> q81FrameSample,
     "q25_array_ops" -> q25ArrayOps,
@@ -181,6 +204,36 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q110_cdc_diff" ->
+      """WITH old AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer),
+         new AS (
+           SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 100000, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 50 = 0)
+         SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN NOT (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+                      AND o.c_acctbal   IS NOT DISTINCT FROM n.c_acctbal
+                      AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                THEN 'U' END AS op,
+           o.c_nationkey AS old_c_nationkey, o.c_acctbal AS old_c_acctbal,
+           o.c_mktsegment AS old_c_mktsegment,
+           n.c_nationkey AS new_c_nationkey, n.c_acctbal AS new_c_acctbal,
+           n.c_mktsegment AS new_c_mktsegment
+         FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+         WHERE CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN NOT (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+                      AND o.c_acctbal   IS NOT DISTINCT FROM n.c_acctbal
+                      AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                THEN 'U' END IS NOT NULL
+         ORDER BY 1""",
     "q96_scd2" ->
       """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
              '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,

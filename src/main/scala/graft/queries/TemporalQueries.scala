@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, GapFill, PrefixSum, RangeJoin, ZOrder}
+import graft.ops.{AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -274,7 +274,36 @@ object TemporalQueries {
       .orderBy("event_id")
   }
 
+  /** Per-type daily trend: OLS of summed daily value on the day index,
+    * fit from ONE aggregation of decimal-quantized sufficient
+    * statistics (`ops/Regression`) — no window, no per-group
+    * iteration; x is the small day offset from the window start, not
+    * raw epoch seconds (keeps quantized products inside 16 integer
+    * digits). */
+  val q111TrendRegression: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val daily = ev.groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"))
+      .agg(sum(col("value").cast("decimal(28,12)")).cast("double")
+        .as("day_value"))
+    Regression.fitPerGroup(daily, Seq("event_type"),
+        col("day"), col("day_value"))
+      .orderBy("event_type")
+  }
+
+  /** Robust anomaly tally: per event type, MAD-based outlier fences
+    * over the raw value stream (`ops/RobustStats`) — the monitoring
+    * pass that survives the very outliers it hunts, unlike mean/σ. */
+  val q112MadOutliers: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    RobustStats.madOutlierStats(ev, Seq("event_type"), col("value"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q112_mad_outliers" -> q112MadOutliers,
+    "q111_trend_regression" -> q111TrendRegression,
     "q98_running_total" -> q98RunningTotal,
     "q95_gap_fill" -> q95GapFill,
     "q79_asof_bucketed" -> q79AsofBucketed,
@@ -303,6 +332,42 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    "q111_trend_regression" ->
+      """WITH daily AS (SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS day_value
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type,
+             CAST(day AS DOUBLE) AS x, day_value AS y
+           FROM daily),
+         s AS (SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+           FROM t GROUP BY 1)
+         SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 8)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
+         FROM s ORDER BY 1""",
+    "q112_mad_outliers" ->
+      """WITH meds AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         d AS (SELECT e.event_type, e.value, m.med
+               FROM events e JOIN meds m USING (event_type)),
+         mads AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+                  FROM d GROUP BY 1)
+         SELECT d.event_type, count(*) AS n,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN mads m USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
     "q98_running_total" ->
       """SELECT event_id,
            round(CAST(sum(CAST(value AS DECIMAL(28,12)))
