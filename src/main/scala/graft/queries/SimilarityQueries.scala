@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{PageRank, TopK}
+import graft.ops.{PageRank, TopK, Triangles}
 import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
@@ -251,7 +251,22 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Triangle count + local clustering coefficient over the q93 kNN
+    * graph (`ops/Triangles`, degree-oriented wedge joins): coefficient
+    * near 1 = the vector sits in a mutually-similar clique (coherent
+    * cluster core, safe to subsample); near 0 = a bridge/noise point.
+    * The oracle finds the same (orientation-invariant) triangle set via
+    * id-ordered joins. */
+  val q113Triangles: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+    val edges = knnTop3(s, dir).select("src", "dst")
+    Triangles.countPerNode(all.select("vec_id"), "vec_id", edges,
+        "src", "dst")
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q113_triangles" -> q113Triangles,
     "q109_weighted_pagerank" -> q109WeightedPagerank,
     "q104_pagerank" -> q104Pagerank,
     "q94_pca_project" -> q94PcaProject,
@@ -356,6 +371,35 @@ object SimilarityQueries {
          FROM ranked WHERE rank <= 3 ORDER BY 1, 2""",
     "q104_pagerank" -> q104OracleSql(iters = 5),
     "q109_weighted_pagerank" -> q109OracleSql(iters = 5),
+    // id-ordered triangle join — the triangle set is orientation-
+    // invariant, so this verifies the degree-oriented Spark plan
+    "q113_triangles" ->
+      s"""WITH ${knnCtes("MATERIALIZED ")},
+         e AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+         und AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM e WHERE src <> dst),
+         deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+             SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+           GROUP BY 1),
+         tri AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1 JOIN und e2 ON e1.b = e2.a
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tc AS (SELECT id, count(*) AS triangles FROM (
+             SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY 1)
+         SELECT v.vec_id,
+           coalesce(deg.deg, 0) AS degree,
+           coalesce(tc.triangles, 0) AS triangles,
+           round(CASE WHEN deg.deg >= 2
+             THEN 2.0 * coalesce(tc.triangles, 0)
+               / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END, 6) AS clustering
+         FROM allv v
+         LEFT JOIN deg ON v.vec_id = deg.id
+         LEFT JOIN tc ON v.vec_id = tc.id
+         ORDER BY 1""",
     // same deterministic cell assignment as q34's oracle, then pairs
     // within each cell only, keep-lowest-id
     "q65_semantic_dedup" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, ZOrder}
+import graft.ops.{AggState, AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -301,7 +301,25 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** Materialized-view maintenance: fold a 20-day history STATE table
+    * and a fresh delta into merged per-type aggregates without
+    * re-scanning history (`ops/AggState`). The oracle is a full direct
+    * recompute — passing proves the decimal state merge is bit-exact
+    * regardless of batch boundaries. */
+  val q114IncrementalAgg: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    val hist = AggState.partial(ev.filter(day < 20), Seq("event_type"),
+      col("value"))
+    val delta = AggState.partial(ev.filter(day >= 20), Seq("event_type"),
+      col("value"))
+    AggState.finalize(AggState.merge(Seq("event_type"), hist, delta),
+        Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q114_incremental_agg" -> q114IncrementalAgg,
     "q112_mad_outliers" -> q112MadOutliers,
     "q111_trend_regression" -> q111TrendRegression,
     "q98_running_total" -> q98RunningTotal,
@@ -332,6 +350,15 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    // full direct recompute — must equal the state-merge path exactly
+    "q114_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q111_trend_regression" ->
       """WITH daily AS (SELECT event_type,
              datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
