@@ -37,11 +37,17 @@ object Triangles {
   def countPerNode(nodes: DataFrame, idCol: String, edges: DataFrame,
                    srcCol: String, dstCol: String,
                    scale: Int = 6): DataFrame = {
+    // materialize the deduped edge list once: it feeds deg, two
+    // orientation joins, the wedge self-join and the closure join, and
+    // Spark would otherwise recompute the upstream edge pipeline (for a
+    // kNN graph, the whole LSH+rerank) per use. At warehouse scale this
+    // is a staging table; in-query, localCheckpoint is the same move.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.{Clusters, ExactDedup, MinHashLSH, SimHash}
+import graft.dedup.{Clusters, ExactDedup, MinHashLSH, PrefixFilterJoin, SimHash}
 import graft.text.TextOps
 
 /** Deduplication operator coverage over `documents` (SURVEY.md F8/W4 +
@@ -193,7 +193,29 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** EXACT Jaccard-pairs join at t = 3/5 via prefix filtering
+    * (`dedup/PrefixFilterJoin`): unlike the probabilistic q18/q20, the
+    * oracle here is ground truth — a brute token self-join in DuckDB
+    * must produce the identical pair set, whatever algorithm found it.
+    * (The oracle, not the query, is quadratic — it's on check.py's
+    * --skip-quadratic list for sf0.1.) */
+  val q115PrefixJaccard: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    // 3-word gram KEYS via the codegen'd WordGramKeys kernel, not
+    // string shingles: one byte-scan per doc where the declarative
+    // transform/concat_ws chain re-evaluated the tokenizer per element
+    // (measured 13 s of a 15 s query at sf0.1). Unigram sets wouldn't
+    // discriminate on this corpus (random pairs overlap 60%+; 3-gram
+    // sets sit under 0.2). The oracle mirrors the identical md5
+    // polynomial keys (the q69 pattern), so it stays an algorithm-
+    // independent ground truth for Jaccard over gram keys.
+    val sh = graft.expressions.WordGramKeys.word_gram_keys(col("text"), 3)
+    PrefixFilterJoin.jaccardJoin(d, "doc_id", sh, tNum = 3, tDen = 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q115_prefix_jaccard" -> q115PrefixJaccard,
     "q92_star_clusters" -> q92StarClusters,
     "q83_best_keeper" -> q83BestKeeper,
     "q59_incremental_neardup" -> q59IncrementalNeardup,
@@ -228,6 +250,34 @@ object DedupQueries {
                FROM H)"""
 
   val oracles: Map[String, String] = Map(
+    // ground truth, algorithm-independent: every pair with ≥1 shared
+    // token scored exactly; integer threshold gate mirrors the query
+    "q115_prefix_jaccard" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, t ->
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+               FROM tok),
+         g0 AS (SELECT doc_id,
+                  CASE WHEN len(hs) >= 3
+                    THEN list_distinct([hs[i]*961 + hs[i+1]*31 + hs[i+2]
+                           for i in range(1, len(hs) - 1)])
+                    WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+                    ELSE [list_reduce(hs, (a, b) -> a*31 + b)] END AS gs
+                FROM h),
+         ts AS (SELECT doc_id, unnest(gs) AS token FROM g0),
+         sz AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY 1),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM ts a JOIN ts b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da AS doc_a, db AS doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = da
+         JOIN sz sb ON sb.doc_id = db
+         WHERE 5 * i >= 3 * (sa.n + sb.n - i)
+         ORDER BY 1, 2""",
     "q59_incremental_neardup" ->
       s"""WITH $shinglesCte,
          ba AS (SELECT sh.doc_id, sh.s FROM SH sh

@@ -290,6 +290,31 @@ object RelationalQueries {
     * no CartesianProduct; the rewrite is `RewriteCorrelatedScalarSubquery`).
     * Inner and outer sums are decimal-quantized so both the 0.2·avg
     * threshold and the revenue hash-match DuckDB exactly. */
+  /** ASYMMETRIC grouping sets through the SQL surface — ((rf,ls), (ls),
+    * ()) is expressible by neither rollup nor cube; grouping() flags
+    * disambiguate real NULL group values from subtotal rows. One Expand
+    * + one hash agg in the plan, not one scan per set. */
+  val q116GroupingSets: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        count(*) AS n,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4)
+          AS sum_qty
+      FROM v_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  /** Shuffle-key pre-flight: the skew audit (`ops/SkewAudit`) over
+    * lineitem's supplier key — the diagnostic that decides between the
+    * plain join, q78's salted join, or a broadcast. */
+  val q117SkewAudit: Q = (s, dir) => {
+    graft.ops.SkewAudit.audit(Tables(s, dir, "lineitem"), col("l_suppkey"))
+  }
+
   val q105SmallQtyRevenue: Q = (s, dir) => {
     Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
     Tables(s, dir, "part").createOrReplaceTempView("v_part")
@@ -366,6 +391,8 @@ object RelationalQueries {
     "q108_top_supplier" -> q108TopSupplier,
     "q107_no_order_customers" -> q107NoOrderCustomers,
     "q106_big_orders" -> q106BigOrders,
+    "q116_grouping_sets" -> q116GroupingSets,
+    "q117_skew_audit" -> q117SkewAudit,
     "q105_small_qty_revenue" -> q105SmallQtyRevenue,
     "q78_salted_join" -> q78SaltedJoin,
     "q73_sliding_window" -> q73SlidingWindow,
@@ -386,6 +413,28 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE), 4)
+             AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q117_skew_audit" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           round(CAST(max(cnt) AS DOUBLE)
+             / (CAST(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_ratio,
+           round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+             AS top_key_share
+         FROM c""",
     "q105_small_qty_revenue" ->
       """SELECT p.p_brand, count(*) AS n_small,
            round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) / 7.0, 2) AS avg_yearly

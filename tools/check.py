@@ -6,11 +6,12 @@ value equality).
 Usage: check.py <sfDir> <verifyOutDir> [--skip q1,q2,...] [--only q1,q2,...]
 
 --skip: at sf0.1 the all-pairs ground-truth oracles
-  (q18/q35/q39/q44/q48/q59/q83) are quadratic in DuckDB and take tens of
+  (q18/q35/q39/q44/q48/q59/q83/q92/q115) are quadratic in DuckDB and take tens of
   minutes; pass --skip-quadratic to exclude exactly that set."""
 import duckdb, json, sys, math, os
 
 QUADRATIC = {"q18_minhash_pairs", "q35_char_ngram_pairs", "q39_dedup_clusters",
+             "q115_prefix_jaccard",
              "q44_decontamination", "q48_dedup_corpus",
              "q59_incremental_neardup", "q83_best_keeper", "q92_star_clusters"}
 
