@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * changelog between two full snapshots of a keyed table. The complement
   * of [[Scd2]]: SCD2 *applies* a known change batch to keep history; CDC
   * diff *discovers* the change batch when all you get is periodic full
-  * dumps (the reference re-pulls its universe tables whole each run,
-  * `src/base.py:152-170` — downstream consumers want the delta, not the
-  * dump).
+  * dumps. The reference does exactly this for its stock universe —
+  * `update_universe` (`src/workqueue_setup.py:14-44`) re-pulls the full
+  * Postgres universe and probes Mongo row by row (`find_one` per key),
+  * inserting only absent ids: an O(n) round-trip loop that detects
+  * inserts but never updates or deletes. One declarative full-outer
+  * join replaces the loop and completes the I/U/D triple.
   *
   * One full-outer equi-join on the business key; the four join cases map
   * to ops declaratively:
