@@ -214,7 +214,35 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end curation manifest — the composite the single-purpose
+    * ops exist FOR, as one declarative plan: quality gate (length +
+    * lexical-diversity, integer-arithmetic thresholds) → exact dedup
+    * with deterministic keeper (`ExactDedup.keepers`) → per-source cap
+    * of 50 in deterministic md5 draw order (salted `ops/TopK` — the
+    * stratified-cap shape that never sorts a source's rows in one
+    * task). Three shuffles total (hash keepers, cap, final order);
+    * every stage is the library op, not a re-derivation. */
+  val q118CurationPipeline: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val gated = d
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .filter(col("n_words") >= 20 &&
+        col("n_distinct") * 10 >= col("n_words") * 3)
+    val keepers = ExactDedup.keepers(
+      ExactDedup.withTextHash(gated, "text"),
+      "text_hash", "doc_id", carryCols = Seq("source", "n_words"))
+    graft.ops.TopK.perGroup(keepers, Seq("source"),
+        Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
+        k = 50, saltOn = hash(col("doc_id")), rankCol = "draw_rank")
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .orderBy("source", "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q118_curation_pipeline" -> q118CurationPipeline,
     "q115_prefix_jaccard" -> q115PrefixJaccard,
     "q92_star_clusters" -> q92StarClusters,
     "q83_best_keeper" -> q83BestKeeper,
@@ -250,6 +278,25 @@ object DedupQueries {
                FROM H)"""
 
   val oracles: Map[String, String] = Map(
+    "q118_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, source, text,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS n_words,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0))) AS n_distinct
+           FROM documents),
+         g AS (SELECT doc_id, source, text, n_words FROM t
+               WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3),
+         dd AS (SELECT doc_id, source, n_words,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+           FROM g),
+         capped AS (SELECT doc_id, source, n_words,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS draw
+           FROM dd WHERE rk = 1)
+         SELECT doc_id, source, CAST(n_words AS INT) AS n_words
+         FROM capped WHERE draw <= 50
+         ORDER BY source, doc_id""",
     // ground truth, algorithm-independent: every pair with ≥1 shared
     // token scored exactly; integer threshold gate mirrors the query
     "q115_prefix_jaccard" ->
