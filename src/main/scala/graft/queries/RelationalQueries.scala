@@ -315,6 +315,93 @@ object RelationalQueries {
     graft.ops.SkewAudit.audit(Tables(s, dir, "lineitem"), col("l_suppkey"))
   }
 
+  /** TPC-H Q21 shape (suppliers solely responsible for an order's late
+    * line): correlated EXISTS + correlated NOT EXISTS that additionally
+    * references the OUTER join's orders row — the double-decorrelation
+    * stress. Catalyst lowers both to (semi, anti) joins on l_orderkey;
+    * no per-row re-scan of lineitem survives in the plan. */
+  val q119LoneLateSupplier: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM v_supplier JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN v_orders o ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > date_add(o.o_orderdate, 60)
+        AND EXISTS (SELECT 1 FROM v_lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > date_add(o.o_orderdate, 60))
+      GROUP BY s_name ORDER BY numwait DESC, s_name""")
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT 1 — per-supplier
+    * top-revenue order through the SQL surface. Catalyst decorrelates
+    * the lateral into a window-ranked join (same physical shape as
+    * `ops/TopK`); revenue is the double product quantized to decimal
+    * before summing (the determinism contract). */
+  val q120LateralTopOrder: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    s.sql("""
+      SELECT s.s_suppkey, t.l_orderkey, t.revenue
+      FROM v_supplier s, LATERAL (
+        SELECT l_orderkey,
+          round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue
+        FROM v_lineitem WHERE l_suppkey = s.s_suppkey
+        GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 1) t
+      ORDER BY s.s_suppkey""")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): the predicate
+    * lives in the OUTER join's ON clause — customers whose every order is
+    * urgent must still appear with count 0, so hoisting it to WHERE (or
+    * counting `*` instead of the nullable o_orderkey) is wrong. Plan:
+    * one shuffle join on custkey (orders dwarfs customer; the null-
+    * preserving side can't broadcast-prune), two hash aggs — the second
+    * groups on the tiny count domain, so its exchange is ~50 rows. */
+  val q121CustDistribution: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+    cust.join(ord,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 shape (disjunctive mixed-table predicate): OR of three
+    * brand/size/quantity conjunctions spanning BOTH join sides. Catalyst's
+    * CNF conversion pushes each side's derivable disjunction below the
+    * join (part keeps `(brand∧size) ∨ …`, lineitem keeps the quantity
+    * ranges), so the join sees pre-filtered inputs instead of evaluating
+    * the cross-table OR on the full fact table. Revenue terms quantized
+    * to decimal(28,12) before summing (determinism contract). */
+  val q122DisjunctivePredicate: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    def arm(brand: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+      col("p_brand") === brand && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1)
+    li.join(part, col("p_partkey") === col("l_partkey"))
+      .filter(arm("Brand#4", 1, 15, 1, 20) ||
+        arm("Brand#19", 10, 30, 10, 35) ||
+        arm("Brand#17", 20, 50, 20, 50))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,12)")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val q105SmallQtyRevenue: Q = (s, dir) => {
     Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
     Tables(s, dir, "part").createOrReplaceTempView("v_part")
@@ -393,6 +480,10 @@ object RelationalQueries {
     "q106_big_orders" -> q106BigOrders,
     "q116_grouping_sets" -> q116GroupingSets,
     "q117_skew_audit" -> q117SkewAudit,
+    "q119_lone_late_supplier" -> q119LoneLateSupplier,
+    "q120_lateral_top_order" -> q120LateralTopOrder,
+    "q121_cust_distribution" -> q121CustDistribution,
+    "q122_disjunctive_predicate" -> q122DisjunctivePredicate,
     "q105_small_qty_revenue" -> q105SmallQtyRevenue,
     "q78_salted_join" -> q78SaltedJoin,
     "q73_sliding_window" -> q73SlidingWindow,
@@ -435,6 +526,48 @@ object RelationalQueries {
            round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
              AS top_key_share
          FROM c""",
+    "q119_lone_late_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders o ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F'
+           AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                 WHERE l2.l_orderkey = l1.l_orderkey
+                   AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                 WHERE l3.l_orderkey = l1.l_orderkey
+                   AND l3.l_suppkey <> l1.l_suppkey
+                   AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+         GROUP BY s_name ORDER BY numwait DESC, s_name""",
+    "q120_lateral_top_order" ->
+      """SELECT s.s_suppkey, t.l_orderkey, t.revenue
+         FROM supplier s, LATERAL (
+           SELECT l_orderkey,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue
+           FROM lineitem WHERE l_suppkey = s.s_suppkey
+           GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 1) t
+         ORDER BY s.s_suppkey""",
+    "q121_cust_distribution" ->
+      """WITH co AS (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist
+         FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q122_disjunctive_predicate" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+                  AND l_quantity BETWEEN 10 AND 35)
+            OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50
+                  AND l_quantity BETWEEN 20 AND 50)""",
     "q105_small_qty_revenue" ->
       """SELECT p.p_brand, count(*) AS n_small,
            round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) / 7.0, 2) AS avg_yearly
