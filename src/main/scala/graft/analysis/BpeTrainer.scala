@@ -90,4 +90,31 @@ object BpeTrainer {
     merges.foldLeft(word.map(_.toString): Seq[String]) {
       case (syms, (a, b)) => mergeOnce(syms, a, b)
     }
+
+  /** Corpus-scale encode with a trained merge list — the apply half of
+    * the tokenizer, shaped like `train`'s two tiers: ONE corpus pass
+    * builds per-doc word counts, the iterative merge loop runs only over
+    * the DISTINCT-word table (vocabulary-sized), and each word's token
+    * count joins back by word. At 100 TB this encodes every distinct
+    * word exactly once instead of re-running the greedy loop per
+    * occurrence, and the tokens-per-word side of the join is vocab-sized
+    * (≲10⁶ rows — broadcastable), so the corpus is never shuffled for
+    * it; the only keyed exchange is the per-doc word-count aggregation.
+    * Output: (idCol, n_words, n_tokens) — the real token budget `q42`'s
+    * packing and the reference's count statistic approximate. */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = docs
+      .select(col(idCol), explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
+    val tokensPerWord = wordCounts.select("w").distinct()
+      .as[String]
+      .map(w => (w, encode(w, merges).length.toLong))
+      .toDF("w", "toks")
+    wordCounts.join(broadcast(tokensPerWord), "w")
+      .groupBy(col(idCol))
+      .agg(sum("n").as("n_words"), sum(col("n") * col("toks")).as("n_tokens"))
+  }
 }

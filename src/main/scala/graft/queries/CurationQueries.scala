@@ -264,6 +264,24 @@ object CurationQueries {
       .toDF("merge_idx", "left_sym", "right_sym")
   }
 
+  /** BPE encode over the corpus with the q88-trained merges — the
+    * tokenizer's apply half (`BpeTrainer.encodeCorpus`: one corpus pass,
+    * greedy merges run once per DISTINCT word, vocab-sized join back).
+    * Output: per-source exact token budget — the number q42's packing
+    * and the reference's token-count statistic approximate. Rows-only
+    * like q88 (the greedy merge loop is not SQL-expressible);
+    * BpeTrainerSpec proves the distributed encode ≡ per-doc reference
+    * encode. */
+  val q123BpeEncode: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val merges = graft.analysis.BpeTrainer.train(d, "text", numMerges = 8)
+    graft.analysis.BpeTrainer.encodeCorpus(d, "doc_id", "text", merges)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("n_words").as("total_words"), sum("n_tokens").as("total_tokens"))
+      .orderBy("source")
+  }
+
   /** Naive Bayes classifier training over the md5-bucket<80 split
     * (labels = source): the per-label model summary — doc/token counts
     * and the decimal prior/unseen NLL terms. The fasttext-style
@@ -377,6 +395,7 @@ object CurationQueries {
     "q90_nb_classify" -> q90NbClassify,
     "q89_nb_train" -> q89NbTrain,
     "q88_bpe_train" -> q88BpeTrain,
+    "q123_bpe_encode" -> q123BpeEncode,
     "q82_equidepth_hist" -> q82EquiDepthHist,
     "q75_table_stats" -> q75TableStats,
     "q71_bpe_merge_step" -> q71BpeMergeStep,

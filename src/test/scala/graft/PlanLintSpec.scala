@@ -26,4 +26,37 @@ class PlanLintSpec extends SparkSpec {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q119: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q119_lone_late_supplier")
+    assert(p.contains("LeftSemi"), "EXISTS must lower to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must lower to an anti join")
+  }
+
+  test("q120: LATERAL top-1 decorrelates to the WindowGroupLimit shape") {
+    val p = plan("q120_lateral_top_order")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group LIMIT must partial-cap before the exchange, not sort whole groups")
+  }
+
+  test("q121: outer-join ON predicate is pushed to the orders scan") {
+    val p = plan("q121_cust_distribution")
+    assert(p.contains("LeftOuter"))
+    // the non-preserved side's own predicate must filter BEFORE the join
+    assert(p.contains("NOT (o_orderpriority"),
+      "o_orderpriority filter must sit on the orders scan side, not post-join")
+  }
+
+  test("q122: disjunctive predicate splits and reaches both scans") {
+    val p = plan("q122_disjunctive_predicate")
+    // lineitem keeps the quantity-range OR; part keeps the brand/size OR —
+    // CNF extraction must pre-filter each input below the join
+    assert(p.contains("l_quantity") && p.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      "lineitem scan must carry its derivable disjunction as a pushed filter")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or("),
+      "part scan must carry its derivable disjunction as a pushed filter")
+  }
 }

@@ -56,4 +56,25 @@ class BpeTrainerSpec extends SparkSpec {
   test("mergeOnce is greedy left-to-right (overlapping runs)") {
     assert(BpeTrainer.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
   }
+
+  test("encodeCorpus ≡ per-doc reference encode (distinct-word tier is invisible)") {
+    val docs = Seq(
+      (1L, "newest newest lower"),
+      (2L, "low widest low low"),
+      (3L, "lowest"), // word unseen at train time still encodes
+      (4L, "")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 6)
+    val got = BpeTrainer.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Seq(
+      (1L, Seq("newest", "newest", "lower")),
+      (2L, Seq("low", "widest", "low", "low")),
+      (3L, Seq("lowest"))).map { case (id, ws) =>
+      (id, ws.size.toLong,
+        ws.map(w => BpeTrainer.encode(w, merges).length.toLong).sum)
+    }.toSet
+    // doc 4 has no words → no word-count rows → absent (callers outer-join
+    // back against the doc table if zero rows must surface)
+    assert(got == want, s"got $got, want $want")
+  }
 }
