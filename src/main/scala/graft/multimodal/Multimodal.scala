@@ -165,16 +165,49 @@ object Multimodal {
     })
   }
 
-  /** STAND-IN resize: recompute features at a target resolution. A real
-    * codec reads `payload` and scales pixels; the stand-in rescales the
-    * deterministic fake dims, keeping the schema/partitioning contract
-    * (scan-side map, no shuffle). */
+  /** Feature-level resize (stand-in dims): rescales already-decoded
+    * feature rows without touching payloads. [[resizeImages]] below is
+    * the REAL payload-level operation. */
   def resize(feats: Dataset[MediaFeatures], maxWidth: Int): Dataset[MediaFeatures] = {
     import feats.sparkSession.implicits._
     feats.map { f =>
       if (f.width <= maxWidth) f
       else f.copy(width = maxWidth, height = (maxWidth * 9) / 16)
     }
+  }
+
+  /** REAL image resize (pure JVM): decode, scale down to fit `maxWidth`
+    * preserving aspect ratio (Graphics2D bilinear), re-encode as PNG —
+    * the thumbnail/normalize pass a vision-data pipeline runs before
+    * feature extraction. Payloads that are not decodable images, or are
+    * already narrow enough, pass through byte-identical (quarantine-not-
+    * abort, same policy as decode). Scan-side `mapPartitions`, no
+    * shuffle: at 100 TB the bytes never leave the partition that read
+    * them, and output size shrinks monotonically. */
+  def resizeImages(media: Dataset[MediaRow], maxWidth: Int): Dataset[MediaRow] = {
+    require(maxWidth > 0, s"maxWidth=$maxWidth must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        if (r.kind != "image" || !looksLikeImage(r.payload)) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+      if (img == null || img.getWidth <= maxWidth || img.getHeight <= 0) r
+      else {
+        val h = math.max(1, (img.getHeight.toLong * maxWidth / img.getWidth).toInt)
+        val out = new java.awt.image.BufferedImage(
+          maxWidth, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, maxWidth, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRow(r.media_id, r.kind, bos.toByteArray)
+      }
+    })
   }
 
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, digest: Long)

@@ -66,6 +66,26 @@ class MultimodalSpec extends SparkSpec {
     assert(fake.height == (fake.width * 9) / 16) // stand-in's synthetic aspect
   }
 
+  test("resizeImages: real downscale re-encodes at target width; pass-through otherwise") {
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/tiny.png").getPath))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),            // 8x5 → shrink to 4-wide
+      Multimodal.MediaRow(2L, "image", "junk".getBytes), // undecodable → untouched
+      Multimodal.MediaRow(3L, "audio", png)).toDS()      // wrong kind → untouched
+    val out = Multimodal.resizeImages(media, maxWidth = 4)
+      .collect().sortBy(_.media_id)
+    val resized = Multimodal.imageDecode(out(0))
+    assert(resized.width == 4 && resized.height == 2) // 5*4/8 = 2, aspect kept
+    assert(!out(0).payload.sameElements(png)) // actually re-encoded
+    assert(out(1).payload.sameElements("junk".getBytes))
+    assert(out(2).payload.sameElements(png))
+    // already narrow enough → byte-identical, not re-encoded
+    val same = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(4L, "image", png)).toDS(), maxWidth = 8).collect()(0)
+    assert(same.payload.sameElements(png))
+  }
+
   test("audioDecode: a real in-memory PCM WAV yields true duration + RMS profile") {
     // canonical 44-byte WAV header, 16-bit mono 8000 Hz, 4000 samples
     // (500 ms): first half silence, second half constant 16384
