@@ -402,6 +402,28 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Value-RANGE window frame (trailing 24 h per event): each row's
+    * aggregate covers a time-RANGE of preceding rows, not a row count —
+    * the frame family q06/q73 (rank / window-instance) don't exercise.
+    * Ordering key is exact integer micros on BOTH engines (unix_micros /
+    * epoch_us) — a seconds cast would truncate in Spark but round in
+    * DuckDB. Per-row trailing counts then collapse to a per-type peak +
+    * mean, so output is type-cardinality. Scale note: partitionBy is the
+    * low-cardinality event_type, so one key's ordered scan is one task's
+    * work at 100 TB — shard the frame q98-style ((type, day) buckets +
+    * boundary fix-up) before partition sizes hit executor memory. */
+  val q124RangeFrame: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy("event_type").orderBy(col("us"))
+      .rangeBetween(-86399999999L, 0L)
+    ev.select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy("event_type")
+      .agg(max("c").as("peak_24h"),
+        round(sum("c").cast("double") / count(lit(1)), 4).as("avg_24h"))
+      .orderBy("event_type")
+  }
+
   val q105SmallQtyRevenue: Q = (s, dir) => {
     Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
     Tables(s, dir, "part").createOrReplaceTempView("v_part")
@@ -484,6 +506,7 @@ object RelationalQueries {
     "q120_lateral_top_order" -> q120LateralTopOrder,
     "q121_cust_distribution" -> q121CustDistribution,
     "q122_disjunctive_predicate" -> q122DisjunctivePredicate,
+    "q124_range_frame" -> q124RangeFrame,
     "q105_small_qty_revenue" -> q105SmallQtyRevenue,
     "q78_salted_join" -> q78SaltedJoin,
     "q73_sliding_window" -> q73SlidingWindow,
@@ -568,6 +591,15 @@ object RelationalQueries {
                   AND l_quantity BETWEEN 10 AND 35)
             OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50
                   AND l_quantity BETWEEN 20 AND 50)""",
+    "q124_range_frame" ->
+      """WITH t AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_type,
+                 count(*) OVER (PARTITION BY event_type ORDER BY us
+                   RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS c
+               FROM t)
+         SELECT event_type, max(c) AS peak_24h,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS avg_24h
+         FROM w GROUP BY 1 ORDER BY 1""",
     "q105_small_qty_revenue" ->
       """SELECT p.p_brand, count(*) AS n_small,
            round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) / 7.0, 2) AS avg_yearly
