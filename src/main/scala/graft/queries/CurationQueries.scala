@@ -488,7 +488,7 @@ object CurationQueries {
            FROM cb CROSS JOIN bt CROSS JOIN ut
            JOIN cu a ON a.token = cb.w1 JOIN cu z ON z.token = cb.w2
            WHERE cb.c_ab >= 5)
-         SELECT w1, w2, c_ab, round(CAST(pmi AS DOUBLE), 4) AS pmi
+         SELECT w1, w2, c_ab, round(CAST(pmi AS DOUBLE), 4) + 0 AS pmi
          FROM s ORDER BY s.pmi DESC, w1, w2 LIMIT 20""",
     // same interior deciles (quantile_cont ≡ Spark percentile, both
     // linear interpolation — q67 established the parity), same

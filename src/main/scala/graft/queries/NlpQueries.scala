@@ -155,7 +155,7 @@ object NlpQueries {
              / greatest(CAST(len(list_filter(toks, x -> x IN ('fast','big','value'))) AS DOUBLE)
                         + len(list_filter(toks, x -> x IN ('slow','small','error'))), 1.0) AS score
            FROM T)
-         SELECT source, count(*) AS n_docs, round(avg(score), 4) AS avg_score,
+         SELECT source, count(*) AS n_docs, round(avg(score), 4) + 0 AS avg_score,
            CAST(sum(CASE WHEN score > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
            CAST(sum(CASE WHEN score < -0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
          FROM sc GROUP BY 1 ORDER BY 1""",

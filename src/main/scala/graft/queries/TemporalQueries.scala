@@ -375,9 +375,9 @@ object TemporalQueries {
              CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
            FROM t GROUP BY 1)
          SELECT event_type, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) + 0 AS slope,
            round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 8)
-             AS intercept,
+             + 0 AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
          FROM s ORDER BY 1""",

@@ -96,6 +96,9 @@ object Pca {
     // iteration chain references xc/v_i multiple times — un-hinted, the
     // expansion re-evaluates xc ~3^iters times (measured: 3 rounds
     // 0.67 s, 8 rounds minutes; materialized, 8 rounds 0.12 s).
+    // The final `+ 0` normalizes IEEE negative zero: a projection in
+    // (-5e-5, 0) rounds to -0.0 in DuckDB (sign-preserving) but 0.0 in
+    // Spark (BigDecimal), and the hash compare is on strings.
     val sb = new StringBuilder
     sb ++= s"""WITH allv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       x AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS xv FROM allv),
@@ -116,7 +119,7 @@ object Pca {
       flip AS MATERIALIZED (SELECT CASE WHEN (SELECT w FROM v$iters ORDER BY abs(w) DESC, d ASC LIMIT 1) < 0
                            THEN -1.0 ELSE 1.0 END AS f),
       vf AS MATERIALIZED (SELECT d, w * f AS w FROM v$iters, flip)
-      SELECT xc.vec_id, round(CAST(sum(CAST(xc * w AS DECIMAL(28,12))) AS DOUBLE), 4) AS proj
+      SELECT xc.vec_id, round(CAST(sum(CAST(xc * w AS DECIMAL(28,12))) AS DOUBLE), 4) + 0 AS proj
       FROM xc JOIN vf USING (d)
       GROUP BY xc.vec_id ORDER BY xc.vec_id"""
     sb.toString
