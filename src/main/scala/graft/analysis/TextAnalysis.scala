@@ -119,6 +119,52 @@ object TextAnalysis {
         round(log(col("n_tokens")) - col("__s").cast("double") / col("n_tokens"),
           4).as("entropy"))
 
+  /** Gopher-style repetition statistics — the "repetitious document"
+    * quality gates of a crawl-curation pipeline, re-grounded on word
+    * n-grams (the synthetic corpus has no line structure; on real data
+    * add the duplicate-line twins by swapping the tokenizer for a line
+    * splitter):
+    *   - `top2_frac`: fraction of token positions covered by the single
+    *     most frequent bigram (each occupies 2), the "top n-gram
+    *     character fraction" analog — boilerplate headers max this out;
+    *   - `dup3_frac`: fraction of trigram occurrences whose trigram
+    *     appears more than once in the doc, the "duplicated n-gram"
+    *     analog — loops/templates max this out.
+    * Only the max COUNT leaves the gram aggregation (never the gram
+    * itself), so no tie-break is needed and the output is
+    * engine-independent integer arithmetic plus two exact small-integer
+    * ratios.
+    *
+    * Scale: two explode→count chains, each map-side combined at
+    * (doc, gram) then (doc) grain; joins are doc-cardinality. Gram keys
+    * here are strings for oracle parity — at 100 TB switch to the
+    * codegen'd [[graft.expressions.WordGramKeys]] integer keys (the q69
+    * / q115 lesson) and the plan is unchanged. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    def grams(k: Int) = when(col("n") >= k,
+      expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+      .otherwise(array().cast("array<string>"))
+    val top2 = base
+      .select(col(idCol), explode(grams(2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top2_cnt"))
+    val dup3 = base
+      .select(col(idCol), explode(grams(3)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3_occ"),
+        sum(col("c")).as("tot3"))
+    base.select(col(idCol), col("n"))
+      .join(top2, idCol).join(dup3, idCol)
+      .select(col(idCol), col("n").as("n_tokens"), col("top2_cnt"),
+        round(col("top2_cnt") * lit(2.0) / col("n"), 4).as("top2_frac"),
+        col("dup3_occ"),
+        round(col("dup3_occ") * lit(1.0) / col("tot3"), 4).as("dup3_frac"))
+  }
+
   /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) with
     * add-one smoothing over the CORPUS vocabulary — the snapshot-drift /
     * source-skew monitor a recurring crawl runs between ingests (did this

@@ -6,7 +6,7 @@ import graft.Tables
 import graft.analysis.{Dsir, NaiveBayes, TextAnalysis, UnigramLm}
 import graft.dedup.{BloomDecontaminate, ChunkDedup, SubstringDedup}
 import graft.ops.{Sampling, TopK}
-import graft.text.TextOps
+import graft.text.{Chunker, TextOps}
 
 /** Corpus-curation operators beyond round 3's set: sub-document dedup,
   * deterministic weighted sampling, LM-based quality scoring, and
@@ -384,7 +384,27 @@ object CurationQueries {
     TextAnalysis.pmiBigrams(d, "text", minCount = 5L, k = 20)
   }
 
+  /** Gopher-style repetition gates over word n-grams: most-frequent-
+    * bigram coverage + duplicated-trigram occurrence fraction per doc.
+    * See `TextAnalysis.repetitionStats`. */
+  val q125Repetition: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    TextAnalysis.repetitionStats(d, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Overlapping sliding-window passage extraction (width 16, stride 12
+    * — each chunk shares 4 tokens with its predecessor): the RAG /
+    * context-window chunking pass, content-hashed for downstream
+    * passage-level dedup. See `text/Chunker`. */
+  val q126RagChunks: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    Chunker.chunks(d, "doc_id", "text", width = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q126_rag_chunks" -> q126RagChunks,
+    "q125_repetition" -> q125Repetition,
     "q103_pmi_bigrams" -> q103PmiBigrams,
     "q102_source_drift" -> q102SourceDrift,
     "q101_token_entropy" -> q101TokenEntropy,
@@ -416,6 +436,52 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q125_repetition" ->
+      s"""WITH $tokCte,
+         base AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+         bgp AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, n - 1)) AS i
+                 FROM base WHERE n >= 2),
+         bgc AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g,
+                   count(*) AS c
+                 FROM bgp GROUP BY 1, 2),
+         bga AS (SELECT doc_id, max(c) AS top2_cnt FROM bgc GROUP BY 1),
+         tgp AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, n - 2)) AS i
+                 FROM base WHERE n >= 3),
+         tgc AS (SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g,
+                   count(*) AS c
+                 FROM tgp GROUP BY 1, 2),
+         tga AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                     AS dup3_occ,
+                   CAST(sum(c) AS BIGINT) AS tot3
+                 FROM tgc GROUP BY 1)
+         SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens, bga.top2_cnt,
+           round(bga.top2_cnt * 2.0 / b.n, 4) AS top2_frac,
+           tga.dup3_occ,
+           round(tga.dup3_occ * 1.0 / tga.tot3, 4) AS dup3_frac
+         FROM base b JOIN bga USING (doc_id) JOIN tga USING (doc_id)
+         ORDER BY b.doc_id""",
+    "q126_rag_chunks" ->
+      s"""WITH $tokCte,
+         base AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+         idx AS (SELECT doc_id, toks, n,
+                   unnest(generate_series(0,
+                     CASE WHEN n <= 16 THEN 0
+                          ELSE CAST(floor((n - 16 + 12 - 1) / 12.0) AS BIGINT)
+                     END)) AS chunk_id
+                 FROM base),
+         c AS (SELECT doc_id, chunk_id, chunk_id * 12 + 1 AS start_tok,
+                 list_slice(toks, chunk_id * 12 + 1,
+                   least(chunk_id * 12 + 16, n)) AS chunk
+               FROM idx)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(len(chunk) AS INT) AS n_toks,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
     "q99_ccnet_buckets" ->
       s"""WITH $tokCte,
          t AS (SELECT doc_id, unnest(toks) AS token FROM tok),

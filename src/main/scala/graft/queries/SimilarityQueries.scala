@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{PageRank, TopK, Triangles}
-import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, SemanticDedup}
+import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, ScalarQuantizer, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
   * operators; reference analog N8/N9 `tencent_api.py:111-136`).
@@ -265,7 +265,22 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** SQ8 scalar-quantized top-10: the 8-bit-per-dimension compression
+    * tier between q21's exact floats and q60's PQ codebooks. Corpus
+    * bounds fit → asymmetric (query-exact) distance over reconstructed
+    * codes → salted top-k; per-dimension contributions decimal-quantized
+    * so the oracle reproduces the score bit-for-bit
+    * (`similarity/ScalarQuantizer`). */
+  val q127AnnSq8: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    ScalarQuantizer.topKAsymmetric(corpus,
+        queries.select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q127_ann_sq8" -> q127AnnSq8,
     "q113_triangles" -> q113Triangles,
     "q109_weighted_pagerank" -> q109WeightedPagerank,
     "q104_pagerank" -> q104Pagerank,
@@ -361,6 +376,31 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    // identical per-dim bounds -> identical codes -> decimal-summed
+    // asymmetric scores, bit-for-bit
+    "q127_ann_sq8" ->
+      s"""WITH C AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+         Q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+         dims AS (SELECT unnest(generate_series(1, $Dims)) AS i),
+         ex AS (SELECT c.vec_id, d.i, CAST(c.v[d.i] AS DOUBLE) AS x
+                FROM C c, dims d),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         contrib AS (SELECT q.query_id, e.vec_id,
+             CAST(CAST(q.q[e.i] AS DOUBLE) * (s.mn + CASE
+                 WHEN s.mx = s.mn THEN 0.0
+                 ELSE round((e.x - s.mn) / (s.mx - s.mn) * 255.0)
+                      * (s.mx - s.mn) / 255.0
+               END) AS DECIMAL(16,12)) AS cd
+           FROM ex e JOIN st s ON s.i = e.i CROSS JOIN Q q),
+         sums AS (SELECT query_id, vec_id, sum(cd) AS simd
+                  FROM contrib GROUP BY 1, 2),
+         ranked AS (SELECT query_id, vec_id, simd,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY simd DESC, vec_id ASC) AS rank
+           FROM sums)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(CAST(simd AS DOUBLE), 6) + 0 AS sim
+         FROM ranked WHERE rank <= 10 ORDER BY 1, 2""",
     // generated unrolled-CTE mirror of the 8-round power iteration
     "q94_pca_project" -> Pca.oracleSql(Dims, iters = 8),
     // identical md5 hyperplanes -> identical buckets -> exact top-3

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AggState, AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, ZOrder}
+import graft.ops.{AggState, AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, Sessionize, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -318,7 +318,20 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** Gap-based sessionization of the event stream (6 h threshold —
+    * tuned to the synthetic corpus' ~11 h mean inter-event gap so real
+    * multi-event sessions form), rolled up to per-user engagement stats.
+    * All output integer-exact except the rounded mean; tied timestamps
+    * are provably order-safe (see `ops/Sessionize`). */
+  val q128Sessionize: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    Sessionize.keyStats(ev, "user_id", "us", gapUs = 21600000000L)
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q128_sessionize" -> q128Sessionize,
     "q114_incremental_agg" -> q114IncrementalAgg,
     "q112_mad_outliers" -> q112MadOutliers,
     "q111_trend_regression" -> q111TrendRegression,
@@ -350,6 +363,25 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    "q128_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        > 21600000000 THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess,
+                 us
+               FROM g),
+         sl AS (SELECT user_id, sess, count(*) AS n_ev,
+                  max(us) - min(us) AS dur
+                FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           max(n_ev) AS max_sess_events,
+           CAST(sum(dur) AS BIGINT) AS total_dur_us,
+           round(CAST(sum(n_ev) AS DOUBLE) / count(*), 4) AS avg_sess_events
+         FROM sl GROUP BY 1 ORDER BY 1""",
     // full direct recompute — must equal the state-merge path exactly
     "q114_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
