@@ -424,6 +424,76 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** TPC-H Q7 shape — bilateral trade volume between two nations: the
+    * nation dimension joins TWICE under different roles (supplier side
+    * and customer side), and the pair filter is a disjunction SPANNING
+    * both aliases — (A→B) OR (B→A) — so neither join alone can apply
+    * it; it runs post-join over two broadcast dims. The 4-table fact
+    * chain shuffles on its join keys once each; both nation copies
+    * broadcast. Revenue decimal-quantized per line before the sum. */
+  val q129NationVolume: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val supp = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    val n1 = nat.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = nat.select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    li.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .join(supp, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n1), col("s_nk") === col("s_nationkey"))
+      .join(broadcast(n2), col("c_nk") === col("c_nationkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,12)")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape — market share: one nation's fraction of a region's
+    * PROMO-part import revenue per year. The conditional-sum-over-sum
+    * ratio aggregates BOTH legs in one pass (a CASE inside the
+    * decimal-quantized sum — no second scan, no self-join); customer
+    * nations pre-filter to the region BEFORE the join (the dim filter
+    * prunes the fact rows through the join). Exact-decimal numerator
+    * and denominator; the share is one double division. */
+  val q130MarketShare: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val supp = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(28,12)")
+    val asiaNat = nat.filter(col("n_regionkey") === 2)
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNat = nat.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    li.join(Tables(s, dir, "part").filter(col("p_type") === "PROMO"),
+        col("p_partkey") === col("l_partkey"))
+      .join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(asiaNat), col("c_nk") === col("c_nationkey"))
+      .join(supp, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(suppNat), col("s_nk") === col("s_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+          / sum(rev).cast("double"), 6).as("mkt_share"),
+        round(sum(rev).cast("double"), 4).as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
   val q105SmallQtyRevenue: Q = (s, dir) => {
     Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
     Tables(s, dir, "part").createOrReplaceTempView("v_part")
@@ -502,6 +572,8 @@ object RelationalQueries {
     "q106_big_orders" -> q106BigOrders,
     "q116_grouping_sets" -> q116GroupingSets,
     "q117_skew_audit" -> q117SkewAudit,
+    "q129_nation_volume" -> q129NationVolume,
+    "q130_market_share" -> q130MarketShare,
     "q119_lone_late_supplier" -> q119LoneLateSupplier,
     "q120_lateral_top_order" -> q120LateralTopOrder,
     "q121_cust_distribution" -> q121CustDistribution,
@@ -527,6 +599,40 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+           JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q130_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN ns.n_name = 'NATION_7'
+               THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS mkt_share,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             AS DECIMAL(28,12))) AS DOUBLE), 4) AS total_rev,
+           count(*) AS n_lines
+         FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation nc ON nc.n_nationkey = c.c_nationkey AND nc.n_regionkey = 2
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+         GROUP BY 1 ORDER BY 1""",
     "q116_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS INT) AS g_rf,

@@ -318,11 +318,13 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
-  /** Gap-based sessionization of the event stream (6 h threshold —
+  /** Per-USER engagement rollup over gap sessions (6 h threshold —
     * tuned to the synthetic corpus' ~11 h mean inter-event gap so real
-    * multi-event sessions form), rolled up to per-user engagement stats.
-    * All output integer-exact except the rounded mean; tied timestamps
-    * are provably order-safe (see `ops/Sessionize`). */
+    * multi-event sessions form): q38 emits the session-grain detail;
+    * this is the user-grain summary a retention dashboard reads, via
+    * the reusable `ops/Sessionize` (q38's inline logic as a library
+    * op). All output integer-exact except the rounded mean; tied
+    * timestamps are provably order-safe (see `ops/Sessionize`). */
   val q128Sessionize: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
