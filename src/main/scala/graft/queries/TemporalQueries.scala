@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AggState, AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, Sessionize, ZOrder}
+import graft.ops.{AggState, AsOfJoin, GapFill, PrefixSum, RangeJoin, Regression, RobustStats, Sequences, Sessionize, ZOrder}
 
 /** Temporal join operators over the `events` stream table — the two
   * join shapes Spark lacks as built-ins that every event pipeline needs:
@@ -332,7 +332,31 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** First-order event-type transition matrix (P(next | current) per
+    * user journey) — `ops/Sequences.transitions`. Tied timestamps are
+    * genuinely order-dependent under `lead`, so the order key carries
+    * the unique event_id in both engines. */
+  val q131Transitions: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    Sequences.transitions(ev, "user_id", Seq("us", "event_id"), "event_type")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top-10 three-step event paths across all users — funnel discovery
+    * (`ops/Sequences.topPaths`); global top-k lowers to TakeOrdered. */
+  val q132TopPaths: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    Sequences.topPaths(ev, "user_id", Seq("us", "event_id"), "event_type",
+      k = 10)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q132_top_paths" -> q132TopPaths,
+    "q131_transitions" -> q131Transitions,
     "q128_sessionize" -> q128Sessionize,
     "q114_incremental_agg" -> q114IncrementalAgg,
     "q112_mad_outliers" -> q112MadOutliers,
@@ -365,6 +389,30 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    "q131_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+         t AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n
+               FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS prob
+         FROM c ORDER BY 1, 2""",
+    "q132_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+         t AS (SELECT event_type AS a,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS b,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS c
+               FROM e),
+         p AS (SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+               FROM t WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1)
+         SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""",
     "q128_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT user_id, us,
