@@ -424,6 +424,16 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Fuzzy entity matching on part names: pairs within Levenshtein
+    * distance 2, candidates blocked on shared word tokens — the
+    * master-data / catalog-reconciliation join (`ops/FuzzyJoin`).
+    * Never an all-pairs cross join; PlanLint holds. */
+  val q133FuzzyMatch: Q = (s, dir) => {
+    val part = Tables(s, dir, "part")
+    graft.ops.FuzzyJoin.selfMatch(part, "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+  }
+
   /** TPC-H Q7 shape — bilateral trade volume between two nations: the
     * nation dimension joins TWICE under different roles (supplier side
     * and customer side), and the pair filter is a disjunction SPANNING
@@ -572,6 +582,7 @@ object RelationalQueries {
     "q106_big_orders" -> q106BigOrders,
     "q116_grouping_sets" -> q116GroupingSets,
     "q117_skew_audit" -> q117SkewAudit,
+    "q133_fuzzy_match" -> q133FuzzyMatch,
     "q129_nation_volume" -> q129NationVolume,
     "q130_market_share" -> q130MarketShare,
     "q119_lone_late_supplier" -> q119LoneLateSupplier,
@@ -599,6 +610,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+         t AS (SELECT p_name,
+                 unnest(list_filter(string_split_regex(trim(p_name), '\s+'),
+                   x -> len(x) > 0)) AS token
+               FROM n),
+         c AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+               FROM t a JOIN t b USING (token)
+               WHERE a.p_name < b.p_name)
+         SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+         FROM c WHERE levenshtein(name_a, name_b) <= 2
+         ORDER BY 1, 2""",
     "q129_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
