@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling: repeatedly delete nodes
+  * whose (undirected) degree is below k; what survives is the maximal
+  * subgraph with minimum degree ≥ k. On a kNN similarity graph the
+  * k-core isolates dense semantic neighborhoods — the "cluster core"
+  * complement of `ops/Triangles`' local clustering coefficient, used to
+  * pick prototype-rich regions for subsampling (high-core) vs
+  * outlier/noise sweeps (core-less).
+  *
+  * Determinism contract: the loop runs EXACTLY `rounds` rounds with no
+  * early exit — after the fixpoint every further round is a no-op, so
+  * "enough rounds" equals "converged", and the oracle can mirror the
+  * algorithm as `rounds` unrolled CTEs with zero driver state
+  * ([[oracleRounds]], the `PageRank.oracleSql` pattern). Peeling is
+  * monotone, so a round count ≥ the peel depth is exact (kNN graphs
+  * peel in a handful of rounds — bounded out-degree); the spec asserts
+  * convergence.
+  *
+  * Scale per round: one map-side-combined degree agg + two semi-joins,
+  * all keyed shuffles on node id; `localCheckpoint` truncates the
+  * iterative lineage (the `Clusters` lesson). Edge state only ever
+  * shrinks.
+  */
+object KCore {
+
+  /** Nodes of the k-core of the (symmetrized, de-duplicated, loop-free)
+    * graph, with their within-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val alive = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a"))
+      e = e.join(alive, Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("node"), col("deg"))
+  }
+
+  /** The same peeling as `rounds` unrolled SQL CTEs over a directed
+    * edge CTE named `ke(src, dst)`; leaves the result in a CTE named
+    * `kcore_final(a, deg)`. Caller appends the SELECT. */
+  def oracleRounds(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM ke
+        |  UNION ALL SELECT dst AS a, src AS b FROM ke) WHERE a <> b),
+        |""".stripMargin)
+    (1 to rounds).foreach { i =>
+      sb.append(
+        s"""alive$i AS MATERIALIZED (SELECT a FROM (
+           |  SELECT a, count(*) AS deg FROM e${i - 1} GROUP BY 1) WHERE deg >= $k),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN alive$i x ON e.a = x.a JOIN alive$i y ON e.b = y.a),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"kcore_final AS (SELECT a, count(*) AS deg FROM e$rounds GROUP BY 1)")
+    sb.toString
+  }
+}

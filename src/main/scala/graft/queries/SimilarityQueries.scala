@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{PageRank, TopK, Triangles}
+import graft.ops.{KCore, PageRank, TopK, Triangles}
 import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, ScalarQuantizer, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
@@ -279,7 +279,19 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** 4-core of the kNN graph: dense semantic neighborhoods by iterative
+    * peeling (`ops/KCore`) — the global-density complement of q113's
+    * local clustering coefficient. 8 rounds, provably ≥ the peel depth
+    * here (KCoreSpec asserts a no-op extra round); the oracle unrolls
+    * the identical rounds over the shared q93 edge CTEs. */
+  val q134Kcore: Q = (s, dir) => {
+    val edges = knnTop3(s, dir).select("src", "dst")
+    KCore.kCore(edges, "src", "dst", k = 4, rounds = 8)
+      .orderBy("node")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q134_kcore" -> q134Kcore,
     "q127_ann_sq8" -> q127AnnSq8,
     "q113_triangles" -> q113Triangles,
     "q109_weighted_pagerank" -> q109WeightedPagerank,
@@ -376,6 +388,12 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    // identical unrolled peeling rounds over the shared kNN edge CTEs
+    "q134_kcore" ->
+      s"""WITH ${knnCtes("MATERIALIZED ")},
+         ke AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+         ${KCore.oracleRounds(k = 4, rounds = 8)}
+         SELECT a AS node, deg FROM kcore_final ORDER BY 1""",
     // identical per-dim bounds -> identical codes -> decimal-summed
     // asymmetric scores, bit-for-bit
     "q127_ann_sq8" ->
