@@ -290,7 +290,31 @@ object SimilarityQueries {
       .orderBy("node")
   }
 
+  /** Metadata-FILTERED vector search (the vector-store "hybrid filter"
+    * pattern): top-5 cosine per query among corpus vectors sharing the
+    * query's label — filter-THEN-search, the constraint joins as a key
+    * so each query scores only its label slice (pre-filtering; a
+    * search-then-filter plan would over-fetch k and still miss). Same
+    * exact-cosine + salted-top-k machinery as q21. */
+  val q135FilteredAnn: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val scored = corpus.join(broadcast(queries), "label")
+      .withColumn("sim", Cosine.cosine(col("qvec"), col("vec")))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("vec_id").asc), 5,
+        saltOn = hash(col("vec_id")), rankCol = "rank")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q135_filtered_ann" -> q135FilteredAnn,
     "q134_kcore" -> q134Kcore,
     "q127_ann_sq8" -> q127AnnSq8,
     "q113_triangles" -> q113Triangles,
@@ -388,6 +412,23 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    "q135_filtered_ann" ->
+      """WITH Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+               label FROM embeddings WHERE vec_id < 10),
+         C AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec, label
+               FROM embeddings WHERE vec_id >= 10),
+         sims AS (SELECT q.query_id, c.vec_id, c.label,
+             list_inner_product(q.qvec, c.cvec)
+               / (sqrt(list_inner_product(q.qvec, q.qvec))
+                  * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+           FROM Q q JOIN C c USING (label)),
+         ranked AS (SELECT query_id, vec_id, label, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, label,
+           round(sim, 6) + 0 AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY 1, 2""",
     // identical unrolled peeling rounds over the shared kNN edge CTEs
     "q134_kcore" ->
       s"""WITH ${knnCtes("MATERIALIZED ")},
