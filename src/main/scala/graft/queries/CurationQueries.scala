@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.analysis.{Dsir, NaiveBayes, TextAnalysis, UnigramLm}
 import graft.dedup.{BloomDecontaminate, ChunkDedup, SubstringDedup}
-import graft.ops.{Sampling, TopK}
+import graft.ops.{Apportion, Sampling, TopK}
 import graft.text.{Chunker, TextOps}
 
 /** Corpus-curation operators beyond round 3's set: sub-document dedup,
@@ -402,7 +402,18 @@ object CurationQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Temperature-weighted (α=½) integer apportionment of a 1000-doc
+    * training budget across sources, exact via largest-remainder
+    * rounding — the mixture-recipe step (`ops/Apportion`). */
+  val q136TemperatureMix: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    Apportion.bySqrtCount(counts, "source", "n_docs", budget = 1000L)
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q136_temperature_mix" -> q136TemperatureMix,
     "q126_rag_chunks" -> q126RagChunks,
     "q125_repetition" -> q125Repetition,
     "q103_pmi_bigrams" -> q103PmiBigrams,
@@ -436,6 +447,25 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q136_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs,
+                 CAST(sqrt(n_docs) AS DECIMAL(28,12)) AS wt FROM c),
+         t AS (SELECT sum(wt) AS tw FROM w),
+         q AS (SELECT source, n_docs,
+                 CAST(wt AS DOUBLE) / CAST(tw AS DOUBLE) * 1000 AS quota
+               FROM w CROSS JOIN t),
+         b AS (SELECT source, n_docs,
+                 CAST(floor(quota) AS BIGINT) AS base,
+                 quota - floor(quota) AS frac
+               FROM q),
+         l AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+         r AS (SELECT source, n_docs, base,
+                 row_number() OVER (ORDER BY frac DESC, source) AS rk
+               FROM b)
+         SELECT r.source, r.n_docs,
+           base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS target
+         FROM r CROSS JOIN l ORDER BY source""",
     "q125_repetition" ->
       s"""WITH $tokCte,
          base AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
