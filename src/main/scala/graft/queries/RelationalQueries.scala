@@ -424,6 +424,43 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Distribution-position window functions — percent_rank, cume_dist,
+    * ntile, nth_value — the rank family q06/q73 (row_number / rank over
+    * frames) don't exercise. Order key carries event_id so ties are
+    * total-ordered and RANGE ≡ ROWS frames; nth_value sees the default
+    * running frame (null until the 3rd row). Exact integer-ratio
+    * outputs — no rounding needed. Top-20 per type keeps the output
+    * type-cardinality-bounded while the windows still compute over FULL
+    * partitions. */
+  val q137WindowRanks: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    ev.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("third_highest", nth_value(col("value"), 3).over(w))
+      .filter(col("rn") <= 20)
+      .orderBy("event_type", "rn")
+  }
+
+  /** Wide→long UNPIVOT (melt) of a per-source stats table — the inverse
+    * of q72's pivot; Spark's native `unpivot` lowers to one Expand (one
+    * scan for all measures, not one scan per measure). */
+  val q138Unpivot: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val wide = d.groupBy("source").agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      round(avg(col("n_chars")), 4).as("avg_chars"),
+      countDistinct(col("lang")).cast("double").as("n_langs"))
+    wide.unpivot(Array(col("source")),
+        Array(col("n_docs"), col("avg_chars"), col("n_langs")),
+        "metric", "value")
+      .orderBy("source", "metric")
+  }
+
   /** Fuzzy entity matching on part names: pairs within Levenshtein
     * distance 2, candidates blocked on shared word tokens — the
     * master-data / catalog-reconciliation join (`ops/FuzzyJoin`).
@@ -582,6 +619,8 @@ object RelationalQueries {
     "q106_big_orders" -> q106BigOrders,
     "q116_grouping_sets" -> q116GroupingSets,
     "q117_skew_audit" -> q117SkewAudit,
+    "q137_window_ranks" -> q137WindowRanks,
+    "q138_unpivot" -> q138Unpivot,
     "q133_fuzzy_match" -> q133FuzzyMatch,
     "q129_nation_volume" -> q129NationVolume,
     "q130_market_share" -> q130MarketShare,
@@ -610,6 +649,33 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_window_ranks" ->
+      """WITH w AS (SELECT event_type, event_id, value,
+             row_number() OVER win AS rn,
+             percent_rank() OVER win AS pr,
+             cume_dist() OVER win AS cd,
+             ntile(4) OVER win AS quartile,
+             nth_value(value, 3) OVER win AS third_highest
+           FROM events
+           WINDOW win AS (PARTITION BY event_type
+             ORDER BY value DESC, event_id ASC))
+         SELECT event_type, event_id, value, CAST(rn AS INT) AS rn, pr, cd,
+           CAST(quartile AS INT) AS quartile, third_highest
+         FROM w WHERE rn <= 20 ORDER BY event_type, rn""",
+    "q138_unpivot" ->
+      """WITH wide AS (SELECT source,
+             CAST(count(*) AS DOUBLE) AS n_docs,
+             round(CAST(sum(CAST(n_chars AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 4) AS avg_chars,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+           FROM documents GROUP BY 1)
+         SELECT source, metric, value FROM (
+           SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+           UNION ALL
+           SELECT source, 'avg_chars', avg_chars FROM wide
+           UNION ALL
+           SELECT source, 'n_langs', n_langs FROM wide)
+         ORDER BY source, metric""",
     "q133_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
          t AS (SELECT p_name,
