@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata; decode/feature-extraction runs
   * per partition in batches (the Scala analog of an arrow-batched UDF).
   *
-  * The IMAGE path is a real decoder (`imageDecode`, javax.imageio —
-  * pure JVM, on every classpath): true pixel dimensions plus a luminance
-  * histogram feature. Audio/video decode remains a clearly-marked
-  * deterministic STAND-IN (`fakeDecode` — those codec libraries are not
-  * on this offline classpath), and non-image payloads route to it via a
-  * magic-byte sniff. Everything Spark cares about is real either way:
-  * the schema, the per-partition batch iteration, the partitioning
-  * (decode is scan-side, no shuffle), and the typed output.
+  * All three kinds now have REAL pure-JVM codec paths, each behind a
+  * cheap magic-byte sniff: images via javax.imageio (PNG/JPEG — true
+  * pixel dims + luminance histogram), audio via javax.sound.sampled
+  * (PCM WAV — true duration + RMS profile), video via the `MjpegAvi`
+  * RIFF parser + per-frame javax.imageio JPEG decode (true container
+  * dims/duration + first-frame histogram, real frame extraction in
+  * `sampleFrames`). Payloads no sniff claims — or that fail their
+  * codec — fall back to the deterministic `fakeDecode` STAND-IN:
+  * quarantine-able rows, never job aborts. Everything Spark cares
+  * about is identical on every path: the schema, the per-partition
+  * batch iteration, the partitioning (decode is scan-side, no
+  * shuffle), and the typed output.
   */
 object Multimodal {
 
@@ -62,24 +66,32 @@ object Multimodal {
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) fakeDecode(r)
     else {
       val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-      val hist = new Array[Float](8)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          hist(lum >> 5) += 1f
-          x += 1
-        }
-        y += 1
-      }
-      val n = (img.getWidth.toLong * img.getHeight).toFloat
       MediaFeatures(r.media_id, r.kind, r.payload.length, h,
         width = img.getWidth, height = img.getHeight, duration_ms = 0L,
-        feature = hist.map(_ / n))
+        feature = lumaHistogram(img))
     }
+  }
+
+  /** 8-bin normalized luminance histogram — the shared feature vector
+    * of the image and video (first-frame) codec paths. Per-pixel getRGB
+    * is fine at fixture scale; a production codec reads the raster
+    * buffer in bulk. */
+  private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val hist = new Array[Float](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (img.getWidth.toLong * img.getHeight).toFloat
+    hist.map(_ / n)
   }
 
   /** RIFF/WAVE magic-byte sniff — same cheap gate as the image probe. */
@@ -132,14 +144,40 @@ object Multimodal {
     } catch { case _: Exception => fakeDecode(r) }
   }
 
+  /** REAL video decode (MJPEG-AVI via `MjpegAvi` + javax.imageio —
+    * pure JVM): true container dims, duration from the frame count ×
+    * frame interval, and the first frame's 8-bin luminance histogram as
+    * the feature vector (the per-frame work a real sampler amortizes).
+    * Anything that isn't a parseable MJPEG-AVI falls back to
+    * [[fakeDecode]] — same quarantine policy as image/audio. */
+  def videoDecode(r: MediaRow): MediaFeatures =
+    MjpegAvi.parse(r.payload) match {
+      case None => fakeDecode(r)
+      case Some(avi) =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(avi.frames.head))
+          catch { case _: Exception => null }
+        if (img == null) fakeDecode(r)
+        else {
+          val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+          MediaFeatures(r.media_id, r.kind, r.payload.length, h,
+            width = avi.width, height = avi.height,
+            duration_ms = avi.totalFrames * avi.usPerFrame / 1000L,
+            feature = lumaHistogram(img))
+        }
+    }
+
   /** Kind-dispatching decoder: the real JVM image codec for image
     * payloads carrying a PNG/JPEG header, the real JVM WAV codec for
-    * audio payloads carrying a RIFF/WAVE header, the deterministic
-    * stand-in for everything else (video, unparseable bytes). This is
-    * the default codec of both decode entry points. */
+    * audio payloads carrying a RIFF/WAVE header, the real MJPEG-AVI
+    * codec for video payloads carrying a RIFF/AVI header, and the
+    * deterministic stand-in for everything else (unparseable bytes).
+    * This is the default codec of both decode entry points. */
   def decode(r: MediaRow): MediaFeatures =
     if (r.kind == "image" && looksLikeImage(r.payload)) imageDecode(r)
     else if (r.kind == "audio" && looksLikeWav(r.payload)) audioDecode(r)
+    else if (r.kind == "video" && MjpegAvi.looksLikeAvi(r.payload)) videoDecode(r)
     else fakeDecode(r)
 
   /** Batched per-partition decode: one pass per partition, constant
@@ -212,17 +250,31 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, digest: Long)
 
-  /** STAND-IN frame sampling: emit `n` evenly-spaced frames per video
-    * payload (flatMap — one input row fans out to n typed rows, the
-    * shape a real ffmpeg-backed sampler produces). Frame digests derive
-    * deterministically from the payload bytes + index. */
+  /** Frame sampling (flatMap — one input row fans out to n typed rows):
+    * REAL extraction for MJPEG-AVI video payloads — up to `n` evenly
+    * spaced container frames, true offsets from the frame interval,
+    * digest = polynomial hash of the frame's own JPEG bytes; the
+    * deterministic stand-in fan-out for every other payload (same
+    * quarantine policy as `decode`). */
   def sampleFrames(media: Dataset[MediaRow], n: Int,
                    durationMs: Long = 60000L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-      (0 until n).map { i =>
-        Frame(r.media_id, i, i.toLong * durationMs / math.max(n, 1), h * 31 + i)
+      val avi = if (r.kind == "video") MjpegAvi.parse(r.payload) else None
+      avi match {
+        case Some(a) =>
+          val take = math.min(n, a.frames.length)
+          (0 until take).map { i =>
+            val idx = (i.toLong * a.frames.length / math.max(take, 1)).toInt
+            val fh = a.frames(idx)
+              .foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+            Frame(r.media_id, i, idx * a.usPerFrame / 1000L, fh)
+          }
+        case None =>
+          val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+          (0 until n).map { i =>
+            Frame(r.media_id, i, i.toLong * durationMs / math.max(n, 1), h * 31 + i)
+          }
       }
     }
   }

@@ -119,4 +119,72 @@ class MultimodalSpec extends SparkSpec {
     assert(img.duration_ms == 0L)
     assert(aud.duration_ms >= 0L && img.digest == aud.digest)
   }
+
+  // ---- real MJPEG-AVI video path -------------------------------------------
+
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  /** Spec-conformant minimal MJPEG-AVI: RIFF('AVI ') → LIST(hdrl, avih)
+    * → LIST(movi, 00dc…). */
+  private def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      usPerFrame: Int): Array[Byte] = {
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("videoDecode: a real in-memory MJPEG-AVI yields true dims + duration") {
+    val frames = Seq(0x000000, 0x808080, 0xFFFFFF, 0x404040)
+      .map(jpegFrame(8, 6, _))
+    val avi = buildAvi(frames, w = 8, h = 6, usPerFrame = 40000) // 25 fps
+    val f = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(20L, "video", avi)).toDS()).collect()(0)
+    assert(f.width == 8 && f.height == 6)
+    assert(f.duration_ms == 160L) // 4 frames x 40 ms
+    assert(math.abs(f.feature.sum - 1f) < 1e-4) // first-frame histogram
+    // corrupt container falls back to the stand-in, never throws
+    val fake = Multimodal.decodeFeatures(Seq(Multimodal.MediaRow(21L, "video",
+      avi.take(30))).toDS()).collect()(0)
+    assert(fake.height == (fake.width * 9) / 16)
+  }
+
+  test("sampleFrames: real extraction picks evenly spaced container frames") {
+    val frames = Seq(0x112233, 0x445566, 0x778899, 0xAABBCC)
+      .map(jpegFrame(8, 6, _))
+    val avi = buildAvi(frames, w = 8, h = 6, usPerFrame = 40000)
+    val got = Multimodal.sampleFrames(
+        Seq(Multimodal.MediaRow(30L, "video", avi)).toDS(), n = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 2)
+    assert(got.map(_.offset_ms).toSeq == Seq(0L, 80L)) // frames 0 and 2
+    def poly(b: Array[Byte]) =
+      b.foldLeft(1125899906842597L)((acc, x) => acc * 31 + x)
+    assert(got(0).digest == poly(frames(0)))
+    assert(got(1).digest == poly(frames(2)))
+    assert(got(0).digest != got(1).digest)
+    // n larger than the container: every real frame, no invented ones
+    val all = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaRow(31L, "video", avi)).toDS(), n = 9).collect()
+    assert(all.length == 4)
+  }
 }
