@@ -29,6 +29,27 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L, 2L, 50L, 1.5), (2L, 1L, 1L, 1L, 0L, 1.0)))
   }
 
+  test("sessions agree with Spark's native session_window (batch mode)") {
+    // random-ish micros with gaps either side of the threshold; no gap
+    // exactly AT it (session_window closes at >=, Sessionize at >)
+    val rows = Seq((1L, 0L), (1L, 30L), (1L, 250L), (1L, 260L), (1L, 900L),
+      (2L, 10L), (2L, 500L))
+    val ev = rows.toDF("user_id", "us")
+    val ours = Sessionize.sessions(ev, "user_id", "us", Gap)
+      .select("user_id", "n_ev", "dur_us").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    val native = ev
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
+      .groupBy(org.apache.spark.sql.functions.session_window(col("ts"),
+        s"${Gap} microseconds"), col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_ev"),
+        (org.apache.spark.sql.functions.max(col("us"))
+          - org.apache.spark.sql.functions.min(col("us"))).as("dur_us"))
+      .select("user_id", "n_ev", "dur_us").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(ours == native)
+  }
+
   test("tied timestamps give order-independent session stats") {
     // two rows at us=200 after a >Gap jump: whichever lags first sees the
     // break, the other sees gap 0 — the rollup must not depend on order
