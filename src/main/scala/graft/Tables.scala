@@ -16,18 +16,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw long nanos and truncate to micros
-      // (exactly what DuckDB/Arrow do when narrowing ns → us). Requires
-      // spark.sql.legacy.parquet.nanosAsLong=true, set at session build
-      // time by every entry point (Verify/Bench/Scratch/test harness) —
-      // not here, to keep table loading side-effect free.
-      require(
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+      // generations (Spark's vectorized reader rejects it; with
+      // spark.sql.legacy.parquet.nanosAsLong=true it surfaces as raw long
+      // nanos) and as plain TIMESTAMP(MICROS) in others (surfacing as
+      // TIMESTAMP_NTZ — no UTC adjustment flag). Normalize BOTH to the
+      // session-UTC TIMESTAMP every query assumes: long nanos truncate to
+      // micros (exactly what DuckDB/Arrow do when narrowing ns → us);
+      // NTZ casts value-preserving under the UTC session timezone.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

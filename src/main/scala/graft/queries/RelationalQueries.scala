@@ -613,7 +613,115 @@ object RelationalQueries {
       ORDER BY s.s_suppkey""")
   }
 
+  /** TPC-H Q2 shape — correlated equality against a per-key MIN: for each
+    * SMALL part, the supplier(s) whose lineitem hit that part's minimum
+    * extended price. The correlated `= (SELECT min ...)` decorrelates to
+    * one grouped min joined back on partkey — the EQUALITY twin of q105's
+    * inequality threshold (a different rewrite branch: the filter keeps
+    * only exact-min rows, so ties survive and both engines must agree on
+    * them — raw stored doubles compare exactly, no arithmetic). */
+  val q139MinPriceSupplier: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v_part")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    Tables(s, dir, "nation").createOrReplaceTempView("v_nation")
+    s.sql("""
+      SELECT p.p_partkey, p.p_name, sup.s_name, n.n_name,
+        l.l_extendedprice AS min_price
+      FROM v_part p
+      JOIN v_lineitem l ON l.l_partkey = p.p_partkey
+      JOIN v_supplier sup ON sup.s_suppkey = l.l_suppkey
+      JOIN v_nation n ON n.n_nationkey = sup.s_nationkey
+      WHERE p.p_type = 'SMALL' AND p.p_size <= 10
+        AND l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM v_lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+      ORDER BY p.p_partkey, sup.s_name""")
+  }
+
+  /** TPC-H Q11 shape — group aggregate filtered against a GLOBAL scalar
+    * aggregate of the same stream: parts whose revenue exceeds 1.5× the
+    * mean per-part revenue (scale-free, unlike Q11's literal fraction —
+    * one query text stays non-vacuous at every SF). The inner total is
+    * one broadcast
+    * single-row aggregate; the fraction multiply runs in IEEE double on
+    * BOTH engines (identical exact decimal sums → identical double cast
+    * → identical product), so threshold-boundary rows can't flip. */
+  val q140ImportantParts: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      WITH value AS (
+        SELECT l_partkey,
+          sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS val
+        FROM v_lineitem GROUP BY l_partkey)
+      SELECT l_partkey, round(CAST(val AS DOUBLE), 4) AS part_value
+      FROM value
+      WHERE CAST(val AS DOUBLE) > (
+        SELECT CAST(sum(val) AS DOUBLE) / count(*) * 1.5 FROM value)
+      ORDER BY l_partkey""")
+  }
+
+  /** TPC-H Q16 shape — NOT IN subquery (null-aware anti join) + distinct
+    * supplier count per part attribute triple. Catalyst plans the NOT IN
+    * as a null-aware anti join — semantically stricter than q05's NOT
+    * EXISTS anti (one NULL in the subquery empties the result); here the
+    * key column is non-null so it lowers to the same anti-join shape,
+    * which is exactly the rewrite this query pins. */
+  val q141PartSupplierCount: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v_part")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    s.sql("""
+      SELECT p.p_brand, p.p_type, p.p_size,
+        count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'PROMO'
+        AND p.p_size IN (1, 5, 9, 13, 17, 21)
+        AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM v_supplier WHERE s_nationkey < 3)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+      ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""")
+  }
+
+  /** TPC-H Q20 shape — NESTED correlated subqueries: an IN whose inner
+    * query itself contains (a) an IN against a filtered dimension and
+    * (b) a correlated scalar aggregate — the "suppliers with excess
+    * stock" pattern over the lineitem-derived part-supplier inventory.
+    * Exercises two decorrelations in one plan: the outer IN → semi
+    * join, the inner correlated sum → grouped agg LEFT-joined back; a
+    * pair with no 1996 shipments gets a NULL sum, and NULL comparison
+    * semantics filter it on BOTH engines (the no-COALESCE branch of
+    * the rewrite). Quantity sums decimal-exact, so the 4× threshold
+    * can't flip. */
+  val q142ExcessStock: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v_part")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    s.sql("""
+      SELECT s.s_suppkey, s.s_name
+      FROM v_supplier s
+      WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+            sum(CAST(l_quantity AS DECIMAL(28,12))) AS total_qty
+          FROM v_lineitem GROUP BY l_partkey, l_suppkey) ps
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')
+          AND ps.total_qty > 4 * (
+            SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,12)))
+            FROM v_lineitem l2
+            WHERE l2.l_partkey = ps.l_partkey
+              AND l2.l_suppkey = ps.l_suppkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+      ORDER BY s.s_suppkey""")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q139_min_price_supplier" -> q139MinPriceSupplier,
+    "q140_important_parts" -> q140ImportantParts,
+    "q141_part_supplier_count" -> q141PartSupplierCount,
+    "q142_excess_stock" -> q142ExcessStock,
     "q108_top_supplier" -> q108TopSupplier,
     "q107_no_order_customers" -> q107NoOrderCustomers,
     "q106_big_orders" -> q106BigOrders,
@@ -649,6 +757,56 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_min_price_supplier" ->
+      """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           l.l_extendedprice AS min_price
+         FROM part p
+         JOIN lineitem l ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE p.p_type = 'SMALL' AND p.p_size <= 10
+           AND l.l_extendedprice = (
+             SELECT min(l2.l_extendedprice) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)
+         ORDER BY p.p_partkey, s.s_name""",
+    "q140_important_parts" ->
+      """WITH value AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS val
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, round(CAST(val AS DOUBLE), 4) AS part_value
+         FROM value
+         WHERE CAST(val AS DOUBLE) > (
+           SELECT CAST(sum(val) AS DOUBLE) / count(*) * 1.5 FROM value)
+         ORDER BY l_partkey""",
+    "q141_part_supplier_count" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'PROMO'
+           AND p.p_size IN (1, 5, 9, 13, 17, 21)
+           AND l.l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_nationkey < 3)
+         GROUP BY p.p_brand, p.p_type, p.p_size
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+    "q142_excess_stock" ->
+      """SELECT s.s_suppkey, s.s_name
+         FROM supplier s
+         WHERE s.s_suppkey IN (
+           SELECT ps.l_suppkey FROM (
+             SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(28,12))) AS total_qty
+             FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+           WHERE ps.l_partkey IN (
+               SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             AND ps.total_qty > 4 * (
+               SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,12)))
+               FROM lineitem l2
+               WHERE l2.l_partkey = ps.l_partkey
+                 AND l2.l_suppkey = ps.l_suppkey
+                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+         ORDER BY s.s_suppkey""",
     "q137_window_ranks" ->
       """WITH w AS (SELECT event_type, event_id, value,
              row_number() OVER win AS rn,

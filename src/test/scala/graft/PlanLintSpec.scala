@@ -59,4 +59,24 @@ class PlanLintSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or("),
       "part scan must carry its derivable disjunction as a pushed filter")
   }
+
+  test("q139: correlated MIN decorrelates to one grouped aggregate, not per-row probes") {
+    val p = plan("q139_min_price_supplier")
+    assert(p.contains("min(l_extendedprice"),
+      "the per-part min must appear as a grouped aggregate in the plan")
+    assert(!p.contains("Subquery"),
+      "no residual subquery execution may survive decorrelation")
+  }
+
+  test("q141: NOT IN lowers to an anti join on the supplier key") {
+    val p = plan("q141_part_supplier_count")
+    assert(p.contains("LeftAnti"), "NOT IN must lower to an anti join")
+  }
+
+  test("q142: nested INs lower to semi joins; correlated sum to a grouped agg") {
+    val p = plan("q142_excess_stock")
+    assert(p.contains("LeftSemi"), "the IN memberships must lower to semi joins")
+    assert(p.contains("sum(CAST(l_quantity"),
+      "the correlated 1996 sum must appear as a grouped aggregate, not a per-row probe")
+  }
 }
