@@ -717,7 +717,30 @@ object RelationalQueries {
       ORDER BY s.s_suppkey""")
   }
 
+  /** Semi-structured access through Spark 4's VARIANT type: `parse_json`
+    * once into the binary variant encoding, then typed `variant_get`
+    * paths — the columnar-shredding-friendly fast path that replaces
+    * per-access JSON string re-parsing (q11's `get_json_object` runs the
+    * string parser on EVERY extraction; variant parses once per row and
+    * every subsequent path is a binary offset walk — the difference
+    * compounds at many-fields-per-row on a 100 TB events stream).
+    * Results must equal the string-path q11 semantics exactly. */
+  val q143VariantExtract: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"),
+           sum("k").cast("long").as("sum_k"),
+           min("k").as("min_k"),
+           max("k").as("max_k"),
+           count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q143_variant_extract" -> q143VariantExtract,
     "q139_min_price_supplier" -> q139MinPriceSupplier,
     "q140_important_parts" -> q140ImportantParts,
     "q141_part_supplier_count" -> q141PartSupplierCount,
@@ -757,6 +780,14 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_variant_extract" ->
+      """SELECT event_type, round(avg(k), 4) AS avg_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k, count(*) AS cnt
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events) t
+         GROUP BY 1 ORDER BY 1""",
     "q139_min_price_supplier" ->
       """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
            l.l_extendedprice AS min_price
