@@ -28,6 +28,22 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  /** DROP TABLE only clears this JVM's in-memory catalog; the managed
+    * table's warehouse DIRECTORY survives from a previous test JVM and
+    * fails the next saveAsTable with LOCATION_ALREADY_EXISTS — remove
+    * both. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists) rm(loc)
+  }
+
   test("ANALYZE stats flow into the optimized plan and pick the broadcast side") {
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -37,8 +53,8 @@ class CboSpec extends SparkSpec {
       // only ANALYZEd row counts distinguish the filtered dim's true size
       "spark.sql.autoBroadcastJoinThreshold" -> "1MB",
     ) {
-      spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
-      spark.sql("DROP TABLE IF EXISTS cbo_supplier")
+      resetTable("cbo_lineitem")
+      resetTable("cbo_supplier")
       graft.Tables(spark, dir, "lineitem")
         .write.mode("overwrite").saveAsTable("cbo_lineitem")
       graft.Tables(spark, dir, "supplier")
@@ -78,7 +94,7 @@ class CboSpec extends SparkSpec {
       // multiplied by 6k rows before supplier ties the keys together. The
       // reorderer must chain the equi-keys (lineitem–supplier–nation)
       // regardless of the authored order.
-      spark.sql("DROP TABLE IF EXISTS cbo_nation")
+      resetTable("cbo_nation")
       graft.Tables(spark, dir, "nation")
         .write.mode("overwrite").saveAsTable("cbo_nation")
       spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
