@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in optimizer rule (inert unless spark.graft.approxDistinct
     // .enabled=true): exact distinct counts → HLL++ sketches.
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // Planner strategy for the custom bounded-heap top-k operator
+    // (inert unless a plan contains BoundedTopKNode; the BoundedTopK
+    // API also self-registers via ExperimentalMethods for sessions
+    // built without extensions).
+    ext.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)
   }
 }
 

@@ -739,7 +739,23 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Per-priority top-3 orders through the CUSTOM PHYSICAL OPERATOR
+    * (`plans/BoundedTopK`: logical node → planner strategy → two-phase
+    * bounded-heap exec pair) — q06's semantics re-expressed below the
+    * DataFrame API. The oracle is the window-ranked spelling, so green
+    * means the custom operator is result-identical to the declarative
+    * form (the q78 salted-vs-plain pattern, at the physical-plan rung). */
+  val q144NativeTopK: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+    graft.plans.BoundedTopK.perGroup(ord, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q144_native_topk" -> q144NativeTopK,
     "q143_variant_extract" -> q143VariantExtract,
     "q139_min_price_supplier" -> q139MinPriceSupplier,
     "q140_important_parts" -> q140ImportantParts,
@@ -780,6 +796,14 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_native_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3
+         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
     "q143_variant_extract" ->
       """SELECT event_type, round(avg(k), 4) AS avg_k,
            CAST(sum(k) AS BIGINT) AS sum_k,
