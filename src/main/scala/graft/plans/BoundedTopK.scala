@@ -43,6 +43,13 @@ import scala.collection.mutable
   * order — include a unique tiebreaker. Output order is UNSPECIFIED
   * (heap emission order); callers sort if they need presentation order.
   * q144 proves implementation parity against the window-ranked oracle.
+  *
+  * Scale caveat — the one regime the declarative forms win: heaps are
+  * RESIDENT, sorts SPILL. When group cardinality per task approaches
+  * row count (top-k per user over billions of users), groups×k rows no
+  * longer fit and `ops/TopK`'s window (UnsafeExternalSorter-backed) is
+  * the memory-safe choice; this operator is for the FEW-groups/hot-key
+  * shape where sorting every slice is the waste.
   */
 object BoundedTopK {
 
