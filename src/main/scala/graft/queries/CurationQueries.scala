@@ -412,7 +412,27 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Shard-provenance audit through the hidden `_metadata` file columns:
+    * per-file row tallies for every table in the layout — the lineage
+    * check a curation run ships with its manifest (which shard
+    * contributed what; a short file = a truncated write). The oracle
+    * constructs ground truth from the known table→file layout, so what
+    * the gate certifies is that `_metadata.file_name` attributes every
+    * row to its true source file. At warehouse scale the same query
+    * runs per partition-directory and joins the expected-manifest
+    * table instead of a names list. */
+  val q145Provenance: Q = (s, dir) => {
+    Tables.names.map { t =>
+        s.read.parquet(s"$dir/$t.parquet")
+          .groupBy(col("_metadata.file_name").as("file_name"))
+          .agg(count(lit(1)).as("n_rows"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("file_name")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q145_provenance" -> q145Provenance,
     "q136_temperature_mix" -> q136TemperatureMix,
     "q126_rag_chunks" -> q126RagChunks,
     "q125_repetition" -> q125Repetition,
@@ -447,6 +467,22 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    // ground truth by construction: the layout maps each table to one
+    // file named <table>.parquet — the Spark side must ATTRIBUTE rows to
+    // those files via _metadata, the oracle just states the expectation
+    "q145_provenance" ->
+      """SELECT file_name, n_rows FROM (
+           SELECT 'region.parquet' AS file_name, count(*) AS n_rows FROM region
+           UNION ALL SELECT 'nation.parquet', count(*) FROM nation
+           UNION ALL SELECT 'customer.parquet', count(*) FROM customer
+           UNION ALL SELECT 'supplier.parquet', count(*) FROM supplier
+           UNION ALL SELECT 'part.parquet', count(*) FROM part
+           UNION ALL SELECT 'orders.parquet', count(*) FROM orders
+           UNION ALL SELECT 'lineitem.parquet', count(*) FROM lineitem
+           UNION ALL SELECT 'events.parquet', count(*) FROM events
+           UNION ALL SELECT 'documents.parquet', count(*) FROM documents
+           UNION ALL SELECT 'embeddings.parquet', count(*) FROM embeddings)
+         ORDER BY file_name""",
     "q136_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
          w AS (SELECT source, n_docs,

@@ -754,7 +754,33 @@ object RelationalQueries {
         col("o_orderkey"))
   }
 
+  /** XML ingestion through Spark 4's native `from_xml` (the reference's
+    * feed surfaces are HTML/XML-shaped; S2/S4's strip-and-extract path
+    * covers scraping, this covers SCHEMA'D XML parse). The document is
+    * constructed deterministically from events fields, round-tripped
+    * through the XML parser, and aggregated — so the oracle is the
+    * plain non-XML computation, and green certifies the parse is
+    * lossless over the typed fields. */
+  val q146XmlExtract: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val xml = concat(lit("<e><t>"), col("event_type"), lit("</t><k>"),
+      get_json_object(col("props"), "$.k"), lit("</k></e>"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    ev.select(from_xml(xml, schema).as("x"))
+      .select(col("x.t").as("event_type"), col("x.k").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").cast("long").as("sum_k"),
+           min("k").as("min_k"), max("k").as("max_k"),
+           count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q146_xml_extract" -> q146XmlExtract,
     "q144_native_topk" -> q144NativeTopK,
     "q143_variant_extract" -> q143VariantExtract,
     "q139_min_price_supplier" -> q139MinPriceSupplier,
@@ -796,6 +822,14 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_xml_extract" ->
+      """SELECT event_type,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k, count(*) AS cnt
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events) t
+         GROUP BY 1 ORDER BY 1""",
     "q144_native_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -68,6 +68,28 @@ class BoundedTopKSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 5L))
   }
 
+  test("property: equals the naive per-group sorted take on random data") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val rowGen = Gen.zip(Gen.oneOf("g1", "g2", "g3", "g4"),
+      Gen.choose(0, 50), Gen.choose(1, 8))
+    val dataGen = Gen.zip(Gen.listOfN(120, rowGen), Gen.choose(1, 6))
+    val params = Gen.Parameters.default
+    (0 until 6).foreach { i =>
+      dataGen.apply(params, org.scalacheck.rng.Seed(2000L + i)).foreach {
+        case (rows, k) =>
+          val data = rows.zipWithIndex.map { case ((g, v, _), id) => (g, v, id.toLong) }
+          val df = data.toDF("g", "v", "id").repartition(5)
+          val got = BoundedTopK.perGroup(df, Seq("g"),
+              Seq(col("v").desc, col("id").asc), k)
+            .select("id").collect().map(_.getLong(0)).toSet
+          val want = data.groupBy(_._1).values.flatMap(
+            _.sortBy(r => (-r._2, r._3)).take(k)).map(_._3).toSet
+          assert(got == want, s"case $i (k=$k)")
+      }
+    }
+  }
+
   test("partial caps shuffled rows at groups x k per input partition") {
     import spark.implicits._
     // 4 input partitions x 1 group x k=2: the exchange may carry at most
