@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB: token-frequency table is vocab-sized; the canonical-rank
   * window partitions per doc (high cardinality); candidates shuffle on
-  * rare tokens; verification joins candidate pairs back at token
-  * granularity — cost proportional to candidate count × doc size, the
-  * PPJoin bound, never corpus². */
+  * rare tokens; verification joins each candidate pair to the two
+  * docs' token-set ARRAYS (doc-keyed joins, candidate + doc rows on
+  * the wire) and intersects per pair — compute proportional to
+  * candidate count × doc size, the PPJoin bound, never corpus², with
+  * no token-granularity exchange. */
 object PrefixFilterJoin {
 
   /** @return (doc_a, doc_b, jaccard) for every pair with
@@ -71,11 +73,20 @@ object PrefixFilterJoin {
         greatest(col("na"), col("nb")) * tNum)
       .select("a", "b", "na", "nb").distinct()
 
-    // exact verify on candidates only: count shared tokens per pair
+    // exact verify on candidates only: intersect each pair's DISTINCT
+    // token sets. Carrying the sets as per-doc ARRAYS through two
+    // doc-keyed joins moves candidate + doc rows; the previous
+    // token-granularity join exploded candidates × tokens-per-doc
+    // (~10M intermediate rows at sf0.1 for 193k candidates) through
+    // the exchange before re-aggregating. size(array_intersect) is a
+    // codegen'd hash intersection, O(|a|+|b|) per pair — same exact
+    // count, ~tokens-per-doc× fewer shuffled rows.
+    val docSets = ts.groupBy("id").agg(collect_list("token").as("toks"))
     val inter = cands
-      .join(ts.select(col("id").as("a"), col("token")), "a")
-      .join(ts.select(col("id").as("b"), col("token")), Seq("b", "token"))
-      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("i"))
+      .join(docSets.select(col("id").as("a"), col("toks").as("toks_a")), "a")
+      .join(docSets.select(col("id").as("b"), col("toks").as("toks_b")), "b")
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("i"))
     inter
       .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
