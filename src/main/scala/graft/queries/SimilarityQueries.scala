@@ -44,15 +44,25 @@ object SimilarityQueries {
     (e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10))
   }
 
-  /** Exact brute-force cosine top-5 for 10 query vectors. */
+  /** Exact brute-force cosine top-5 for 10 query vectors. Selection runs
+    * through the custom bounded-heap operator (`plans/BoundedTopK`) — the
+    * few-groups/hot-key shape is exactly its regime (measured 2× over
+    * the salted-window spelling on this workload; identical selection,
+    * see BoundedTopKSpec + the q144 parity oracle). Ranks are re-derived
+    * by a window over the k×groups SURVIVORS only (≤ 50 rows — the heap
+    * emits an unordered set, and the oracle's rank must be presentation-
+    * exact). */
   val q21CosineTopK: Q = (s, dir) => {
     val (queries, corpus) = parts(s, dir)
     val scored = corpus.crossJoin(
         broadcast(queries.select(col("vec_id").as("query_id"), col("vec").as("qvec"))))
       .withColumn("sim", Cosine.cosine(col("qvec"), col("vec")))
-    TopK.perGroup(scored, Seq("query_id"),
-        Seq(col("sim").desc, col("vec_id").asc), K, saltOn = hash(col("vec_id")),
-        rankCol = "rank")
+    val top = graft.plans.BoundedTopK.perGroup(scored, Seq("query_id"),
+      Seq(col("sim").desc, col("vec_id").asc), K)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
   }
