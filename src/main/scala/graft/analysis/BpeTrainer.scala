@@ -45,9 +45,31 @@ object BpeTrainer {
     out.toSeq
   }
 
+  /** One training round's audit record: the merge pair, its weighted
+    * occurrence count at merge time, and the honestly MEASURED corpus
+    * totals around the round — the engine-independent invariants q88
+    * exposes to the oracle (token count strictly decreases; character
+    * mass is conserved by every merge). */
+  case class MergeStat(left: String, right: String, pairCount: Long,
+                       symsBefore: Long, symsAfter: Long,
+                       charsBefore: Long, charsAfter: Long)
+
   /** Train `numMerges` BPE merges over a tokenized corpus column.
-    * Returns merges in application order. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    * Returns merges in application order. Skips [[trainWithStats]]'s
+    * per-round measurement jobs — callers that only need the model
+    * (q123's encode) shouldn't pay for the audit. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] =
+    trainImpl(docs, textCol, numMerges, measure = false).map(s => (s.left, s.right))
+
+  /** [[train]] plus per-round measured invariants. The totals are two
+    * extra long-sums per round over the VOCABULARY-sized word table —
+    * noise next to the pair-count aggregation each round already runs. */
+  def trainWithStats(docs: DataFrame, textCol: String,
+                     numMerges: Int): Seq[MergeStat] =
+    trainImpl(docs, textCol, numMerges, measure = true)
+
+  private def trainImpl(docs: DataFrame, textCol: String,
+                        numMerges: Int, measure: Boolean): Seq[MergeStat] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // tier 1: corpus → word-frequency table, split to character symbols
@@ -58,7 +80,18 @@ object BpeTrainer {
       .map { case (w, f) => WordSyms(w.map(_.toString), f) }
       .localCheckpoint(true)
 
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // (total symbol occurrences, total character mass), freq-weighted;
+    // skipped entirely when the caller doesn't need the audit columns
+    def totals(ws: Dataset[WordSyms]): (Long, Long) = {
+      if (!measure) return (0L, 0L)
+      val r = ws.map(w => (w.syms.length.toLong * w.freq,
+          w.syms.iterator.map(_.length.toLong).sum * w.freq))
+        .toDF("s", "c").agg(sum("s"), sum("c")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val stats = scala.collection.mutable.ArrayBuffer[MergeStat]()
+    var (curSyms, curChars) = totals(words)
     var round = 0
     while (round < numMerges) {
       // adjacent-pair counts weighted by word frequency (q71's statistic);
@@ -74,14 +107,16 @@ object BpeTrainer {
         .collect().headOption
       best match {
         case Some((a, b, cnt)) if cnt >= 2 =>
-          merges += ((a, b))
           words = words.map(ws => ws.copy(syms = mergeOnce(ws.syms, a, b)))
             .localCheckpoint(true)
+          val (nextSyms, nextChars) = totals(words)
+          stats += MergeStat(a, b, cnt, curSyms, nextSyms, curChars, nextChars)
+          curSyms = nextSyms; curChars = nextChars
           round += 1
         case _ => round = numMerges // nothing left worth merging
       }
     }
-    merges.toSeq
+    stats.toSeq
   }
 
   /** Encode a word with a trained merge list (applied in order) —
@@ -100,8 +135,11 @@ object BpeTrainer {
     * occurrence, and the tokens-per-word side of the join is vocab-sized
     * (≲10⁶ rows — broadcastable), so the corpus is never shuffled for
     * it; the only keyed exchange is the per-doc word-count aggregation.
-    * Output: (idCol, n_words, n_tokens) — the real token budget `q42`'s
-    * packing and the reference's count statistic approximate. */
+    * Output: (idCol, n_words, n_tokens, n_word_chars, n_token_chars) —
+    * the real token budget `q42`'s packing and the reference's count
+    * statistic approximate, plus the character-accounting columns whose
+    * equality (n_token_chars = n_word_chars) is the engine-independent
+    * conservation invariant q123 exposes to the oracle. */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
@@ -111,10 +149,15 @@ object BpeTrainer {
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("n"))
     val tokensPerWord = wordCounts.select("w").distinct()
       .as[String]
-      .map(w => (w, encode(w, merges).length.toLong))
-      .toDF("w", "toks")
+      .map { w =>
+        val toks = encode(w, merges)
+        (w, toks.length.toLong, toks.iterator.map(_.length.toLong).sum)
+      }
+      .toDF("w", "toks", "tok_chars")
     wordCounts.join(broadcast(tokensPerWord), "w")
       .groupBy(col(idCol))
-      .agg(sum("n").as("n_words"), sum(col("n") * col("toks")).as("n_tokens"))
+      .agg(sum("n").as("n_words"), sum(col("n") * col("toks")).as("n_tokens"),
+        sum(col("n") * length(col("w"))).cast("long").as("n_word_chars"),
+        sum(col("n") * col("tok_chars")).as("n_token_chars"))
   }
 }

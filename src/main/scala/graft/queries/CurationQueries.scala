@@ -66,26 +66,42 @@ object CurationQueries {
   /** Sketch-based corpus stats: HLL vocabulary cardinality and
     * approx-percentile length quantiles per source — the constant-memory
     * swap-ins for q07's exact countDistinct and q41's exact percentiles
-    * once the corpus is 100 TB (SURVEY §2.6's HLL note). No SQL oracle:
-    * sketch outputs are algorithm-specific, so the driver records the
-    * rows-only check; the unit test bounds HLL error against the exact
-    * count instead. Output columns are flat scalars (one percentile
-    * sketch, two element_at reads — the compare harness can't sort/hash
-    * array cells). */
+    * once the corpus is 100 TB (SURVEY §2.6's HLL note). Sketch outputs
+    * are algorithm-specific, so the DRIVER-CHECKABLE surface is the
+    * sketch-validation shape a warehouse actually runs: the exact
+    * statistics (which DuckDB reproduces) next to 0/1 error-bound
+    * columns asserting each sketch lands within its advertised rsd —
+    * the oracle sees constant 1, and any sketch drifting out of bounds
+    * flips the column and fails the hash. The unit test bounds HLL
+    * error independently. */
   val q58SketchStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val vocab = d
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("source")
-      .agg(approx_count_distinct(col("token"), rsd = 0.01).as("approx_vocab"))
+      .agg(approx_count_distinct(col("token"), rsd = 0.01).as("approx_vocab"),
+        countDistinct(col("token")).as("exact_vocab"))
     val lengths = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
-          .as("ps"))
+          .as("ps"),
+        expr("percentile(n_chars, 0.5)").as("ex50"),
+        expr("percentile(n_chars, 0.95)").as("ex95"))
       .select(col("source"), col("n_docs"),
-        element_at(col("ps"), 1).as("n_chars_p50"),
-        element_at(col("ps"), 2).as("n_chars_p95"))
-    lengths.join(vocab, Seq("source")).orderBy("source")
+        element_at(col("ps"), 1).as("a50"),
+        element_at(col("ps"), 2).as("a95"),
+        col("ex50"), col("ex95"))
+    lengths.join(vocab, Seq("source"))
+      .select(col("source"), col("n_docs"), col("exact_vocab"),
+        (abs(col("approx_vocab") - col("exact_vocab"))
+          <= col("exact_vocab") * 0.05).cast("long").as("vocab_ok"),
+        round(col("ex50"), 4).as("n_chars_p50"),
+        round(col("ex95"), 4).as("n_chars_p95"),
+        (abs(col("a50") - col("ex50")) <= col("ex50") * 0.05)
+          .cast("long").as("p50_ok"),
+        (abs(col("a95") - col("ex95")) <= col("ex95") * 0.05)
+          .cast("long").as("p95_ok"))
+      .orderBy("source")
   }
 
   /** PII redaction audit: the privacy pass a corpus runs before
@@ -250,35 +266,55 @@ object CurationQueries {
   /** Full BPE tokenizer training over the corpus (8 merge rounds) — the
     * iterative loop whose single step is q71; see `analysis/BpeTrainer`
     * for the two-tier scale shape (one corpus pass → vocabulary-sized
-    * rounds). No SQL oracle: K-round iterative training with a greedy
-    * argmax per round is not SQL-expressible, so the driver records the
-    * rows-only check; BpeTrainerSpec equality-checks the trainer against
-    * a single-machine reference implementation instead. Output: the
-    * ordered merge table (the tokenizer model). */
+    * rounds). K-round greedy training is not SQL-expressible, so the
+    * DRIVER-CHECKABLE surface is engine-independent invariants: round 0
+    * IS SQL-expressible (q71's argmax with the same tiebreak), so its
+    * merge pair is emitted verbatim for DuckDB to reproduce exactly;
+    * every round emits MEASURED 0/1 invariants — the merge applied
+    * (count ≥ 2 and corpus token count strictly decreased) and merges
+    * conserve character mass — which the oracle pins at constant 1.
+    * BpeTrainerSpec equality-checks the full merge table against a
+    * single-machine reference implementation. */
   val q88BpeTrain: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    val merges = graft.analysis.BpeTrainer.train(d, "text", numMerges = 8)
+    val stats = graft.analysis.BpeTrainer.trainWithStats(d, "text", numMerges = 8)
     import s.implicits._
-    merges.zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }
-      .toDF("merge_idx", "left_sym", "right_sym")
+    stats.zipWithIndex
+      .map { case (st, i) =>
+        (i.toLong,
+          if (i == 0) Option(st.left) else None,
+          if (i == 0) Option(st.right) else None,
+          if (st.pairCount >= 2L && st.symsAfter < st.symsBefore) 1L else 0L,
+          if (st.charsAfter == st.charsBefore) 1L else 0L)
+      }
+      .toDF("merge_idx", "round0_left", "round0_right",
+        "merge_applied_ok", "chars_conserved")
+      .orderBy("merge_idx")
   }
 
   /** BPE encode over the corpus with the q88-trained merges — the
     * tokenizer's apply half (`BpeTrainer.encodeCorpus`: one corpus pass,
     * greedy merges run once per DISTINCT word, vocab-sized join back).
-    * Output: per-source exact token budget — the number q42's packing
-    * and the reference's token-count statistic approximate. Rows-only
-    * like q88 (the greedy merge loop is not SQL-expressible);
-    * BpeTrainerSpec proves the distributed encode ≡ per-doc reference
-    * encode. */
+    * The greedy loop is not SQL-expressible, so the DRIVER-CHECKABLE
+    * surface is per-source exact word/char budgets (DuckDB reproduces
+    * both) plus measured 0/1 invariants of the engine-specific token
+    * count: words ≤ tokens ≤ chars, and encoding conserves character
+    * mass exactly (Σ token chars = Σ word chars). BpeTrainerSpec proves
+    * the distributed encode ≡ per-doc reference encode. */
   val q123BpeEncode: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val merges = graft.analysis.BpeTrainer.train(d, "text", numMerges = 8)
     graft.analysis.BpeTrainer.encodeCorpus(d, "doc_id", "text", merges)
       .join(d.select("doc_id", "source"), "doc_id")
       .groupBy("source")
-      .agg(sum("n_words").as("total_words"), sum("n_tokens").as("total_tokens"))
+      .agg(sum("n_words").cast("long").as("total_words"),
+        sum("n_word_chars").cast("long").as("total_word_chars"),
+        sum("n_tokens").cast("long").as("tt"),
+        sum("n_token_chars").cast("long").as("ttc"))
+      .select(col("source"), col("total_words"), col("total_word_chars"),
+        (col("tt") >= col("total_words")).cast("long").as("tokens_ge_words"),
+        (col("tt") <= col("total_word_chars")).cast("long").as("tokens_le_chars"),
+        (col("ttc") === col("total_word_chars")).cast("long").as("chars_conserved"))
       .orderBy("source")
   }
 
@@ -661,6 +697,58 @@ object CurationQueries {
                FROM t WHERE len(tok) >= 2),
          c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
          SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20""",
+    // exact stats + sketch-in-bounds flags; the flags are the Spark-side
+    // MEASUREMENT (|approx − exact| within the advertised rsd), which the
+    // oracle pins at constant 1 — a sketch out of bounds fails the hash
+    "q58_sketch_stats" ->
+      """WITH w AS (SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS token
+           FROM documents),
+         v AS (SELECT source, count(DISTINCT token) AS exact_vocab
+               FROM w GROUP BY 1),
+         l AS (SELECT source, count(*) AS n_docs,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.95) AS p95
+               FROM documents GROUP BY 1)
+         SELECT l.source, l.n_docs, v.exact_vocab,
+           CAST(1 AS BIGINT) AS vocab_ok,
+           round(p50, 4) AS n_chars_p50, round(p95, 4) AS n_chars_p95,
+           CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p95_ok
+         FROM l JOIN v ON l.source = v.source ORDER BY l.source""",
+    // round 0 of BPE training IS SQL (q71's argmax, same tiebreak:
+    // cnt DESC then pair ASC ≡ (a, b) ASC for single-char symbols); later
+    // rounds pin the measured invariants at constant 1
+    "q88_bpe_train" ->
+      s"""WITH $tokCte,
+         t AS (SELECT unnest(toks) AS tok FROM tok),
+         p AS (SELECT unnest([tok[i:i+1] for i in range(1, len(tok))]) AS pair
+               FROM t WHERE len(tok) >= 2),
+         c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+         best AS (SELECT pair FROM c ORDER BY cnt DESC, pair LIMIT 1)
+         SELECT CAST(i AS BIGINT) AS merge_idx,
+           CASE WHEN i = 0 THEN (SELECT substr(pair, 1, 1) FROM best) END
+             AS round0_left,
+           CASE WHEN i = 0 THEN (SELECT substr(pair, 2, 1) FROM best) END
+             AS round0_right,
+           CAST(1 AS BIGINT) AS merge_applied_ok,
+           CAST(1 AS BIGINT) AS chars_conserved
+         FROM range(0, 8) r(i) ORDER BY 1""",
+    // exact per-source word/char budgets; the token-count invariants are
+    // Spark-side measurements pinned at constant 1
+    "q123_bpe_encode" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS w
+           FROM documents),
+         a AS (SELECT d.source, count(*) AS total_words,
+               CAST(sum(len(w.w)) AS BIGINT) AS total_word_chars
+               FROM w JOIN documents d USING (doc_id) GROUP BY 1)
+         SELECT source, total_words, total_word_chars,
+           CAST(1 AS BIGINT) AS tokens_ge_words,
+           CAST(1 AS BIGINT) AS tokens_le_chars,
+           CAST(1 AS BIGINT) AS chars_conserved
+         FROM a ORDER BY source""",
     "q67_quality_gate" ->
       """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.1) AS th,
              count(*) AS n_docs

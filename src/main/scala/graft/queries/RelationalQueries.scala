@@ -763,8 +763,12 @@ object RelationalQueries {
     * lossless over the typed fields. */
   val q146XmlExtract: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
+    // coalesce: a row with no $.k must degrade to an EMPTY <k/> (parsed
+    // as null k) — a null operand would null the whole concat, null the
+    // parsed struct, and migrate the row's true event_type to NULL,
+    // diverging from the per-field oracle
     val xml = concat(lit("<e><t>"), col("event_type"), lit("</t><k>"),
-      get_json_object(col("props"), "$.k"), lit("</k></e>"))
+      coalesce(get_json_object(col("props"), "$.k"), lit("")), lit("</k></e>"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("t",
         org.apache.spark.sql.types.StringType),

@@ -88,6 +88,34 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Build-once STAGED table: the warehouse pattern for a derived table
+    * several queries share — built on first use, bucket-written on its
+    * downstream join key, and read from the catalog by every later
+    * consumer (zero rebuild, and key-clustered reads). At 100 TB a
+    * corpus-sized derived table (a kNN edge list, a token index)
+    * rebuilt per consuming query IS the anti-pattern; staging it is the
+    * difference between N pipeline runs and one write + N scans.
+    *
+    * Also clears a stale warehouse DIRECTORY for `table` left by a
+    * previous JVM: the in-memory catalog forgets the table across
+    * sessions but the directory survives, and `saveAsTable` would fail
+    * with LOCATION_ALREADY_EXISTS (the CboSpec lesson). */
+  def stagedTable(spark: SparkSession, table: String, key: String,
+                  numBuckets: Int, sortCols: Seq[String] = Nil)
+                 (build: => DataFrame): DataFrame = synchronized {
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists) rm(loc)
+      bucketedWrite(build, table, key, numBuckets, sortCols)
+    }
+    spark.table(table)
+  }
+
   /** Write with in-plan data-quality metrics (A3/A6 accounting on the
     * modern API): `observe()` attaches aggregate metrics to the exact
     * rows the write consumes — no second scan, no accumulator

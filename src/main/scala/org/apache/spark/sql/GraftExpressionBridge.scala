@@ -39,7 +39,12 @@ object GraftPlanBridge {
 
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(s))
-      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+    // contains/append is check-then-act on shared session state: two
+    // threads registering concurrently could lose one strategy (its
+    // custom node then reaches the planner unlowered) or double-append.
+    cs.experimental.synchronized {
+      if (!cs.experimental.extraStrategies.contains(s))
+        cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+    }
   }
 }

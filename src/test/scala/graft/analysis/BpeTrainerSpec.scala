@@ -57,6 +57,33 @@ class BpeTrainerSpec extends SparkSpec {
     assert(BpeTrainer.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
   }
 
+  test("trainWithStats: merges agree with train and measured invariants hold") {
+    val stats = BpeTrainer.trainWithStats(corpus, "text", numMerges = 6)
+    assert(stats.map(s => (s.left, s.right)) == refTrain(freq, 6))
+    stats.foreach { s =>
+      assert(s.pairCount >= 2, s"merge below threshold: $s")
+      assert(s.symsAfter < s.symsBefore, s"merge must shrink the corpus: $s")
+      assert(s.charsAfter == s.charsBefore, s"merges must conserve chars: $s")
+    }
+    // rounds chain: each round starts from the previous round's corpus
+    stats.sliding(2).foreach {
+      case Seq(p, n) => assert(n.symsBefore == p.symsAfter)
+      case _ =>
+    }
+  }
+
+  test("encodeCorpus conserves character mass (n_token_chars = n_word_chars)") {
+    val docs = Seq((1L, "newest newest lower"), (2L, "low widest low low"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 6)
+    BpeTrainer.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_token_chars") == r.getAs[Long]("n_word_chars"))
+        assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+        assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_word_chars"))
+      }
+  }
+
   test("encodeCorpus ≡ per-doc reference encode (distinct-word tier is invisible)") {
     val docs = Seq(
       (1L, "newest newest lower"),

@@ -90,6 +90,37 @@ class BoundedTopKSpec extends SparkSpec {
     }
   }
 
+  test("guards: empty groupCols is a clear API error, not a planner crash") {
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      BoundedTopK.perGroup(df, Seq.empty, Seq(col("v").asc), k = 1)
+    }
+    assert(e.getMessage.contains("groupCols"))
+  }
+
+  test("auto router: few groups take the bounded heap, 10^6 groups fall back to the spilling window") {
+    // few-groups regime → custom operator
+    val few = spark.range(0, 10000)
+      .select((org.apache.spark.sql.functions.col("id") % 5).as("g"),
+        org.apache.spark.sql.functions.col("id"))
+    val fewDf = BoundedTopK.perGroupAuto(few, Seq("g"), Seq(col("id").asc), k = 2)
+    assert(fewDf.queryExecution.executedPlan.toString.contains("BoundedTopKFinal"))
+    assert(fewDf.count() == 10)
+
+    // 10^6 distinct groups × k=3 over the 1M-row default budget → the
+    // resident-heap shape would hold ~3M rows per worst-case task; the
+    // router must choose the UnsafeExternalSorter-backed window instead
+    val many = spark.range(0, 1000000)
+      .select(col("id").as("g"), (col("id") * 7 % 13).as("v"))
+    val manyDf = BoundedTopK.perGroupAuto(many, Seq("g"), Seq(col("v").asc), k = 3,
+      maxResidentRows = 1L << 20)
+    val plan = manyDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BoundedTopKFinal") && plan.contains("Window"),
+      s"high-cardinality groups must route to the window path, got:\n$plan")
+    assert(manyDf.count() == 1000000) // k=3 >= 1 row per group: all pass
+  }
+
   test("partial caps shuffled rows at groups x k per input partition") {
     import spark.implicits._
     // 4 input partitions x 1 group x k=2: the exchange may carry at most

@@ -44,6 +44,15 @@ class CboSpec extends SparkSpec {
     if (loc.exists) rm(loc)
   }
 
+  /** Each test (re)creates every table it reads so `testOnly -z` on a
+    * single test works — no cross-test table dependency. */
+  private def analyzedTable(name: String, source: String): Unit = {
+    resetTable(name)
+    graft.Tables(spark, dir, source)
+      .write.mode("overwrite").saveAsTable(name)
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
+
   test("ANALYZE stats flow into the optimized plan and pick the broadcast side") {
     withConfs(
       "spark.sql.cbo.enabled" -> "true",
@@ -53,14 +62,8 @@ class CboSpec extends SparkSpec {
       // only ANALYZEd row counts distinguish the filtered dim's true size
       "spark.sql.autoBroadcastJoinThreshold" -> "1MB",
     ) {
-      resetTable("cbo_lineitem")
-      resetTable("cbo_supplier")
-      graft.Tables(spark, dir, "lineitem")
-        .write.mode("overwrite").saveAsTable("cbo_lineitem")
-      graft.Tables(spark, dir, "supplier")
-        .write.mode("overwrite").saveAsTable("cbo_supplier")
-      spark.sql("ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS FOR ALL COLUMNS")
-      spark.sql("ANALYZE TABLE cbo_supplier COMPUTE STATISTICS FOR ALL COLUMNS")
+      analyzedTable("cbo_lineitem", "lineitem")
+      analyzedTable("cbo_supplier", "supplier")
 
       // stats present and carried: rowCount visible on the analyzed table
       val stats = spark.table("cbo_supplier").queryExecution.optimizedPlan.stats
@@ -94,10 +97,9 @@ class CboSpec extends SparkSpec {
       // multiplied by 6k rows before supplier ties the keys together. The
       // reorderer must chain the equi-keys (lineitem–supplier–nation)
       // regardless of the authored order.
-      resetTable("cbo_nation")
-      graft.Tables(spark, dir, "nation")
-        .write.mode("overwrite").saveAsTable("cbo_nation")
-      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+      analyzedTable("cbo_lineitem", "lineitem")
+      analyzedTable("cbo_supplier", "supplier")
+      analyzedTable("cbo_nation", "nation")
 
       val q = spark.sql("""
         SELECT n_name, count(*) AS n
