@@ -1,7 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, GraftExpressionBridge}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** N-gram contamination check with a Bloom-filter prefilter — "which
@@ -42,11 +44,24 @@ object BloomDecontaminate {
 
     val evalGrams = grams(eval).select("g").distinct()
     val bloom: BloomFilter = evalGrams.stat.bloomFilter("g", expectedEvalNgrams, fpp)
-    val bcast = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = F.udf((g: Long) => bcast.value.mightContainLong(g))
+    // Native probe, not a UDF: serialize the driver-built filter and hand
+    // the bytes to Spark's own codegen'd BloomFilterMightContain (the
+    // expression behind runtime bloom-filter joins). `stat.bloomFilter`
+    // puts raw longs, and BloomFilterMightContain probes with
+    // mightContainLong on the readFrom-deserialized filter — identical
+    // semantics to the former udf, but the whole decontamination scan
+    // now stays inside one WholeStageCodegen span. The literal rides the
+    // plan the same way a runtime-filter subquery result would.
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftExpressionBridge.toColumn(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), GraftExpressionBridge.toExpression(col("g"))))
 
     grams(train)
-      .filter(mightContain(col("g")))                 // map-side Bloom prune
+      .filter(mightContain)                           // map-side Bloom prune
       .join(evalGrams, Seq("g"), "left_semi")         // exact verify
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared"))

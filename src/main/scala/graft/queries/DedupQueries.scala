@@ -241,7 +241,58 @@ object DedupQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Q8/K1 exactly-once at NEAR-DUP granularity, driver-certified: the
+    * incoming batch streams through `foreachBatch`, each microbatch runs
+    * `MinHashLSH.nearDupAgainstHashed` against the static src0 history
+    * and writes the flagged pairs with `Sinks.idempotentAppend`; then
+    * the ENTIRE stream is redelivered from a fresh checkpoint (q86's
+    * strongest at-least-once shape — every batch delivered twice). The
+    * sink keys dynamic-partition overwrite on a batch-stable column, so
+    * redelivery replaces its own earlier output, and reading the sink
+    * back must equal the plain batch q59 result — which is exactly what
+    * the (ground-truth, all-pairs) DuckDB oracle checks. */
+  val q147StreamingNeardup: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q147").toString
+    val out = s"$tmp/sink"
+    val schema = Tables(s, dir, "documents").schema
+    // history hashes depend only on history: computed once, reused by
+    // every microbatch of both runs (the staged-index shape from the
+    // nearDupAgainstHashed scaladoc, materialized via localCheckpoint)
+    val history = Tables(s, dir, "documents")
+      .filter(col("source") === "src0")
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+      .localCheckpoint()
+    def deliverAll(run: String): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.filter(col("source") =!= "src0")
+            .select(col("doc_id"),
+              graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+          val flagged = MinHashLSH.nearDupAgainstHashed(b, history, "doc_id", "sh",
+            numHashes = 64, numBands = 16, threshold = 0.8)
+          graft.sinks.Sinks.idempotentAppend(
+            flagged.withColumn("part", pmod(col("batch_id"), lit(8))),
+            out, Seq("part"))
+        }
+        .option("checkpointLocation", s"$tmp/ckpt-$run")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    deliverAll("first")
+    deliverAll("redelivery")
+    s.read.parquet(out)
+      .select(col("batch_id"), col("history_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("batch_id", "history_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q147_streaming_neardup" -> q147StreamingNeardup,
     "q118_curation_pipeline" -> q118CurationPipeline,
     "q115_prefix_jaccard" -> q115PrefixJaccard,
     "q92_star_clusters" -> q92StarClusters,
@@ -324,6 +375,22 @@ object DedupQueries {
          JOIN sz sa ON sa.doc_id = da
          JOIN sz sb ON sb.doc_id = db
          WHERE 5 * i >= 3 * (sa.n + sb.n - i)
+         ORDER BY 1, 2""",
+    // q147 = q59's semantics reached through streaming redelivery into
+    // the idempotent sink, so the exactly-once EFFECT is checked against
+    // the same all-pairs ground truth
+    "q147_streaming_neardup" ->
+      s"""WITH $shinglesCte,
+         ba AS (SELECT sh.doc_id, sh.s FROM SH sh
+                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source <> 'src0'),
+         hi AS (SELECT sh.doc_id, sh.s FROM SH sh
+                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0')
+         SELECT ba.doc_id AS batch_id, hi.doc_id AS history_id,
+           round(CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ba.s, hi.s))), 4) AS jaccard
+         FROM ba CROSS JOIN hi
+         WHERE CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(ba.s, hi.s))) >= 0.8
          ORDER BY 1, 2""",
     "q59_incremental_neardup" ->
       s"""WITH $shinglesCte,

@@ -129,7 +129,10 @@ object SimilarityQueries {
     * scan (native L2Normalize kernel), then similarity is a bare dot
     * product — q21 recomputes `norm(q)·norm(c)` per candidate pair, an
     * O(pairs × dim) tax; at corpus scale the normalized vectors are what
-    * you'd persist. Oracle normalizes identically in DuckDB. */
+    * you'd persist. Oracle normalizes identically in DuckDB. Selection
+    * is the second composite consumer of the bounded-heap operator
+    * (`plans/BoundedTopK`, same few-groups regime as q21); ranks are
+    * re-derived over the ≤ k×groups survivors only. */
   val q43NormalizedTopK: Q = (s, dir) => {
     val (queries, corpus) = parts(s, dir)
     val qn = queries.select(col("vec_id").as("query_id"),
@@ -137,9 +140,11 @@ object SimilarityQueries {
     val cn = corpus.select(col("vec_id"), Cosine.normalize(col("vec")).as("cvec"))
     val scored = cn.crossJoin(broadcast(qn))
       .withColumn("sim", Cosine.dot(col("qvec"), col("cvec")))
-    TopK.perGroup(scored, Seq("query_id"),
-        Seq(col("sim").desc, col("vec_id").asc), K, saltOn = hash(col("vec_id")),
-        rankCol = "rank")
+    graft.plans.BoundedTopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("vec_id").asc), K)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
   }

@@ -31,4 +31,15 @@ class BloomDecontaminateSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  test("bloom probe is a native codegen expression, not a UDF") {
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    val eval = Seq((9L, "alpha beta gamma")).toDF("id", "text")
+    val df = BloomDecontaminate.contaminationReport(train, eval, "id", "text", n = 3)
+    val physical = df.queryExecution.executedPlan.toString
+    // the probe must ride the scan inside whole-stage codegen: Spark's
+    // BloomFilterMightContain, with no ScalaUDF / BatchEvalPython node
+    assert(physical.contains("might_contain"), physical.take(2000))
+    assert(!physical.contains("UDF"), physical.take(2000))
+  }
 }

@@ -13,7 +13,8 @@ import duckdb, json, sys, math, os
 QUADRATIC = {"q18_minhash_pairs", "q35_char_ngram_pairs", "q39_dedup_clusters",
              "q115_prefix_jaccard",
              "q44_decontamination", "q48_dedup_corpus",
-             "q59_incremental_neardup", "q83_best_keeper", "q92_star_clusters"}
+             "q59_incremental_neardup", "q83_best_keeper", "q92_star_clusters",
+             "q147_streaming_neardup"}
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
