@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.LongAdder
+
+/** Scale rehearsal: run named queries against a (typically ScaleUp-built)
+  * directory and record, per query, the numbers that decide 100 TB
+  * viability — wall time, rows shuffled in/out, bytes spilled to disk, and
+  * peak single-task execution memory. A SparkListener accumulates task
+  * metrics between queries; spills or task failures at ~sf1 on a 128 GiB
+  * box are the early warning for executor OOM at cluster scale.
+  *
+  * Usage: runMain graft.ScaleRehearsal <sfDir> <queryName>...
+  *        (no names → a built-in list of the most expensive bench queries)
+  */
+object ScaleRehearsal {
+  // the top-of-BENCH cost centers + one representative per family whose
+  // scaling regime differs (exact dedup, LSH pairs, ANN, graph, window,
+  // streaming-equivalent, relational join/agg)
+  val defaultNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_region_revenue", "q06_window_topk",
+    "q17_dedup_gate", "q18_minhash_pairs", "q21_cosine_topk",
+    "q23_majority_sector", "q24_sector_rollup", "q39_dedup_clusters",
+    "q48_dedup_corpus", "q58_sketch_stats", "q86_exactly_once",
+    "q90_nb_classify", "q91_substring_dedup", "q92_star_clusters",
+    "q94_pca_project", "q100_dsir_weights", "q104_pagerank",
+    "q105_small_qty_revenue", "q106_big_orders", "q109_weighted_pagerank",
+    "q113_triangles", "q115_prefix_jaccard", "q116_grouping_sets",
+    "q118_curation_pipeline", "q120_lateral_top_order", "q123_bpe_encode",
+    "q124_range_frame", "q127_ann_sq8", "q144_native_topk",
+  )
+
+  private final class Metrics extends SparkListener {
+    val shuffleRead, shuffleWrite, spillDisk, spillMem = new LongAdder
+    val tasks = new LongAdder
+    @volatile var peakExecMem = 0L
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        spillDisk.add(m.diskBytesSpilled)
+        spillMem.add(m.memoryBytesSpilled)
+        tasks.add(1)
+        if (m.peakExecutionMemory > peakExecMem) peakExecMem = m.peakExecutionMemory
+      }
+    }
+    def reset(): Unit = { shuffleRead.reset(); shuffleWrite.reset()
+      spillDisk.reset(); spillMem.reset(); tasks.reset(); peakExecMem = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/graft-sf1")
+    val names = if (args.length > 1) args.drop(1).toSeq else defaultNames
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val m = new Metrics
+    spark.sparkContext.addSparkListener(m)
+
+    SparkEntry.entry(spark).collect() // warmup
+
+    def gb(b: Long): String = f"${b / 1024.0 / 1024 / 1024}%7.2f"
+    println(f"${"query"}%-26s ${"sec"}%8s ${"shufR GiB"}%9s ${"shufW GiB"}%9s ${"spill GiB"}%9s ${"peakTask GiB"}%12s ${"tasks"}%7s rows")
+    var failed = List.empty[String]
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"$name: unknown query"); failed ::= name
+        case Some(fn) =>
+          System.gc(); m.reset()
+          val t0 = System.nanoTime()
+          try {
+            val rows = fn(spark, sfDir).collect().length
+            val sec = (System.nanoTime() - t0) / 1e9
+            // tasks drain asynchronously; give the listener bus a moment
+            Thread.sleep(300)
+            println(f"$name%-26s $sec%8.2f ${gb(m.shuffleRead.sum)}%9s ${gb(m.shuffleWrite.sum)}%9s ${gb(m.spillDisk.sum)}%9s ${gb(m.peakExecMem)}%12s ${m.tasks.sum}%7d $rows")
+          } catch { case e: Throwable =>
+            println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            failed ::= name
+          }
+      }
+    }
+    if (failed.nonEmpty) println(s"FAILED: ${failed.reverse.mkString(", ")}")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}
