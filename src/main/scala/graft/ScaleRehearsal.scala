@@ -29,6 +29,7 @@ object ScaleRehearsal {
     "q113_triangles", "q115_prefix_jaccard", "q116_grouping_sets",
     "q118_curation_pipeline", "q120_lateral_top_order", "q123_bpe_encode",
     "q124_range_frame", "q127_ann_sq8", "q144_native_topk",
+    "q147_streaming_neardup",
   )
 
   private final class Metrics extends SparkListener {

@@ -36,4 +36,22 @@ object Tables {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Streaming twin of `apply` for the file-source queries (q86/q147).
+    * The parquet streaming source wants a DIRECTORY to watch, and the two
+    * layouts this library meets differ in where that directory is: the
+    * driver testdata ships `<dir>/<name>.parquet` as a single FILE (watch
+    * `dir`, glob-filtered to the one file), while Spark-written tables
+    * (ScaleUp output, any `df.write.parquet`) make it a DIRECTORY of
+    * `part-*` files (watch it directly — a glob on the parent would match
+    * nothing and the stream would silently deliver zero batches). */
+  def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = apply(spark, dir, name).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
 }

@@ -255,7 +255,6 @@ object DedupQueries {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-q147").toString
     val out = s"$tmp/sink"
-    val schema = Tables(s, dir, "documents").schema
     // history hashes depend only on history: computed once, reused by
     // every microbatch of both runs (the staged-index shape from the
     // nearDupAgainstHashed scaladoc, materialized via localCheckpoint)
@@ -265,8 +264,7 @@ object DedupQueries {
         graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
       .localCheckpoint()
     def deliverAll(run: String): Unit = {
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = Tables.stream(s, dir, "documents")
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.filter(col("source") =!= "src0")

@@ -120,11 +120,8 @@ object PipelineQueries {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-q86").toString
     val out = s"$tmp/sink"
-    val schema = Tables(s, dir, "documents").schema
     def deliverAll(run: String): Unit = {
-      // the file source wants a directory; glob-filter it to this table
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = Tables.stream(s, dir, "documents")
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.sinks.Sinks.idempotentAppend(
