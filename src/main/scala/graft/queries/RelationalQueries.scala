@@ -408,16 +408,20 @@ object RelationalQueries {
     * Ordering key is exact integer micros on BOTH engines (unix_micros /
     * epoch_us) — a seconds cast would truncate in Spark but round in
     * DuckDB. Per-row trailing counts then collapse to a per-type peak +
-    * mean, so output is type-cardinality. Scale note: partitionBy is the
-    * low-cardinality event_type, so one key's ordered scan is one task's
-    * work at 100 TB — shard the frame q98-style ((type, day) buckets +
-    * boundary fix-up) before partition sizes hit executor memory. */
+    * mean, so output is type-cardinality. Runs on the SHARDED frame
+    * (`ops/ShardedRangeFrame`, day-wide shards + previous-day context
+    * copies): partitionBy alone is the low-cardinality event_type, so
+    * the naive frame caps parallelism at |types| — the sf1 rehearsal
+    * measured it as the surface's worst scaler before the shard. Output
+    * is bit-identical to the naive window (spec-asserted) so the oracle
+    * is unchanged. */
   val q124RangeFrame: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
-    val w = Window.partitionBy("event_type").orderBy(col("us"))
-      .rangeBetween(-86399999999L, 0L)
-    ev.select(col("event_type"), unix_micros(col("ts")).as("us"))
-      .withColumn("c", count(lit(1)).over(w))
+    graft.ops.ShardedRangeFrame.trailingAgg(
+        ev.select(col("event_type"), unix_micros(col("ts")).as("us")),
+        Seq("event_type"), "us",
+        frame = 86399999999L, shard = 86400000000L,
+        aggs = Seq("c" -> count(lit(1))))
       .groupBy("event_type")
       .agg(max("c").as("peak_24h"),
         round(sum("c").cast("double") / count(lit(1)), 4).as("avg_24h"))
