@@ -111,11 +111,8 @@ object SimilarityQueries {
   val q37CosineNearDup: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
-    val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, NearDupBits, Dims)
-    val l = b.toDF("a", "table", "sig")
-    val r = b.toDF("b", "table", "sig")
-    val cands = l.join(r, Seq("table", "sig")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cands = RandomHyperplaneLSH.selfCandidates(all, "vec_id", "vec",
+      NumTables, NearDupBits, Dims, ordered = true)
     cands
       .join(all.select(col("vec_id").as("a"), col("vec").as("va")), "a")
       .join(all.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
@@ -228,11 +225,9 @@ object SimilarityQueries {
   private def knnTop3(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
-    val b = RandomHyperplaneLSH.buckets(all, "vec_id", "vec", NumTables, NearDupBits, Dims)
-    val cands = b.toDF("src", "table", "sig")
-      .join(b.toDF("dst", "table", "sig"), Seq("table", "sig"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+    val cands = RandomHyperplaneLSH.selfCandidates(all, "vec_id", "vec",
+        NumTables, NearDupBits, Dims, ordered = false)
+      .toDF("src", "dst")
     val scored = cands
       .join(all.select(col("vec_id").as("src"), col("vec").as("vs")), "src")
       .join(all.select(col("vec_id").as("dst"), col("vec").as("vd")), "dst")

@@ -46,6 +46,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!cands.contains((0L, 11L)))     // antipodal vector never collides
   }
 
+  test("selfCandidates: hot-bucket cap drops saturated buckets, no-op when slack") {
+    // 20 identical vectors saturate every bucket of every table; one
+    // antipodal vector sits alone. Uncapped: 20×19 ordered pairs.
+    val v = Seq.tabulate(8)(i => 0.1f * (i + 1))
+    val rows = Seq.tabulate(20)(i => (i.toLong, v)) :+ (99L, v.map(x => -x))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+    def pairs(cap: Int) = RandomHyperplaneLSH.selfCandidates(df, "vec_id", "vec",
+      numTables = 4, bits = 4, dims = 8, ordered = true, maxBucket = cap)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs(Int.MaxValue).size == 20 * 19 / 2)
+    assert(pairs(64) == pairs(Int.MaxValue))    // slack cap is output-invisible
+    assert(pairs(10).isEmpty)                    // every shared bucket is over-full
+    // the audit names exactly the buckets the cap would drop
+    val over = RandomHyperplaneLSH.oversizedBuckets(df, "vec_id", "vec",
+      numTables = 4, bits = 4, dims = 8, maxBucket = 10)
+      .as[(Int, Int, Long)].collect()
+    assert(over.length == 4 && over.forall(_._3 == 20L))
+    assert(RandomHyperplaneLSH.oversizedBuckets(df, "vec_id", "vec",
+      numTables = 4, bits = 4, dims = 8, maxBucket = 64).isEmpty)
+  }
+
+  test("selfCandidates ordered=false emits both directions of each pair") {
+    val v = Seq.tabulate(8)(i => 0.1f * (i + 1))
+    val df = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+    val both = RandomHyperplaneLSH.selfCandidates(df, "vec_id", "vec",
+      numTables = 4, bits = 4, dims = 8, ordered = false)
+      .as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("ANN recall vs exact baseline on sf0.001 (report + floor)") {
     val dir = "/root/testdata/sf0.001"
     val exact = SimilarityQueries.q21CosineTopK(spark, dir)
