@@ -8,9 +8,10 @@ object PlanPeek {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { name =>
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").explain("formatted")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

@@ -74,8 +74,10 @@ object NaiveBayes {
   def classify(docs: DataFrame, idCol: String, textCol: String,
                model: DataFrame, labelStats: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
-    // sparse term: only (doc, label) groups where the label has seen the token
-    val sparse = toks.join(model, Seq("token"))
+    // sparse term: only (doc, label) groups where the label has seen the
+    // token. shuffle_hash, model as build — neither the exploded token
+    // table nor the |L|×vocab model may broadcast (see Dsir)
+    val sparse = toks.join(model.hint("shuffle_hash"), Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum("delta").as("sum_delta"))
     // dense term: every doc × |L| labels via broadcast

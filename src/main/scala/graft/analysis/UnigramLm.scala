@@ -46,8 +46,13 @@ object UnigramLm {
     * avg_nll rounded to 4). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame, unseenNll: java.math.BigDecimal): DataFrame =
+    // shuffle_hash, model as build side — neither the exploded token
+    // table (O(corpus tokens); the planner can't see through Generate
+    // and would broadcast it on misleading scan stats) nor the
+    // vocab-sized model (unbounded by Zipf at 100 TB) may broadcast;
+    // see Dsir.topImportance for the measured failure
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
-      .join(model, Seq("token"), "left")
+      .join(model.hint("shuffle_hash"), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("nll"), lit(unseenNll).cast("decimal(28,12)"))).as("sum_nll"))
