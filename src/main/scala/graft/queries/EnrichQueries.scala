@@ -39,29 +39,22 @@ object EnrichQueries {
   }
 
   /** A2: per-order hierarchical ICB vote (threshold 1/2, trim 8→6→4→2).
-    * Uses the typed-Aggregator form: ONE shuffle (map-side partial
-    * collapses each order's votes before the exchange), cascade in plain
-    * JVM code in `finish` — per-order code sets are bounded by order
-    * size, so the buffer stays tiny (see SectorVote scaladoc for the
-    * windowed/compact alternatives and when to prefer them). */
+    * Uses the compact-HOF form (`SectorVote.hierarchicalCompact`): two
+    * shuffles, the level cascade as per-row array expressions over each
+    * doc's collected (code, cnt) list — bounded by the doc's distinct
+    * codes, never corpus-sized. Re-measured the fastest of the four
+    * forms at BOTH sf0.1 (1.1 s vs hash-agg cascade 1.3, typed-hybrid
+    * 1.8, windowed 2.7) and the ×30 rehearsal (3.3 / 3.9 / 6.3 / 5.7):
+    * the typed Aggregator's kryo Map buffers lose ground with scale
+    * while the HOF cascade stays inside codegen'd aggregation. */
   val q24SectorRollup: Q = (s, dir) => {
-    import s.implicits._
     val li = Tables(s, dir, "lineitem")
     val part = Tables(s, dir, "part")
-    // Fastest of the four measured forms at sf0.1 (see SectorVote
-    // scaladoc): windowed 4.7s, compact-HOF 4.5s, hash-agg cascade 3.4s
-    // (the 4x level explode pays two shuffles), this hybrid 2.4s. Base
-    // reduction stays relational (codegen, map-side partials over the
-    // 600k joined rows); the typed cascade sees only the reduced rows.
-    val reduced = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_orderkey").cast("long").as("doc"),
+    val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").cast("long").as("doc"),
         icb8(col("p_partkey"), col("p_size")).cast("long").as("code"))
-      .agg(count(lit(1)).as("cnt"))
-      .as[(Long, Long, Long)]
-    reduced.groupByKey(_._1).mapValues(r => (r._2, r._3))
-      .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
-      .select(col("key").as("l_orderkey"),
-        col("v.sector").as("sector"), col("v.level").as("level"))
+    SectorVote.hierarchicalCompact(pairs, "doc", "code")
+      .select(col("doc").as("l_orderkey"), col("sector"), col("level"))
       .orderBy("l_orderkey")
   }
 
