@@ -97,10 +97,25 @@ object ScaleUp {
         val shifted = shiftKeys(Map("vec_id" -> vS))(i)(df)
         if (i == 0) shifted
         else shifted
-          // rotate dims by i: norm-preserving decorrelation between copies
-          .withColumn("embedding", concat(
-            slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-            slice(col("embedding"), 1, i)))
+          // rotate dims by i mod d (norm-preserving decorrelation);
+          // past d copies the rotation wraps, so copies ≥ d addition-
+          // ally sign-flip dims by the parity of popcount(dim & i/d) —
+          // also norm-exact, ~half the dims flipped for any nonzero
+          // mask, so wrapped copies decorrelate instead of duplicating
+          // copy (i mod d). Masks differ per wrap generation, keeping
+          // every copy pair decorrelated. ≤ d copies are byte-identical
+          // to the pre-mask builder (mask 0 flips nothing).
+          .withColumn("embedding", {
+            val d = size(col("embedding"))
+            val rot = pmod(lit(i), d)
+            val mask = floor(lit(i) / d).cast("long") // floorDiv, i ≥ 0
+            val rotated = concat(
+              slice(col("embedding"), rot + 1, d - rot),
+              slice(col("embedding"), lit(1), rot))
+            transform(rotated, (x, j) =>
+              when(bit_count(j.cast("long").bitwiseAND(mask.cast("long"))) % 2 === 1, -x)
+                .otherwise(x))
+          })
       }), copies),
     )
 

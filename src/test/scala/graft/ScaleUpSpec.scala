@@ -93,4 +93,30 @@ class ScaleUpSpec extends SparkSpec {
     val worst = joined.agg(max(abs(col("cos")))).head.getDouble(0)
     assert(worst < 0.9, s"rotated copy still correlated: max |cos| $worst")
   }
+
+  test("embedding copies past the dim count decorrelate via sign-flips") {
+    // copies > dims wrap the rotation: copy 64 has rot 0 (same as the
+    // original) and copy 65 rot 1 (same as copy 1) — without the
+    // popcount sign-flip mask they would be bit-identical duplicates
+    // and the ANN/dedup families would form copy-cliques at ×100.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup-wrap").toString
+    ScaleUp.build(spark, src, dir, copies = 66, quiet = true)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vS = 1000L
+    def slot(i: Long) = emb
+      .filter(col("vec_id") >= i * vS && col("vec_id") < (i + 1) * vS)
+      .select((col("vec_id") - i * vS).as("base"), col("embedding").as(s"e$i"),
+        aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x * x).as(s"n$i"))
+    def maxAbsCos(a: Long, b: Long): Double = slot(a).join(slot(b), "base")
+      .withColumn("dot", aggregate(zip_with(col(s"e$a"), col(s"e$b"), _ * _),
+        lit(0.0d), _ + _))
+      .agg(max(abs(col("dot") / sqrt(col(s"n$a") * col(s"n$b"))))).head.getDouble(0)
+    // wrapped copies vs their rotation-twin, and the two wrap generations
+    assert(maxAbsCos(0L, 64L) < 0.9, "copy 64 duplicates the original")
+    assert(maxAbsCos(1L, 65L) < 0.9, "copy 65 duplicates copy 1")
+    // norms stay bit-exact through the flips
+    val n0 = slot(0L).select(col("base"), col("n0"))
+    val n64 = slot(64L).select(col("base"), col("n64"))
+    assert(n0.join(n64, "base").filter(col("n0") =!= col("n64")).count() === 0)
+  }
 }
