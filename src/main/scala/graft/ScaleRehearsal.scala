@@ -55,10 +55,15 @@ object ScaleRehearsal {
     val sfDir = args.lift(0).getOrElse("/tmp/graft-sf1")
     val names = if (args.length > 1) args.drop(1).toSeq else defaultNames
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // a cluster sizes shuffle partitions with the data; pin them per run
+    // so rehearsals can separate "plan scales badly" from "32 partitions
+    // were too few at this SF" (the fixed-width artifact)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-rehearsal")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -79,7 +84,16 @@ object ScaleRehearsal {
           System.gc(); m.reset()
           val t0 = System.nanoTime()
           try {
-            val rows = fn(spark, sfDir).collect().length
+            // noop sink: executes the FULL physical plan (including final
+            // sorts) without materializing the result on the driver — a
+            // .collect() of an output-heavy query times driver ser/de,
+            // which no warehouse pipeline pays (they write). Row count
+            // rides an Observation so it costs no second action.
+            val obs = new org.apache.spark.sql.Observation()
+            fn(spark, sfDir).observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n"))
+              .write.format("noop").mode("overwrite").save()
+            val rows = obs.get("n").asInstanceOf[Long]
             val sec = (System.nanoTime() - t0) / 1e9
             // tasks drain asynchronously; give the listener bus a moment
             Thread.sleep(300)

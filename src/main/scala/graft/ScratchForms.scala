@@ -24,22 +24,26 @@ object ScratchForms {
     def pairs = Tables(spark, dir, "lineitem")
       .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("doc"), icb8.cast("long").as("code"))
-    def time(name: String)(f: => Long): Unit = {
+    // noop write, NOT count(): count lets Catalyst prune every column,
+    // deleting the winner computation itself — a count-based comparison
+    // times only the groupBy skeletons (the first version of this
+    // harness made exactly that mistake)
+    def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"FORM $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      f.write.format("noop").mode("overwrite").save()
+      println(f"FORM $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     pairs.count() // warm file listing/footers
-    time("windowed") { SectorVote.hierarchical(pairs, "doc", "code").count() }
-    time("hashAggCascade") { SectorVote.hierarchicalHashAgg(pairs, "doc", "code").count() }
-    time("compactHof") { SectorVote.hierarchicalCompact(pairs, "doc", "code").count() }
+    time("windowed") { SectorVote.hierarchical(pairs, "doc", "code") }
+    time("hashAggCascade") { SectorVote.hierarchicalHashAgg(pairs, "doc", "code") }
+    time("compactHof") { SectorVote.hierarchicalCompact(pairs, "doc", "code") }
     time("hybridTypedAgg") {
       import spark.implicits._
       val reduced = pairs.groupBy("doc", "code").agg(count(lit(1)).as("cnt"))
         .as[(Long, Long, Long)]
       reduced.groupByKey(_._1).mapValues(r => (r._2, r._3))
         .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
-        .count()
+        .select(col("key").as("doc"), col("v.sector"), col("v.level"))
     }
     spark.stop()
   }

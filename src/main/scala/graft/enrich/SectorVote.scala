@@ -253,8 +253,12 @@ object SectorVote {
     * (doc, code) counts, collect each doc's count list (bounded by the
     * doc's distinct codes — order-sized here, never corpus-sized), and
     * run the level cascade as per-row array expressions. Same result,
-    * same tie-breaks; prefer this when per-doc code sets are small, the
-    * windowed form when a single doc can carry millions of codes. */
+    * same tie-breaks — but the aggregate()/transform() lambdas evaluate
+    * INTERPRETED (no whole-stage codegen for HOFs), and under full
+    * materialization this is the SLOWEST form at scale (sf0.1 3.2 s /
+    * ×30 37.6 s / ×100 166.8 s vs the typed hybrid's 2.6/12.9/45.9 —
+    * ScratchForms, noop sink). Kept for the shuffle-count comparison
+    * and for engines without typed aggregators; prefer the hybrid. */
   def hierarchicalCompact(pairs: DataFrame, docCol: String, codeCol: String,
                           divisors: Seq[Long] = Seq(1L, 100L, 10000L, 1000000L),
                           levelLabels: Seq[String] = Seq("8", "6", "4", "2"),

@@ -39,22 +39,30 @@ object EnrichQueries {
   }
 
   /** A2: per-order hierarchical ICB vote (threshold 1/2, trim 8→6→4→2).
-    * Uses the compact-HOF form (`SectorVote.hierarchicalCompact`): two
-    * shuffles, the level cascade as per-row array expressions over each
-    * doc's collected (code, cnt) list — bounded by the doc's distinct
-    * codes, never corpus-sized. Re-measured the fastest of the four
-    * forms at BOTH sf0.1 (1.1 s vs hash-agg cascade 1.3, typed-hybrid
-    * 1.8, windowed 2.7) and the ×30 rehearsal (3.3 / 3.9 / 6.3 / 5.7):
-    * the typed Aggregator's kryo Map buffers lose ground with scale
-    * while the HOF cascade stays inside codegen'd aggregation. */
+    * Uses the typed-Aggregator hybrid: base reduction stays relational
+    * (codegen, map-side partials), the typed cascade sees only the
+    * reduced (doc, code, cnt) rows with per-order buffers bounded by
+    * order size. Fastest of the four SectorVote forms at EVERY measured
+    * scale under full materialization (noop sink — ScratchForms):
+    * sf0.1 2.6 s / ×30 12.9 s / ×100 45.9 s, vs hash-agg cascade
+    * 2.9/14.2/52.0, windowed 6.7/21.0/94.1, compact-HOF 3.2/37.6/166.8.
+    * The compact form's HOF lambdas evaluate INTERPRETED per row, which
+    * an earlier count()-based comparison hid — Catalyst prunes unused
+    * columns under count and deletes the winner computation entirely;
+    * never benchmark a projection with count(). */
   val q24SectorRollup: Q = (s, dir) => {
+    import s.implicits._
     val li = Tables(s, dir, "lineitem")
     val part = Tables(s, dir, "part")
-    val pairs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").cast("long").as("doc"),
+    val reduced = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").cast("long").as("doc"),
         icb8(col("p_partkey"), col("p_size")).cast("long").as("code"))
-    SectorVote.hierarchicalCompact(pairs, "doc", "code")
-      .select(col("doc").as("l_orderkey"), col("sector"), col("level"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)]
+    reduced.groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
+      .select(col("key").as("l_orderkey"),
+        col("v.sector").as("sector"), col("v.level").as("level"))
       .orderBy("l_orderkey")
   }
 
