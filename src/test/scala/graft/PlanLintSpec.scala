@@ -23,6 +23,32 @@ class PlanLintSpec extends SparkSpec {
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("no query broadcasts a subtree containing a Generate") {
+    // An exploded table carries the PRE-explode scan's size estimate
+    // (Generate does not scale stats), so the planner can choose to
+    // broadcast a corpus-token-sized side it believes is tiny — the
+    // ×30 rehearsal caught exactly that on the token→model scoring
+    // joins (peak task memory growing linearly until the shuffle_hash
+    // hints landed). This lint makes the fix permanent across the
+    // whole surface: a broadcast build side must never contain an
+    // explode. (Tiny bounded explodes belong UNDER a one-row
+    // BroadcastNestedLoopJoin's streamed side or behind an aggregate,
+    // both of which pass this check.)
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case b: BroadcastExchangeExec
+              if b.collect { case g: GenerateExec => g }.nonEmpty => b
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"broadcast over an exploded subtree in: ${offenders.mkString(", ")}")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
