@@ -94,6 +94,26 @@ class ScaleUpSpec extends SparkSpec {
     assert(worst < 0.9, s"rotated copy still correlated: max |cos| $worst")
   }
 
+  test("copy-invariant aggregates scale exactly linearly") {
+    // the rehearsal's implicit correctness model: a query grouping on a
+    // copy-invariant column over the scaled build must see counts and
+    // decimal sums EXACTLY ×copies (copies differ only in keys/salt),
+    // and averages bit-identical — so a scaled-run result that drifts
+    // from this is a wrong answer, not a tuning artifact
+    def byFlag(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(28,12)")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+      .toMap
+    val a = byFlag(src); val b = byFlag(out)
+    assert(a.keySet == b.keySet)
+    for ((k, (n, s)) <- a) {
+      assert(b(k)._1 === 3 * n, s"count($k)")
+      assert(b(k)._2 === s.multiply(new java.math.BigDecimal(3)), s"sum($k)")
+    }
+  }
+
   test("embedding copies past the dim count decorrelate via sign-flips") {
     // copies > dims wrap the rotation: copy 64 has rot 0 (same as the
     // original) and copy 65 rot 1 (same as copy 1) — without the
