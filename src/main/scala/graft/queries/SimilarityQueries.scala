@@ -269,6 +269,11 @@ object SimilarityQueries {
     * make every round bit-identical cross-engine. */
   val q94PcaProject: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
+    // NOT pre-partitioned on vec_id: measured — the per-round id-joins
+    // broadcast the n-row s-vector anyway, so an upfront repartition of
+    // the exploded corpus adds a full shuffle and removes none (sf0.1
+    // 4.5→5.0 s, shuffle bytes +12% at ×100). Round cost is action
+    // latency (8 rounds × 2 jobs), not data movement.
     val xc = Pca.centered(all, "vec_id", "embedding").localCheckpoint(true)
     val v = Pca.principalComponent(xc, "vec_id", Dims, iters = 8)
     Pca.project(xc, "vec_id", v)
