@@ -53,7 +53,10 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/graft-sf1")
-    val names = if (args.length > 1) args.drop(1).toSeq else defaultNames
+    val names =
+      if (args.lift(1).contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else defaultNames
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // a cluster sizes shuffle partitions with the data; pin them per run
     // so rehearsals can separate "plan scales badly" from "32 partitions

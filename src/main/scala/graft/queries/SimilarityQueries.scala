@@ -177,15 +177,24 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
-  /** SemDeDup semantic deduplication: q34's IVF cells confine the O(n²)
-    * pair comparison to single clusters (equi-join on cell — the shuffle
+  /** SemDeDup semantic deduplication: IVF cells confine the O(n²) pair
+    * comparison to single clusters (equi-join on cell — the shuffle
     * partitions by cell, no corpus-wide cross join), then every vector
     * with a lower-id within-cell neighbour at cosine ≥ 0.3 is dropped,
-    * keep-lowest-id. Oracle replicates the identical deterministic
-    * algorithm (assignment + pairs + keeper min) in DuckDB. */
+    * keep-lowest-id. The index is sized to the corpus — k =
+    * max(16, ⌈√n⌉) centroids — so BOTH the centroid assignment (n·k)
+    * and the within-cell pair mass (n²/k) scale as n^1.5, the classic
+    * IVF balance point; at a FIXED k the pair mass is quadratic (the
+    * ×30 rehearsal measured 8.3→36.1 s for ×3 data before this rule).
+    * The sizing is integer-exact cross-engine (sqrt of an integral
+    * double is correctly rounded everywhere), so the oracle computes
+    * the SAME k from count(*) and replicates the identical algorithm
+    * (assignment + pairs + keeper min) at any SF. */
   val q65SemanticDedup: Q = (s, dir) => {
     val (_, corpus) = parts(s, dir)
-    val centroids = corpus.filter(col("vec_id") < 26)
+    val k = math.max(16L,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
+    val centroids = corpus.filter(col("vec_id") < 10 + k)
       .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
     val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
     SemanticDedup.dropReport(cells, corpus, "vec_id", "vec", tau = 0.3)
@@ -533,7 +542,9 @@ object SimilarityQueries {
     // within each cell only, keep-lowest-id
     "q65_semantic_dedup" ->
       s"""WITH $cosineParts,
-         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id < 26),
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C
+                 WHERE vec_id < 10 + (SELECT greatest(16,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM C)),
          cells AS (SELECT vec_id, cell FROM (
              SELECT c.vec_id, cen.cen_id AS cell,
                row_number() OVER (PARTITION BY c.vec_id ORDER BY
