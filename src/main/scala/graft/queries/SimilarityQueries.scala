@@ -34,6 +34,30 @@ object SimilarityQueries {
   // (cos ≥ 0.95 → p_bit ≈ 0.9) still collide in some table w.p. ≈ 0.97.
   val NearDupBits = 10
 
+  /** Corpus-adaptive sign-LSH width — the PRIMARY remedy the
+    * selfCandidates hot-bucket cap backstops: at a fixed width the
+    * signature space saturates and bucket pair mass grows quadratically,
+    * so bits grow with the corpus, bits = max(10, ⌈log2(n/20)⌉), keeping
+    * expected occupancy ≈ 20 per (table, signature). Integer-exact
+    * cross-engine: ⌈log2 m⌉ = bit-length(m−1) (DuckDB: length(bin(m−1));
+    * JVM: 64 − numberOfLeadingZeros), never floating log2, whose last-ulp
+    * rounding could flip a ceil at powers of two. Capped at 16 (the
+    * oracle's plane-generation ceiling). At the three oracle SFs
+    * (n ≤ 2000) the rule yields exactly 10, so gate results are
+    * byte-identical to the fixed-width era. */
+  private def adaptiveNearDupBits(corpus: DataFrame): Int = {
+    val m = corpus.count() / 20
+    val b = if (m <= 1L) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(16, math.max(NearDupBits, b))
+  }
+
+  /** The oracle-side twin of [[adaptiveNearDupBits]] over CTE `from`. */
+  private def bitsCte(from: String): String =
+    s"""(SELECT least(16, greatest($NearDupBits,
+       |   CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END))
+       | FROM (SELECT count(*) // 20 AS m FROM $from))""".stripMargin
+
   // The float embedding column feeds the kernels directly: DotProduct /
   // L2Squared widen per element (exact), so no transform(cast) pass —
   // which would run interpreted AND knock the scan projection out of
@@ -112,7 +136,7 @@ object SimilarityQueries {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
     val cands = RandomHyperplaneLSH.selfCandidates(all, "vec_id", "vec",
-      NumTables, NearDupBits, Dims, ordered = true)
+      NumTables, adaptiveNearDupBits(all), Dims, ordered = true)
     cands
       .join(all.select(col("vec_id").as("a"), col("vec").as("va")), "a")
       .join(all.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
@@ -235,7 +259,7 @@ object SimilarityQueries {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
     val cands = RandomHyperplaneLSH.selfCandidates(all, "vec_id", "vec",
-        NumTables, NearDupBits, Dims, ordered = false)
+        NumTables, adaptiveNearDupBits(all), Dims, ordered = false)
       .toDF("src", "dst")
     val scored = cands
       .join(all.select(col("vec_id").as("src"), col("vec").as("vs")), "src")
@@ -380,7 +404,8 @@ object SimilarityQueries {
     s"""pl AS $mat(SELECT t.range AS t, b.range AS b, d.range AS d,
              CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
                / 2147483648.0 - 1.0 AS w
-           FROM range(0, $NumTables) t, range(0, $NearDupBits) b, range(0, $Dims) d),
+           FROM range(0, $NumTables) t, range(0, 16) b, range(0, $Dims) d
+           WHERE b.range < ${bitsCte("embeddings")}),
          allv AS $mat(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          dots AS $mat(SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
            FROM allv a, pl p GROUP BY 1, 2, 3),
@@ -680,10 +705,11 @@ object SimilarityQueries {
     // parity oracle: identical md5 hyperplanes → identical buckets →
     // identical candidate pairs → exact cosine threshold
     "q37_cosine_neardup" ->
-      """WITH pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
+      s"""WITH pl AS (SELECT t.range AS t, b.range AS b, d.range AS d,
              CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
                / 2147483648.0 - 1.0 AS w
-           FROM range(0, 8) t, range(0, 10) b, range(0, 64) d),
+           FROM range(0, 8) t, range(0, 16) b, range(0, 64) d
+           WHERE b.range < ${bitsCte("embeddings")}),
          allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
            FROM allv a, pl p GROUP BY 1, 2, 3),
