@@ -30,17 +30,29 @@ import org.apache.spark.sql.functions._
   *     per-dim distribution are preserved exactly, while rotated copies of
   *     one vector decorrelate (cosine ≈ 0 for random-ish vectors), so ANN
   *     neighbor structure also grows linearly, not in copy-cliques.
-  *   - Timestamps are left on the original time range: N× rows per
-  *     window/day is precisely the density increase a 100 TB corpus has.
+  *   - Timestamps default to the original time range: N× rows per
+  *     window/day is the DENSITY increase a 100 TB corpus has. Pass
+  *     `span` as the 4th arg (or `eventsSpan = true`) for the other
+  *     growth axis — copy i of events shifts i×30 days, so N copies
+  *     cover N contiguous months at original density (more windows/
+  *     days/sessions instead of bigger ones).
   *
   * Output is written with enough files for local[32] to parallelize
   * (`repartition` before write, sized ≈ source files × copies).
   */
 object ScaleUp {
 
-  /** Build the scaled tables under `out`; returns (table, rowCount). */
+  /** Build the scaled tables under `out`; returns (table, rowCount).
+    *
+    * `eventsSpan = true` switches the events table from the default
+    * DENSITY growth axis (N× rows on the same 30-day range) to SPAN
+    * growth: copy i shifts timestamps by i×30 days, so N copies cover
+    * N contiguous months at the original density. The two axes stress
+    * different shapes — density grows per-window/per-day group SIZES
+    * (sort/agg state), span grows the NUMBER of windows/days/sessions
+    * (parallelism and partition pruning). A warehouse grows along both. */
   def build(spark: SparkSession, src: String, out: String, copies: Int,
-            quiet: Boolean = false): Seq[(String, Long)] = {
+            quiet: Boolean = false, eventsSpan: Boolean = false): Seq[(String, Long)] = {
     // stride per keyed table: strictly greater than the observed max key,
     // rounded to a power of ten so remapped ids stay human-readable.
     def stride(df: DataFrame, key: String): Long = {
@@ -79,8 +91,12 @@ object ScaleUp {
         shiftKeys(Map("o_orderkey" -> oS, "o_custkey" -> cS))), copies),
       ("lineitem", fanOut(t("lineitem"),
         shiftKeys(Map("l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS))), 4 * copies),
-      ("events", fanOut(t("events"),
-        shiftKeys(Map("event_id" -> eS, "user_id" -> uS))), copies),
+      ("events", fanOut(t("events"), { i => df =>
+        val shifted = shiftKeys(Map("event_id" -> eS, "user_id" -> uS))(i)(df)
+        if (!eventsSpan || i == 0) shifted
+        else shifted.withColumn("ts",
+          col("ts") + expr(s"INTERVAL ${i * 30} DAYS"))
+      }), copies),
       ("documents", fanOut(t("documents"), { i => df =>
         val shifted = shiftKeys(Map("doc_id" -> dS))(i)(df)
         if (i == 0) shifted
@@ -133,6 +149,7 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val eventsSpan = args.lift(3).contains("span")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -143,7 +160,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, src, out, copies)
+    build(spark, src, out, copies, eventsSpan = eventsSpan)
     spark.stop()
   }
 }
