@@ -114,6 +114,37 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("span mode: events copies shift to contiguous months, density preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup-span").toString
+    ScaleUp.build(spark, src, dir, copies = 3, quiet = true, eventsSpan = true)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val evSrc = Tables(spark, src, "events")
+    assert(ev.count() === 3 * evSrc.count())
+    // copy i occupies [i*30d, i*30d + original span); ranges must not overlap
+    def range(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(min("ts"), max("ts")).head
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }
+    val (lo, hi) = range(evSrc)
+    val spanMs = 30L * 24 * 3600 * 1000
+    // same stride rule as the builder: next power of ten above max id
+    val maxId = evSrc.agg(max("event_id")).head.getLong(0)
+    val stride = Iterator.iterate(1L)(_ * 10).dropWhile(_ <= maxId).next()
+    for (i <- 0 until 3) {
+      val (clo, chi) = range(ev.filter(
+        col("event_id") >= i * stride && col("event_id") < i * stride + maxId + 1))
+      assert(clo === lo + i * spanMs, s"copy $i min")
+      assert(chi === hi + i * spanMs, s"copy $i max")
+    }
+    // per-day density equals the source's (shifted, not compressed)
+    val perDaySrc = evSrc.groupBy(to_date(col("ts")).as("d")).count()
+      .agg(max("count")).head.getLong(0)
+    val perDay = ev.groupBy(to_date(col("ts")).as("d")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(perDay === perDaySrc)
+  }
+
   test("embedding copies past the dim count decorrelate via sign-flips") {
     // copies > dims wrap the rotation: copy 64 has rot 0 (same as the
     // original) and copy 65 rot 1 (same as copy 1) — without the
