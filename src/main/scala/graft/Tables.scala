@@ -48,7 +48,14 @@ object Tables {
   def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = apply(spark, dir, name).schema
-    if (new java.io.File(path).isDirectory)
+    // Resolve through Hadoop's FileSystem, not java.io.File: on HDFS/S3
+    // paths a local-FS check is always false, which would silently take
+    // the glob branch and deliver zero batches — the exact failure mode
+    // this method exists to prevent.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
+    if (isDir)
       spark.readStream.schema(schema).parquet(path)
     else
       spark.readStream.schema(schema)

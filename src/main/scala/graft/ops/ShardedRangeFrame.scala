@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
   * trailing COUNT/SUM/MIN/MAX over the frame qualify because every
   * frame is fully contained in owned ∪ context of one shard.
   *
-  * Shard assignment is exact floor division via `(k − pmod(k, s)) / s`
-  * (long `div` truncates toward zero and would misalign negative keys).
+  * Shard assignment is exact floor division: `(k − pmod(k, s)) div s`.
+  * The numerator is an exact multiple of `s` (pmod is the nonnegative
+  * remainder), so long `div`'s truncation is harmless even for negative
+  * keys — and unlike Spark's `/` (which is DOUBLE division on longs,
+  * exact only below 2^53), integer `div` is exact for ALL long keys,
+  * including nanosecond timestamps and large synthetic ids.
   */
 object ShardedRangeFrame {
 
@@ -47,7 +51,8 @@ object ShardedRangeFrame {
       s"shard width ($shard) must exceed the frame length ($frame) so a " +
         "frame spans at most two shards")
     val k = col(orderCol)
-    val shardId = ((k - pmod(k, lit(shard))) / lit(shard)).cast("long")
+    val shardId =
+      expr(s"(`$orderCol` - pmod(`$orderCol`, ${shard}L)) div ${shard}L")
     val owned = df.withColumn("__shard", shardId).withColumn("__own", lit(true))
     val context = df.withColumn("__shard", shardId + 1).withColumn("__own", lit(false))
     val w = Window.partitionBy((partCols :+ "__shard").map(col): _*)

@@ -131,7 +131,14 @@ object SimilarityQueries {
     * candidates, exact cosine >= 0.45 on candidates only. Oracle is the
     * identical deterministic algorithm (implementation parity, like q22):
     * on random data LSH recall isn't guaranteeable, so ground truth would
-    * be unverifiable — the spec under test is the operator itself. */
+    * be unverifiable — the spec under test is the operator itself.
+    *
+    * DIAGNOSABILITY NOTE: selfCandidates silently drops (table, sig)
+    * buckets larger than RandomHyperplaneLSH.DefaultMaxBucket (64) — a
+    * skew guard the DuckDB oracle does NOT model. Gate-SF equivalence
+    * rests on no bucket exceeding 64 (max observed 14; adaptiveNearDupBits
+    * keeps expected occupancy ≈ 20). If gate data ever changes and this
+    * query hash-mismatches opaquely, check `oversizedBuckets` FIRST. */
   val q37CosineNearDup: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
@@ -254,7 +261,11 @@ object SimilarityQueries {
     }
 
   /** Shared kNN-graph edge builder (q93 output / q104 input): LSH bucket
-    * candidates → exact cosine rerank → salted top-3 per source. */
+    * candidates → exact cosine rerank → salted top-3 per source.
+    * Same diagnosability note as [[q37CosineNearDup]]: the candidate set
+    * is capped at RandomHyperplaneLSH.DefaultMaxBucket (64) per bucket,
+    * un-modeled by the oracles — on an opaque kNN/graph-family hash
+    * mismatch after a data change, check `oversizedBuckets` first. */
   private def knnTop3(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))

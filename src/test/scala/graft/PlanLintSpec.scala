@@ -49,6 +49,51 @@ class PlanLintSpec extends SparkSpec {
       s"broadcast over an exploded subtree in: ${offenders.mkString(", ")}")
   }
 
+  test("scorer joins stay non-broadcast in the ADAPTIVE executed plan") {
+    // The lint above inspects the pre-AQE sparkPlan; AQE can still demote
+    // a sort-merge join to a runtime broadcast from OBSERVED sizes, which
+    // the static check never sees. shuffle_hash hints protect the three
+    // token→model scorers (the subtrees where a runtime broadcast of the
+    // exploded side would be corpus-sized at scale even though it looks
+    // small at gate SF) — so for those representative queries, execute to
+    // completion and walk the FINAL adaptive plan, descending into
+    // materialized query stages, asserting no broadcast build side
+    // contains RAW exploded rows. The descent stops at an aggregation
+    // boundary: a broadcast of an AGGREGATED derivative of an explode is
+    // AQE working as designed (size bounded by group cardinality and
+    // decided from observed bytes — at 100 TB the observed stage is large
+    // and AQE keeps the shuffle join), whereas raw exploded rows scale
+    // with the corpus and must never build a broadcast.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def subtrees(p: SparkPlan, stopAtAgg: Boolean): Seq[SparkPlan] = {
+      if (stopAtAgg && p.isInstanceOf[BaseAggregateExec]) Seq(p)
+      else {
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case _                        => Nil
+        }
+        p +: (p.children ++ nested).flatMap(subtrees(_, stopAtAgg))
+      }
+    }
+    val scorers = Seq("q100_dsir_weights", "q90_nb_classify", "q56_unigram_lm")
+    val offenders = scorers.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // materialize so AQE finalizes every stage
+      val bad = subtrees(df.queryExecution.executedPlan, stopAtAgg = false).exists {
+        case b: BroadcastExchangeExec =>
+          subtrees(b, stopAtAgg = true).exists(_.isInstanceOf[GenerateExec])
+        case _ => false
+      }
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"runtime broadcast of raw exploded rows in: ${offenders.mkString(", ")}")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
