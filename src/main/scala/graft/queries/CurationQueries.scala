@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analysis.{Dsir, NaiveBayes, TextAnalysis, UnigramLm}
+import graft.analysis.{Dsir, NaiveBayes, RidgeProbe, TextAnalysis, UnigramLm}
 import graft.dedup.{BloomDecontaminate, ChunkDedup, SubstringDedup}
 import graft.ops.{Apportion, Sampling, TopK}
 import graft.text.{Chunker, TextOps}
@@ -467,7 +467,40 @@ object CurationQueries {
       .orderBy("file_name")
   }
 
+  /** Ridge-regression linear probe (`analysis/RidgeProbe`): fit a
+    * 2-feature quality regressor over the whole corpus with ONE Gram
+    * hash-aggregation + a closed-form Cramer solve expressed as SQL —
+    * the one-pass way to train a linear scorer at 100 TB (no iterations,
+    * no driver-side state beyond a broadcast 1-row weight table). The
+    * synthetic corpus has no labels, so a deterministic teacher plants
+    * them (y = 1.5 + 3·x1 − 2·x2 + hash-noise, the q61 planting
+    * pattern); the fit must recover the teacher up to the noise floor,
+    * and the per-source report carries the recovered weights + MSE +
+    * worst residual. The oracle runs the IDENTICAL generated formula
+    * text over the identical decimal Gram sums — bit-equal weights. */
+  val q148RidgeProbe: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val feats = d.select(col("doc_id"), col("source"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
+        (TextOps.wordCount(col("text")).cast("double") / lit(100.0)).as("x2"))
+      .withColumn("h", TextOps.md5Int60(
+        concat(lit("probe:"), col("doc_id").cast("string"))))
+      .withColumn("noise", expr("(CAST((h % 1000) AS DOUBLE) / 1000.0) - 0.5"))
+      .withColumn("y", expr("((1.5 + (3.0 * x1)) - (2.0 * x2)) + noise"))
+    RidgeProbe.score(feats.select("source", "x1", "x2", "y"), "1.0")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(max(col("w0")), 6).as("w0"),
+        round(max(col("w1")), 6).as("w1"),
+        round(max(col("w2")), 6).as("w2"),
+        round(sum((col("resid") * col("resid")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 6).as("mse"),
+        round(max(abs(col("resid"))), 6).as("max_abs_resid"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q148_ridge_probe" -> q148RidgeProbe,
     "q145_provenance" -> q145Provenance,
     "q136_temperature_mix" -> q136TemperatureMix,
     "q126_rag_chunks" -> q126RagChunks,
@@ -503,6 +536,31 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    // the Gram SELECT and the Cramer solve are generated by RidgeProbe —
+    // the SAME strings the Spark plan executes, so both engines build
+    // the identical IEEE expression tree over identical decimal sums
+    "q148_ridge_probe" ->
+      s"""WITH $tokCte,
+         f AS (SELECT d.doc_id, d.source,
+                 (CAST(d.n_chars AS DOUBLE) / 1000.0) AS x1,
+                 (CAST(len(tok.toks) AS DOUBLE) / 100.0) AS x2
+               FROM documents d JOIN tok USING (doc_id)),
+         fn AS (SELECT doc_id, source, x1, x2,
+                 (CAST(((CAST(('0x' || substr(md5('probe:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) % 1000) AS DOUBLE) / 1000.0) - 0.5 AS noise
+               FROM f),
+         fy AS (SELECT source, x1, x2,
+                 ((1.5 + (3.0 * x1)) - (2.0 * x2)) + noise AS y FROM fn),
+         g AS (SELECT ${RidgeProbe.gramSelectSql} FROM fy),
+         w AS (SELECT ${RidgeProbe.cramerExprs("1.0").mkString(", ")} FROM g),
+         r AS (SELECT fy.source, w.w0, w.w1, w.w2,
+                 fy.y - ((w.w0 + (w.w1 * fy.x1)) + (w.w2 * fy.x2)) AS resid
+               FROM fy CROSS JOIN w)
+         SELECT source, count(*) AS n_docs,
+           round(max(w0), 6) AS w0, round(max(w1), 6) AS w1,
+           round(max(w2), 6) AS w2,
+           round(CAST(sum(CAST((resid * resid) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mse,
+           round(max(abs(resid)), 6) AS max_abs_resid
+         FROM r GROUP BY 1 ORDER BY 1""",
     // ground truth by construction: the layout maps each table to one
     // file named <table>.parquet — the Spark side must ATTRIBUTE rows to
     // those files via _metadata, the oracle just states the expectation
