@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{KCore, PageRank, TopK, Triangles}
-import graft.similarity.{Cosine, IvfFlat, Pca, ProductQuantizer, RandomHyperplaneLSH, ScalarQuantizer, SemanticDedup}
+import graft.similarity.{Cosine, IvfFlat, KMeans, Pca, ProductQuantizer, RandomHyperplaneLSH, ScalarQuantizer, SemanticDedup}
 
 /** Similarity-search operator coverage over `embeddings` (north-star ANN
   * operators; reference analog N8/N9 `tencent_api.py:111-136`).
@@ -190,6 +190,33 @@ object SimilarityQueries {
       .select(col("cell"), col("n_members"),
         round(element_at(col("cen_vec"), 1), 4).as("m0"),
         round(element_at(col("cen_vec"), 2), 4).as("m1"))
+      .orderBy("cell")
+  }
+
+  /** FULL k-means training (`similarity/KMeans`): 3 Lloyd rounds from
+    * the q49 seed (corpus vec_ids < 26, k=16), then the final
+    * assignment report. Each round's assignment is a statically
+    * unrolled `least(struct(dist, id))` projection over driver-held
+    * centroid LITERALS — zero corpus shuffle, pure codegen; the only
+    * exchange per round is the (cell, dim) decimal-mean (k×d rows).
+    * Distances share their exact formula text (sequential-fold dots)
+    * with the generated unrolled oracle, so assignment is bit-identical
+    * cross-engine — no float tie-luck, and SSE decimal-sums safely. */
+  val q149KmeansTrain: Q = (s, dir) => {
+    import s.implicits._
+    val (_, corpus) = parts(s, dir)
+    val seed = KMeans.collectSeed(
+      corpus.filter(col("vec_id") < 26), "vec_id", "vec")
+    val cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+    val cells = KMeans.assignCells(corpus, "vec_id", "vec", cens)
+    val centDf = cens.map { case (id, arr) => (id, arr(0), arr(1)) }
+      .toDF("cell", "m0", "m1")
+    cells.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist").cast("decimal(28,12)")).cast("double"), 4).as("sse"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        round(col("m0"), 4).as("m0"), round(col("m1"), 4).as("m1"), col("sse"))
       .orderBy("cell")
   }
 
@@ -399,6 +426,7 @@ object SimilarityQueries {
     "q65_semantic_dedup" -> q65SemanticDedup,
     "q60_ann_pq" -> q60AnnPq,
     "q49_kmeans_step" -> q49KmeansStep,
+    "q149_kmeans_train" -> q149KmeansTrain,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
@@ -646,6 +674,8 @@ object SimilarityQueries {
                  FROM rr)
          SELECT query_id, cand_id AS vec_id, round(sim, 6) AS sim
          FROM fin WHERE rn = 1 ORDER BY query_id""",
+    // generated unrolled Lloyd rounds — see KMeans.oracleSql
+    "q149_kmeans_train" -> KMeans.oracleSql(cosineParts, "vec_id < 26", rounds = 3),
     // same deterministic assignment as q34's oracle, then per-cell means
     "q49_kmeans_step" ->
       s"""WITH $cosineParts,

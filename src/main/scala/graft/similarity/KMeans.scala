@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full distributed k-means (Lloyd) TRAINING over an embedding column —
+  * the loop whose single step q49 maintains (`IvfFlat.recomputeCentroids`)
+  * and whose fitted index q34/q65 search. Designed for the 100 TB regime:
+  *
+  *  - **Zero corpus shuffles in the assignment.** The centroid set is
+  *    k×d doubles held on the driver between rounds (the [[Pca]]
+  *    d-vector precedent); each round embeds them as LITERAL arrays and
+  *    computes the argmin as a statically unrolled
+  *    `least(struct(dist_1, id_1), …, struct(dist_k, id_k))` — pure
+  *    whole-stage-codegen projection, no crossJoin row multiplication,
+  *    no exchange. The only shuffle per round is the per-(cell, dim)
+  *    mean — cells×dims rows after map-side combine, corpus-size-free.
+  *  - **Engine-exact determinism.** dist = ((x·x − 2·(x·c)) + c·c) with
+  *    every product a sequential-fold dot ([[graft.expressions.DotProduct]]
+  *    ≡ DuckDB `list_inner_product`) and the formula text pinned, so
+  *    distances are bit-identical across engines and partitionings;
+  *    per-dim means are decimal-summed (exact, associative). Assignment
+  *    therefore never depends on float tie-luck, and the DuckDB oracle
+  *    ([[oracleSql]]) unrolls the same rounds CTE-for-CTE.
+  *
+  * Empty cells (a centroid losing its last member) drop out of the next
+  * round on both engines identically — k may shrink, never misalign.
+  */
+object KMeans {
+
+  private val Dec = "decimal(28,12)"
+
+  /** Sequential-fold self-dot on the driver — MUST match
+    * [[graft.expressions.DotProduct]]'s order (and DuckDB's
+    * list_inner_product) so the embedded `c·c` literal equals what
+    * either engine would compute. */
+  private def selfDot(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+
+  /** Nearest-centroid assignment against driver-held centroids:
+    * (idCol, cell, dist), tie-break on lower centroid id, computed as an
+    * unrolled `least(struct…)` projection — no join, no shuffle. */
+  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+                  cens: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cens.size >= 2, "k-means needs at least 2 centroids")
+    val candidates = cens.sortBy(_._1).map { case (cid, cv) =>
+      val dp = Cosine.dot(col(vecCol), array(cv.map(lit): _*))
+      val dist = (col("__xx") - (lit(2.0) * dp)) + lit(selfDot(cv))
+      struct(dist.as("dist"), lit(cid).as("cell"))
+    }
+    vecs.withColumn("__xx", Cosine.dot(col(vecCol), col(vecCol)))
+      .withColumn("__m", least(candidates: _*))
+      .select(col(idCol), col("__m.cell").as("cell"), col("__m.dist").as("dist"))
+  }
+
+  /** Decimal-exact per-(cell, dim) means of the members — the
+    * partition-order-independent twin of `IvfFlat.recomputeCentroids`
+    * (whose double `avg` is fine for a one-shot step but would let
+    * round-N error feed round-N+1 here). */
+  def dimMeansExact(cells: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String): DataFrame =
+    cells.select(col(idCol), col("cell"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "xf")))
+      .select(col("cell"), col("d"), col("xf").cast("double").as("x"))
+      .groupBy("cell", "d")
+      .agg((sum(col("x").cast(Dec)).cast("double") / count(lit(1))).as("w"))
+
+  /** `rounds` Lloyd iterations from `seed`; returns the trained
+    * centroids (driver-side, k×d doubles — the index you then persist
+    * or hand to `IvfFlat`). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            seed: Seq[(Long, Array[Double])], rounds: Int): Seq[(Long, Array[Double])] = {
+    var cens = seed
+    for (_ <- 0 until rounds) {
+      val dims = cens.head._2.length
+      val cells = assignCells(corpus, idCol, vecCol, cens)
+      val means = dimMeansExact(cells, corpus, idCol, vecCol).collect()
+      cens = means.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+        val arr = new Array[Double](dims)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        cell -> arr
+      }.sortBy(_._1)
+    }
+    cens
+  }
+
+  /** Collect a deterministic seed (e.g. the first k corpus vectors) to
+    * the driver as (id, double-widened vector). */
+  def collectSeed(df: DataFrame, idCol: String, vecCol: String): Seq[(Long, Array[Double])] =
+    df.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toSeq.sortBy(_._1)
+
+  /** GENERATED unrolled DuckDB mirror: `rounds` assign→mean rounds from
+    * the same seed over corpus CTE `C (vec_id, cvec DOUBLE[])`, then the
+    * final-assignment report (cell, n_members, m0, m1, sse). The dist
+    * expression text matches [[assignCells]] token-for-token modulo
+    * engine function names, and every cross-row sum is the same decimal
+    * quantize-then-sum. */
+  def oracleSql(partsCte: String, seedPredSql: String, rounds: Int): String = {
+    def distSql(cenRel: String): String =
+      s"((xx.xx - (2.0 * list_inner_product(c.cvec, $cenRel.cen_vec))) + " +
+        s"list_inner_product($cenRel.cen_vec, $cenRel.cen_vec))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $partsCte,
+      xx AS MATERIALIZED (SELECT vec_id, list_inner_product(cvec, cvec) AS xx FROM C),
+      x AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(cvec))) AS d, unnest(cvec) AS xv FROM C),
+      cen0 AS MATERIALIZED (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE $seedPredSql)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      a$r AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT c.vec_id, cen.cen_id AS cell,
+            row_number() OVER (PARTITION BY c.vec_id ORDER BY ${distSql("cen")} ASC, cen.cen_id ASC) AS rn
+          FROM C c JOIN xx USING (vec_id) CROSS JOIN cen$r cen) t WHERE rn = 1),
+      m$r AS MATERIALIZED (SELECT cell, d,
+            CAST(sum(CAST(xv AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS w
+          FROM a$r JOIN x USING (vec_id) GROUP BY cell, d),
+      cen${r + 1} AS MATERIALIZED (SELECT cell AS cen_id, list(w ORDER BY d) AS cen_vec
+          FROM m$r GROUP BY cell)"""
+    }
+    sb ++= s""",
+      af AS MATERIALIZED (SELECT vec_id, cell, dist FROM (
+          SELECT c.vec_id, cen.cen_id AS cell, ${distSql("cen")} AS dist,
+            row_number() OVER (PARTITION BY c.vec_id ORDER BY ${distSql("cen")} ASC, cen.cen_id ASC) AS rn
+          FROM C c JOIN xx USING (vec_id) CROSS JOIN cen$rounds cen) t WHERE rn = 1)
+      SELECT af.cell, count(*) AS n_members,
+        round(max(m.m0), 4) + 0 AS m0, round(max(m.m1), 4) + 0 AS m1,
+        round(CAST(sum(CAST(af.dist AS DECIMAL(28,12))) AS DOUBLE), 4) + 0 AS sse
+      FROM af JOIN (SELECT cen_id, cen_vec[1] AS m0, cen_vec[2] AS m1 FROM cen$rounds) m
+        ON m.cen_id = af.cell
+      GROUP BY 1 ORDER BY 1"""
+    sb.toString
+  }
+}

@@ -1,0 +1,76 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Three well-separated clusters in 4-d, deterministic jitter.
+  private def corpus(n: Int): DataFrame =
+    (0 until n).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0, c * -5.0, 3.0 - c, c.toDouble)
+      val jit = (i * 31 % 7) / 100.0
+      (i.toLong, base.map(x => (x + jit).toFloat).toSeq)
+    }.toDF("vec_id", "vec")
+
+  private def seedOf(df: DataFrame, ids: Long*): Seq[(Long, Array[Double])] =
+    KMeans.collectSeed(df.filter(col("vec_id").isin(ids: _*)), "vec_id", "vec")
+
+  test("train recovers well-separated clusters (members follow bases)") {
+    val df = corpus(90)
+    val cens = KMeans.train(df, "vec_id", "vec", seedOf(df, 0L, 1L, 2L), rounds = 3)
+    val cells = KMeans.assignCells(df, "vec_id", "vec", cens)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect()
+    // every vector lands with its own residue class's seed
+    assert(cells.forall { case (id, cell) => cell == id % 3 })
+    // centroid 0's first component ~= 0 + mean jitter, centroid 2's ~= 20
+    val m = cens.toMap
+    assert(math.abs(m(0L)(0)) < 0.1 && math.abs(m(2L)(0) - 20.0) < 0.1)
+  }
+
+  test("SSE is non-increasing across Lloyd rounds") {
+    val df = corpus(120)
+    val seed = seedOf(df, 0L, 1L, 5L) // deliberately poor third seed
+    def sse(rounds: Int): Double = {
+      val cens = KMeans.train(df, "vec_id", "vec", seed, rounds)
+      KMeans.assignCells(df, "vec_id", "vec", cens)
+        .agg(sum(col("dist").cast("decimal(28,12)")).cast("double"))
+        .collect()(0).getDouble(0)
+    }
+    val s = (0 to 3).map(sse)
+    assert(s.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
+  }
+
+  test("centroids are bit-identical under any partitioning") {
+    val df = corpus(100)
+    val seed = seedOf(df, 0L, 1L, 2L)
+    val a = KMeans.train(df, "vec_id", "vec", seed, rounds = 2)
+    val b = KMeans.train(df.repartition(7), "vec_id", "vec", seed, rounds = 2)
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((_, va), (_, vb)) =>
+      va.zip(vb).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("a centroid that captures no members drops out; k shrinks") {
+    val df = corpus(30)
+    val far = 999L -> Array(1e6, 1e6, 1e6, 1e6)
+    val cens = KMeans.train(df, "vec_id", "vec",
+      seedOf(df, 0L, 1L, 2L) :+ far, rounds = 1)
+    assert(cens.map(_._1) == Seq(0L, 1L, 2L))
+  }
+
+  test("assignment plan is shuffle-free (no Exchange below the argmin)") {
+    val df = corpus(50)
+    val cells = KMeans.assignCells(df, "vec_id", "vec", seedOf(df, 0L, 1L, 2L))
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment should be a pure projection, got:\n$plan")
+  }
+}
