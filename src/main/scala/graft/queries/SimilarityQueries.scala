@@ -340,13 +340,13 @@ object SimilarityQueries {
     * make every round bit-identical cross-engine. */
   val q94PcaProject: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
-    // NOT pre-partitioned on vec_id: measured — the per-round id-joins
-    // broadcast the n-row s-vector anyway, so an upfront repartition of
-    // the exploded corpus adds a full shuffle and removes none (sf0.1
-    // 4.5→5.0 s, shuffle bytes +12% at ×100). Round cost is action
-    // latency (8 rounds × 2 jobs), not data movement.
+    // Array-form rounds (round-7 redesign): s is a per-row codegen dot
+    // against the literal round vector, so NO corpus-sized exchange or
+    // broadcast exists anywhere — each round's only shuffle is the
+    // dims-keyed partial agg. The centered corpus is checkpointed once
+    // and re-scanned 9× (8 rounds + the projection).
     val xc = Pca.centered(all, "vec_id", "embedding").localCheckpoint(true)
-    val v = Pca.principalComponent(xc, "vec_id", Dims, iters = 8)
+    val v = Pca.principalComponent(xc, Dims, iters = 8)
     Pca.project(xc, "vec_id", v)
       .select(col("vec_id"), round(col("proj"), 4).as("proj"))
       .orderBy("vec_id")

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class PcaSpec extends SparkSpec {
   import spark.implicits._
@@ -16,7 +17,7 @@ class PcaSpec extends SparkSpec {
 
   test("power iteration recovers the dominant direction, sign-canonicalized") {
     val xc = Pca.centered(corpus, "vec_id", "embedding")
-    val v = Pca.principalComponent(xc, "vec_id", dims = 4, iters = 20)
+    val v = Pca.principalComponent(xc, dims = 4, iters = 20)
     // the orthogonal noise tilts the true eigenvector by O(noise²/gap):
     // ~1e-4 here, so assert at that scale, not machine precision
     assert(math.abs(v(0) - 0.6) < 1e-3, v.mkString(","))
@@ -27,7 +28,7 @@ class PcaSpec extends SparkSpec {
 
   test("projections are the centered coordinates along the component") {
     val xc = Pca.centered(corpus, "vec_id", "embedding")
-    val v = Pca.principalComponent(xc, "vec_id", dims = 4, iters = 20)
+    val v = Pca.principalComponent(xc, dims = 4, iters = 20)
     val p = Pca.project(xc, "vec_id", v).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // t values 10,20,30,40 centered at 25
@@ -40,8 +41,23 @@ class PcaSpec extends SparkSpec {
   test("decimal sums make the component bit-identical across partitionings") {
     val one = Pca.centered(corpus.coalesce(1), "vec_id", "embedding")
     val many = Pca.centered(corpus.repartition(8), "vec_id", "embedding")
-    val v1 = Pca.principalComponent(one, "vec_id", dims = 4, iters = 6)
-    val v8 = Pca.principalComponent(many, "vec_id", dims = 4, iters = 6)
+    val v1 = Pca.principalComponent(one, dims = 4, iters = 6)
+    val v8 = Pca.principalComponent(many, dims = 4, iters = 6)
     assert(v1.toSeq == v8.toSeq) // exact, not approximate
+  }
+
+  test("a round's plan has no corpus-sized exchange (dims-keyed agg only)") {
+    val xc = Pca.centered(corpus, "vec_id", "embedding")
+    val vLit = array(Seq(0.5, 0.5, 0.5, 0.5).map(lit): _*)
+    val round = xc
+      .select(Cosine.dot(col("xv"), vLit).as("s"), col("xv"))
+      .select(col("s"), posexplode(col("xv")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum((col("x") * col("s")).cast("decimal(28,12)")).as("u"))
+    val plan = round.queryExecution.executedPlan.toString
+    // exactly the aggregation exchange (hashpartitioning on d) — no
+    // id-keyed exchange, no broadcast of any corpus-derived table
+    assert(!plan.contains("vec_id#"), s"corpus-keyed exchange in:\n$plan")
+    assert(!plan.toLowerCase.contains("broadcast"), s"broadcast in:\n$plan")
   }
 }
