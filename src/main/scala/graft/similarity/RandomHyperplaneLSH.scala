@@ -42,26 +42,25 @@ object RandomHyperplaneLSH {
 
   /** (id, table, sig) bucket rows for every vector.
     *
-    * Computed by transposition: posexplode the vector to (id, dim,
-    * component) rows, broadcast-join the plane-weight table, and build
-    * the numTables×bits dot products with ONE codegen'd aggregation —
-    * per-row HOF dot folds run interpreted (no whole-stage codegen) and
-    * were ~3× slower at sf0.1. Each vector's rows stay in one input
-    * partition, so map-side partial aggregation computes every dot
-    * completely and deterministically before the shuffle. */
+    * Computed as a statically unrolled PROJECTION: numTables × bits
+    * [[graft.expressions.DotProduct]] kernel calls against plane arrays
+    * that constant-fold into literals — pure whole-stage codegen, no
+    * join, no aggregation, and crucially ZERO exchange (two earlier
+    * forms both lost: per-row HOF folds ran interpreted ~3× slower, and
+    * the posexplode + plane-join + re-aggregate transposition pushed the
+    * corpus through two id-keyed exchanges per LSH pass — corpus-sized
+    * shuffle work every consumer paid at every scale). The kernel folds
+    * dimensions in ascending order, exactly the order the transposition
+    * aggregated in, so signatures are bit-identical to both prior forms
+    * and to the oracle mirrors. */
   def buckets(df: DataFrame, idCol: String, vecCol: String,
               numTables: Int, bits: Int, dims: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val planes = (for { t <- 0 until numTables; b <- 0 until bits; d <- 0 until dims }
-      yield (t, b, d, planeWeight(t, b, d))).toDF("table", "bit", "d", "w")
-    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .join(broadcast(planes), "d")
-      .groupBy(col(idCol), col("table"), col("bit"))
-      .agg(sum(col("x") * col("w")).as("dp"))
-      .groupBy(col(idCol), col("table"))
-      .agg(sum(when(col("dp") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
-      .select(col(idCol), col("table"), col("sig").cast("int").as("sig"))
+    val perTable = (0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        signature(col(vecCol), t, bits, dims).cast("int").as("sig"))
+    }
+    df.select(col(idCol), explode(array(perTable: _*)).as("__ts"))
+      .select(col(idCol), col("__ts.table").as("table"), col("__ts.sig").as("sig"))
   }
 
   /** Distinct (queryId, candidateId) pairs sharing any bucket. */
