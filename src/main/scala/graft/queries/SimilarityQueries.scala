@@ -540,28 +540,33 @@ object SimilarityQueries {
          SELECT a AS node, deg FROM kcore_final ORDER BY 1""",
     // identical per-dim bounds -> identical codes -> decimal-summed
     // asymmetric scores, bit-for-bit
+    // recon list built with the kernel's pinned-association arithmetic,
+    // then list_inner_product = the kernel's ascending within-row fold
     "q127_ann_sq8" ->
       s"""WITH C AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
-         Q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+         Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+               FROM embeddings WHERE vec_id < 10),
          dims AS (SELECT unnest(generate_series(1, $Dims)) AS i),
          ex AS (SELECT c.vec_id, d.i, CAST(c.v[d.i] AS DOUBLE) AS x
                 FROM C c, dims d),
          st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
-         contrib AS (SELECT q.query_id, e.vec_id,
-             CAST(CAST(q.q[e.i] AS DOUBLE) * (s.mn + CASE
-                 WHEN s.mx = s.mn THEN 0.0
-                 ELSE round((e.x - s.mn) / (s.mx - s.mn) * 255.0)
-                      * (s.mx - s.mn) / 255.0
-               END) AS DECIMAL(16,12)) AS cd
-           FROM ex e JOIN st s ON s.i = e.i CROSS JOIN Q q),
-         sums AS (SELECT query_id, vec_id, sum(cd) AS simd
-                  FROM contrib GROUP BY 1, 2),
+         rl AS (SELECT e.vec_id, e.i,
+             s.mn + CASE
+               WHEN s.mx = s.mn THEN 0.0
+               ELSE (round(((e.x - s.mn) / (s.mx - s.mn)) * 255.0)
+                     * (s.mx - s.mn)) / 255.0
+             END AS r
+           FROM ex e JOIN st s ON s.i = e.i),
+         recon AS (SELECT vec_id, list(r ORDER BY i) AS rlist FROM rl GROUP BY 1),
+         sums AS (SELECT q.query_id, r.vec_id,
+             list_inner_product(q.q, r.rlist) AS simd
+           FROM recon r CROSS JOIN Q q),
          ranked AS (SELECT query_id, vec_id, simd,
              row_number() OVER (PARTITION BY query_id
                ORDER BY simd DESC, vec_id ASC) AS rank
            FROM sums)
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
-           round(CAST(simd AS DOUBLE), 6) + 0 AS sim
+           round(simd, 6) + 0 AS sim
          FROM ranked WHERE rank <= 10 ORDER BY 1, 2""",
     // generated unrolled-CTE mirror of the 8-round power iteration
     "q94_pca_project" -> Pca.oracleSql(Dims, iters = 8),

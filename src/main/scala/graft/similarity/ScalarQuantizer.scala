@@ -14,11 +14,13 @@ import graft.ops.TopK
   * side per dimension (`recon = mn + code·span/255`), the same
   * query-exact/corpus-compressed split as PQ's ADC.
   *
-  * Determinism contract (the q93/q104 pattern): every per-dimension
-  * contribution `q_d · recon_d` is an IEEE double expression evaluated
-  * identically on any engine, then quantized to DECIMAL(28,12) BEFORE
-  * the sum, so the score is partition-order- and fold-order-independent
-  * and DuckDB reproduces it bit-for-bit.
+  * Determinism contract: the score is a WITHIN-row sequential fold
+  * (dimensions ascending) of IEEE double contributions with pinned
+  * association — `graft.expressions.Sq8Sim` on the Spark side,
+  * `list_inner_product` over the identically-reconstructed list on the
+  * DuckDB side — so partitioning cannot reorder it and both engines
+  * produce bit-identical scores (the earlier per-term decimal
+  * quantization guarded the same property at ~10× the cost).
   *
   * Scale: `fit` is one map-side-combined agg over 64 keys (partials make
   * the tiny key domain a non-issue); the score pass broadcasts the
@@ -42,40 +44,29 @@ object ScalarQuantizer {
         transform(col("s"), e => e.getField("mn")).as("mn"),
         transform(col("s"), e => e.getField("mx")).as("mx"))
 
-  /** Decimal-summed asymmetric similarity of a full-precision query
-    * vector against a reconstructed SQ8 corpus vector. Columns `qvec`,
-    * `vec`, `mn`, `mx` must be in scope; zero-span dimensions
-    * reconstruct to `mn` exactly. */
-  /** Decimal widths are load-bearing: contribution DECIMAL(16,12) +
-    * accumulator DECIMAL(25,12) add to (26,12) — the SCALE survives, so
-    * casting back to (25,12) is a range check, never a rounding (a
-    * (38,12) accumulator would widen the add to (38,11) and silently
-    * round the 12th decimal away from DuckDB's exact scale-12 sum). */
-  private val simExpr =
-    """aggregate(
-         sequence(1, size(vec)),
-         CAST(0 AS DECIMAL(25,12)),
-         (acc, i) -> CAST(acc + CAST(
-           CAST(element_at(qvec, i) AS DOUBLE) * (
-             element_at(mn, i) + CASE
-               WHEN element_at(mx, i) = element_at(mn, i) THEN CAST(0.0 AS DOUBLE)
-               ELSE round((CAST(element_at(vec, i) AS DOUBLE) - element_at(mn, i))
-                      / (element_at(mx, i) - element_at(mn, i)) * 255.0)
-                    * (element_at(mx, i) - element_at(mn, i)) / 255.0
-             END) AS DECIMAL(16,12)) AS DECIMAL(25,12)))"""
-
   /** Top-k per query by asymmetric SQ8 similarity. `queries` must be
-    * broadcast-small (it is crossed against the whole corpus). */
+    * broadcast-small (it is crossed against the whole corpus).
+    *
+    * The score is the native [[graft.expressions.Sq8Sim]] kernel — a
+    * within-row double fold (dimensions ascending) fused into
+    * whole-stage codegen. Its interpreted predecessor (an
+    * `aggregate(sequence(...))` HOF with per-element decimal
+    * quantize/add) dominated the scan profile; the fold order and
+    * pinned-association arithmetic are mirrored exactly by the oracle's
+    * `list_inner_product` over the reconstructed list, so scores — and
+    * therefore the ranking — are bit-identical cross-engine without the
+    * decimal machinery. */
   def topKAsymmetric(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val params = fitParams(corpus, "vec")
     val scored = corpus
       .crossJoin(broadcast(params))
       .crossJoin(broadcast(queries))
-      .withColumn("simd", expr(simExpr))
+      .withColumn("simd", graft.expressions.Sq8Sim.sq8_sim(
+        col("qvec"), col("vec"), col("mn"), col("mx")))
     TopK.perGroup(scored, Seq("query_id"),
         Seq(col("simd").desc, col("vec_id").asc), k,
         saltOn = hash(col("vec_id")), rankCol = "rank")
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("simd").cast("double"), 6).as("sim"))
+        round(col("simd"), 6).as("sim"))
   }
 }
