@@ -53,6 +53,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Long].collect()(0))
   }
 
+  test("sq8_sim is SQL-callable and matches its Column form") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f), Array(0.0, 0.0), Array(8.0, 8.0)))
+      .toDF("q", "v", "mn", "mx")
+    df.createOrReplaceTempView("ext_sq8")
+    val sql = spark.sql("SELECT sq8_sim(q, v, mn, mx) AS s FROM ext_sq8")
+      .collect()(0).getDouble(0)
+    val col0 = df.select(graft.expressions.Sq8Sim.sq8_sim(
+      col("q"), col("v"), col("mn"), col("mx")).as("s")).collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(sql) ==
+      java.lang.Double.doubleToLongBits(col0))
+  }
+
   test("non-literal k is rejected with a helpful error") {
     Seq(("abc", 2)).toDF("s", "k").createOrReplaceTempView("ext_k")
     val ex = intercept[Exception] {
