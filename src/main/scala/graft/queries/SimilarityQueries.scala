@@ -220,6 +220,39 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** IVF-flat ANN over the TRAINED index — the production composition
+    * the IvfFlat scaladoc promises ("in production swap in k-means
+    * centroids"): q149's 3-round Lloyd centroids, corpus assigned by the
+    * zero-shuffle unrolled argmin, queries probing their 2 nearest
+    * trained cells, exact cosine rerank to top-3. Candidate generation
+    * is the cell equi-join — corpus × queries never cross. The oracle
+    * reuses the GENERATED training CTE chain (`KMeans.trainCtes`) and
+    * mirrors probe/assignment with the same pinned distance text, so
+    * the candidate sets are bit-identical, not recall-lucky. */
+  val q150AnnIvfTrained: Q = (s, dir) => {
+    val (queries, corpus) = parts(s, dir)
+    val seed = KMeans.collectSeed(
+      corpus.filter(col("vec_id") < 26), "vec_id", "vec")
+    val cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+    val cells = KMeans.assignCells(corpus, "vec_id", "vec", cens)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val probes = KMeans.probeCells(
+        queries.select(col("vec_id").as("query_id"), col("vec")),
+        "query_id", "vec", cens, nprobe = 2)
+      .select("query_id", "cell")
+    val cands = probes.join(cells, Seq("cell")).select("query_id", "cand_id")
+    val scored = cands
+      .join(queries.select(col("vec_id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(corpus.select(col("vec_id").as("cand_id"), col("vec").as("cv")), "cand_id")
+      .withColumn("sim", Cosine.cosine(col("qv"), col("cv")))
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("cand_id").asc), 3,
+        saltOn = hash(col("cand_id")), rankCol = "rank")
+      .select(col("query_id"), col("rank"), col("cand_id").as("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Product-quantization ANN (third scale path; see
     * `similarity/ProductQuantizer.scala`): 8 subspaces x 8 dims, 16
     * codewords from the q34 seed set, ADC shortlist of 10, exact cosine
@@ -427,6 +460,7 @@ object SimilarityQueries {
     "q60_ann_pq" -> q60AnnPq,
     "q49_kmeans_step" -> q49KmeansStep,
     "q149_kmeans_train" -> q149KmeansTrain,
+    "q150_ann_ivf_trained" -> q150AnnIvfTrained,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
@@ -681,6 +715,37 @@ object SimilarityQueries {
          FROM fin WHERE rn = 1 ORDER BY query_id""",
     // generated unrolled Lloyd rounds — see KMeans.oracleSql
     "q149_kmeans_train" -> KMeans.oracleSql(cosineParts, "vec_id < 26", rounds = 3),
+    // trained-index IVF search: the same generated training chain, then
+    // probe (2 nearest trained cells per query, pinned dist text),
+    // cell-join candidates, exact cosine rerank to top-3
+    "q150_ann_ivf_trained" ->
+      s"""WITH $cosineParts,
+         ${KMeans.trainCtes("vec_id < 26", rounds = 3)},
+         af AS MATERIALIZED (SELECT vec_id, cell FROM (
+             SELECT c.vec_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY ${KMeans.distSql("cen")} ASC, cen.cen_id ASC) AS rn
+             FROM C c JOIN xx USING (vec_id) CROSS JOIN cen3 cen) t WHERE rn = 1),
+         pr AS (SELECT query_id, cell FROM (
+             SELECT q.query_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ((list_inner_product(q.qvec, q.qvec) - (2.0 * list_inner_product(q.qvec, cen.cen_vec)))
+                   + list_inner_product(cen.cen_vec, cen.cen_vec)) ASC, cen.cen_id ASC) AS prn
+             FROM Q q CROSS JOIN cen3 cen) t WHERE prn <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS cand_id
+                  FROM pr p JOIN af a USING (cell)),
+         rr AS (SELECT cd.query_id, cd.cand_id,
+                  list_inner_product(q.qvec, c.cvec)
+                    / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
+                FROM cand cd
+                JOIN Q q USING (query_id)
+                JOIN C c ON c.vec_id = cd.cand_id),
+         fin AS (SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cand_id ASC) AS rank
+                 FROM rr)
+         SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS vec_id,
+           round(sim, 6) AS sim
+         FROM fin WHERE rank <= 3 ORDER BY 1, 2""",
     // same deterministic assignment as q34's oracle, then per-cell means
     "q49_kmeans_step" ->
       s"""WITH $cosineParts,

@@ -88,6 +88,29 @@ object KMeans {
     cens
   }
 
+  /** The `nprobe` nearest trained centroids per query — the IVF probe
+    * step over a trained index: (idCol, cell, probe_rank). Same pinned
+    * distance text as [[assignCells]] (here cc is the kernel fold over
+    * the centroid ARRAY column — identical doubles to the driver
+    * literal). The window is over queries × k rows (the query set is
+    * broadcast-small by IVF contract). */
+  def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                 cens: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = cens.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("__cen_id", "__cen_vec")
+    val dist = (Cosine.dot(col(vecCol), col(vecCol)) -
+      (lit(2.0) * Cosine.dot(col(vecCol), col("__cen_vec")))) +
+      Cosine.dot(col("__cen_vec"), col("__cen_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(dist.asc, col("__cen_id").asc)
+    queries.crossJoin(broadcast(centDf))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col(idCol), col("__cen_id").as("cell"), col("probe_rank"))
+  }
+
   /** Collect a deterministic seed (e.g. the first k corpus vectors) to
     * the driver as (id, double-widened vector). */
   def collectSeed(df: DataFrame, idCol: String, vecCol: String): Seq[(Long, Array[Double])] =
@@ -97,19 +120,19 @@ object KMeans {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .toSeq.sortBy(_._1)
 
-  /** GENERATED unrolled DuckDB mirror: `rounds` assign→mean rounds from
-    * the same seed over corpus CTE `C (vec_id, cvec DOUBLE[])`, then the
-    * final-assignment report (cell, n_members, m0, m1, sse). The dist
-    * expression text matches [[assignCells]] token-for-token modulo
-    * engine function names, and every cross-row sum is the same decimal
-    * quantize-then-sum. */
-  def oracleSql(partsCte: String, seedPredSql: String, rounds: Int): String = {
-    def distSql(cenRel: String): String =
-      s"((xx.xx - (2.0 * list_inner_product(c.cvec, $cenRel.cen_vec))) + " +
-        s"list_inner_product($cenRel.cen_vec, $cenRel.cen_vec))"
+  /** The [[assignCells]] distance, as DuckDB text over corpus alias `c`
+    * (joined to per-vector norms CTE `xx`) and a centroid relation. */
+  def distSql(cenRel: String): String =
+    s"((xx.xx - (2.0 * list_inner_product(c.cvec, $cenRel.cen_vec))) + " +
+      s"list_inner_product($cenRel.cen_vec, $cenRel.cen_vec))"
+
+  /** GENERATED unrolled training CTE chain (no WITH keyword): requires
+    * a preceding corpus CTE `C (vec_id, cvec DOUBLE[])`, defines
+    * `xx`/`x`/`cen0..cen$rounds` — reusable by any consumer of the
+    * trained centroids (the q149 report, the q150 IVF search). */
+  def trainCtes(seedPredSql: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH $partsCte,
-      xx AS MATERIALIZED (SELECT vec_id, list_inner_product(cvec, cvec) AS xx FROM C),
+    sb ++= s"""xx AS MATERIALIZED (SELECT vec_id, list_inner_product(cvec, cvec) AS xx FROM C),
       x AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(cvec))) AS d, unnest(cvec) AS xv FROM C),
       cen0 AS MATERIALIZED (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE $seedPredSql)"""
     for (r <- 0 until rounds) {
@@ -124,6 +147,19 @@ object KMeans {
       cen${r + 1} AS MATERIALIZED (SELECT cell AS cen_id, list(w ORDER BY d) AS cen_vec
           FROM m$r GROUP BY cell)"""
     }
+    sb.toString
+  }
+
+  /** GENERATED unrolled DuckDB mirror: `rounds` assign→mean rounds from
+    * the same seed over corpus CTE `C (vec_id, cvec DOUBLE[])`, then the
+    * final-assignment report (cell, n_members, m0, m1, sse). The dist
+    * expression text matches [[assignCells]] token-for-token modulo
+    * engine function names, and every cross-row sum is the same decimal
+    * quantize-then-sum. */
+  def oracleSql(partsCte: String, seedPredSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $partsCte,
+      ${trainCtes(seedPredSql, rounds)}"""
     sb ++= s""",
       af AS MATERIALIZED (SELECT vec_id, cell, dist FROM (
           SELECT c.vec_id, cen.cen_id AS cell, ${distSql("cen")} AS dist,

@@ -66,6 +66,18 @@ class KMeansSpec extends SparkSpec {
     assert(cens.map(_._1) == Seq(0L, 1L, 2L))
   }
 
+  test("probeCells: nprobe ranked cells per query; rank-1 equals assignCells") {
+    val df = corpus(60)
+    val cens = KMeans.train(df, "vec_id", "vec", seedOf(df, 0L, 1L, 2L), rounds = 2)
+    val probes = KMeans.probeCells(df, "vec_id", "vec", cens, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(probes.count(_._3 == 1) == 60 && probes.count(_._3 == 2) == 60)
+    val top1 = probes.filter(_._3 == 1).map(p => p._1 -> p._2).toMap
+    val assigned = KMeans.assignCells(df, "vec_id", "vec", cens)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == assigned)
+  }
+
   test("assignment plan is shuffle-free (no Exchange below the argmin)") {
     val df = corpus(50)
     val cells = KMeans.assignCells(df, "vec_id", "vec", seedOf(df, 0L, 1L, 2L))
