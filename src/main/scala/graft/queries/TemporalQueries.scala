@@ -354,7 +354,65 @@ object TemporalQueries {
       k = 10)
   }
 
+  /** STREAM-STREAM watermarked interval join, driver-certified — the
+    * last major Structured Streaming shape next to q86 (exactly-once
+    * sink) and q147 (streaming near-dup): clicks within the hour BEFORE
+    * each purchase of the same user, streamed on BOTH sides
+    * (`streaming/StreamingOps.intervalJoinStream` — watermarks bound the
+    * join state; right rows older than lookback+lateness are evicted).
+    *
+    * Harness honesty: each side is staged as 8 time-range files written
+    * SEQUENTIALLY (strictly increasing modification times), and the file
+    * source delivers one file per trigger — so the run is a genuine
+    * multi-batch stream whose watermark advances and evicts state
+    * between batches, in event-time order per side. Under in-order
+    * per-side delivery the global (min-across-sources) watermark never
+    * outruns a needed row, so the streamed pair set equals the batch
+    * interval join EXACTLY — which is what the DuckDB oracle computes. */
+  val q151StreamingIntervalJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q151").toString
+    val ev = Tables(s, dir, "events")
+    def stage(sub: String, typ: String, ucol: String, tcol: String): String = {
+      val path = s"$tmp/$sub"
+      val side = ev.filter(col("event_type") === typ)
+        .select(col("user_id").as(ucol), col("ts").as(tcol))
+        // total order → deterministic 8-way time split (sides are one
+        // event type each — small; the window sort is bounded by them)
+        .withColumn("__b", ntile(8).over(
+          Window.orderBy(col(tcol), col(ucol))))
+        .localCheckpoint()
+      (1 to 8).foreach { b =>
+        side.filter(col("__b") === b).drop("__b").coalesce(1)
+          .write.mode("append").parquet(path)
+      }
+      path
+    }
+    val pPath = stage("purchases", "purchase", "p_user", "p_ts")
+    val cPath = stage("clicks", "click", "c_user", "c_ts")
+    def fileStream(path: String) =
+      s.readStream.schema(s.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    val joined = graft.streaming.StreamingOps.intervalJoinStream(
+      fileStream(pPath), fileStream(cPath),
+      key = "p_user", rightKey = "c_user", leftTs = "p_ts", rightTs = "c_ts",
+      lookback = "1 hour", lateness = "10 minutes")
+    val sink = s"q151_pairs_${math.abs(tmp.hashCode)}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_users"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q151_streaming_interval_join" -> q151StreamingIntervalJoin,
     "q132_top_paths" -> q132TopPaths,
     "q131_transitions" -> q131Transitions,
     "q128_sessionize" -> q128Sessionize,
@@ -389,6 +447,16 @@ object TemporalQueries {
        ORDER BY o.o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    // the batch ground truth the streamed pair set must equal exactly
+    "q151_streaming_interval_join" ->
+      """SELECT CAST(p.ts AS DATE) AS day, count(*) AS n_pairs,
+           count(DISTINCT p.user_id) AS n_users
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY 1 ORDER BY 1""",
     "q131_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
                     FROM events),
