@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analysis.{Dsir, NaiveBayes, RidgeProbe, TextAnalysis, UnigramLm}
+import graft.analysis.{BigramLm, Dsir, NaiveBayes, RidgeProbe, TextAnalysis, UnigramLm}
 import graft.dedup.{BloomDecontaminate, ChunkDedup, SubstringDedup}
 import graft.ops.{Apportion, Sampling, TopK}
 import graft.text.{Chunker, TextOps}
@@ -499,7 +499,27 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Interpolated bigram-LM quality scoring (`analysis/BigramLm`): the
+    * context-aware upgrade of q56's unigram gate — first token under the
+    * unigram, every transition under λ·p_ML(w2|w1) + (1−λ)·p_uni(w2)
+    * (λ=0.7, add-one backoff). Self-trained and self-scored like q56;
+    * bigram extraction is row-local (slice+zip, no window shuffle), all
+    * model joins are shuffle_hash with the model as build side, doc sums
+    * are decimal. Top-50 by avg_nll — the docs the bigram model finds
+    * least plausible (token-soup the unigram can't see). */
+  val q152BigramLm: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val scored = BigramLm.score(d, "doc_id", "text",
+      BigramLm.train(d, "doc_id", "text"), UnigramLm.train(d, "text"))
+    TopK.perGroup(scored, Nil,
+        Seq(col("avg_nll").desc, col("doc_id").asc), 50,
+        saltOn = hash(col("doc_id")))
+      .drop("rn")
+      .orderBy(col("avg_nll").desc, col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q152_bigram_lm" -> q152BigramLm,
     "q148_ridge_probe" -> q148RidgeProbe,
     "q145_provenance" -> q145Provenance,
     "q136_temperature_mix" -> q136TemperatureMix,
@@ -536,6 +556,34 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    // interpolation + backoff formulas pinned token-for-token with
+    // BigramLm.train/score; decimal sums; q103's list_zip pair shape
+    "q152_bigram_lm" ->
+      s"""WITH $tokCte,
+         bt AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+         pr AS (SELECT doc_id, unnest(list_zip(toks[:-1], toks[2:])) AS p FROM bt),
+         bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr WHERE p[2] IS NOT NULL),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         u AS (SELECT unnest(toks) AS w2 FROM tok),
+         cu AS (SELECT w2, count(*) AS cu FROM u GROUP BY 1),
+         st AS (SELECT CAST(sum(cu) AS BIGINT) AS total, count(*) AS vocab FROM cu),
+         m AS (SELECT c12.w1, c12.w2,
+                 CAST(-ln((0.7 * (CAST(c12.c12 AS DOUBLE) / c1.c1))
+                   + (0.3 * ((cu.cu + 1.0) / (st.total + st.vocab)))) AS DECIMAL(28,12)) AS nll
+               FROM c12 JOIN c1 USING (w1) JOIN cu USING (w2) CROSS JOIN st),
+         um AS (SELECT w2 AS token,
+                 CAST(-ln((cu + 1.0) / (total + vocab)) AS DECIMAL(28,12)) AS nll
+               FROM cu CROSS JOIN st),
+         ft AS (SELECT t.doc_id, len(t.toks) AS n, um.nll AS fnll
+                FROM tok t JOIN um ON um.token = t.toks[1] WHERE len(t.toks) >= 1),
+         bs AS (SELECT bg.doc_id, sum(m.nll) AS bsum
+                FROM bg JOIN m USING (w1, w2) GROUP BY 1),
+         sc AS (SELECT ft.doc_id, ft.n AS n_tokens,
+                  round(CAST(ft.fnll + coalesce(bs.bsum, CAST(0 AS DECIMAL(28,12))) AS DOUBLE) / ft.n, 4) AS avg_nll
+                FROM ft LEFT JOIN bs USING (doc_id))
+         SELECT doc_id, n_tokens, avg_nll
+         FROM sc ORDER BY avg_nll DESC, doc_id LIMIT 50""",
     // the Gram SELECT and the Cramer solve are generated by RidgeProbe —
     // the SAME strings the Spark plan executes, so both engines build
     // the identical IEEE expression tree over identical decimal sums
