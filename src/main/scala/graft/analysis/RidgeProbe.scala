@@ -77,6 +77,9 @@ object RidgeProbe {
     * double literal (e.g. "1.0"); every binary operation is explicitly
     * parenthesized so both engines build the identical IEEE tree. */
   def cramerExprs(lambdaSql: String): Seq[String] = {
+    require(lambdaSql.matches("""\d+\.\d+"""),
+      s"lambdaSql must be a plain double literal like \"1.0\" (it is spliced " +
+        s"into SQL text on both engines), got: $lambdaSql")
     val L = lambdaSql
     // Minors reused across determinants (same text → same tree).
     val m11 = s"(((s11 + $L) * (s22 + $L)) - (s12 * s12))"

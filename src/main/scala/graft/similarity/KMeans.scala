@@ -46,6 +46,13 @@ object KMeans {
   def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
                   cens: Seq[(Long, Array[Double])]): DataFrame = {
     require(cens.size >= 2, "k-means needs at least 2 centroids")
+    // The unrolled least(struct…) is built for driver-held indexes
+    // (k × d doubles; k in the tens-to-hundreds). For k beyond what one
+    // generated expression should carry, use IvfFlat.assign's
+    // broadcast-join + min(struct) form — same semantics, one exchange.
+    require(cens.size <= 1024,
+      s"unrolled assignment is for small-k driver-held centroid sets; " +
+        s"got k=${cens.size} — use IvfFlat.assign for large k")
     val candidates = cens.sortBy(_._1).map { case (cid, cv) =>
       val dp = Cosine.dot(col(vecCol), array(cv.map(lit): _*))
       val dist = (col("__xx") - (lit(2.0) * dp)) + lit(selfDot(cv))
