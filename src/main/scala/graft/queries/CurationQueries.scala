@@ -518,7 +518,35 @@ object CurationQueries {
       .orderBy(col("avg_nll").desc, col("doc_id"))
   }
 
+  /** GLOBAL percent-rank normalization of a quality signal — the score-
+    * calibration pass before threshold gating or mixture temperature
+    * (raw scores are incomparable across models; percentile ranks are).
+    * The naive `percent_rank() OVER (ORDER BY score)` puts the ENTIRE
+    * corpus in one window task; this is the distributed decomposition:
+    * per-score counts (a hash agg on the bounded score domain), one
+    * two-phase running sum over the score order (`ops/PrefixSum` —
+    * the only sort is over DISTINCT scores), broadcast back onto the
+    * corpus. rank−1 = #strictly-less, ties share, exactly DuckDB's
+    * percent_rank contract — all integer arithmetic until the one final
+    * division. */
+  val q153PercentRank: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val counts = d.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.ops.PrefixSum.runningSum(counts,
+        bucket = expr("n_chars div 1000"), order = Seq(col("n_chars")),
+        value = col("cnt"), outCol = "cum")
+      .select(col("n_chars"), (col("cum") - col("cnt")).cast("long").as("less"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    d.select("doc_id", "n_chars")
+      .join(broadcast(cum), Seq("n_chars"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("less").cast("double") / (col("n_total") - 1), 6).as("pct_rank"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q153_percent_rank" -> q153PercentRank,
     "q152_bigram_lm" -> q152BigramLm,
     "q148_ridge_probe" -> q148RidgeProbe,
     "q145_provenance" -> q145Provenance,
@@ -556,6 +584,12 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    // the windowed spelling IS the ground truth the decomposition must
+    // reproduce: percent_rank = (rank-1)/(N-1), ties share
+    "q153_percent_rank" ->
+      """SELECT doc_id, n_chars,
+           round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank
+         FROM documents ORDER BY doc_id""",
     // interpolation + backoff formulas pinned token-for-token with
     // BigramLm.train/score; decimal sums; q103's list_zip pair shape
     "q152_bigram_lm" ->
