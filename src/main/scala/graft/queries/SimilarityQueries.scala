@@ -253,6 +253,25 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding OUTLIER detection on the trained index — the curation
+    * pass that drops far-from-every-cluster junk vectors (mislabeled,
+    * corrupted, or off-distribution embeddings): assign each vector to
+    * its trained k-means cell (q149's centroids, zero-shuffle argmin),
+    * then per-cell MAD fences on the assignment distance
+    * (`ops/RobustStats`, the q112 machinery — median/MAD have a 50%
+    * breakdown point, so the junk can't drag its own baseline).
+    * Distances are bit-identical cross-engine (pinned formula text), so
+    * the exact-percentile fences agree exactly. */
+  val q154EmbeddingOutliers: Q = (s, dir) => {
+    val (_, corpus) = parts(s, dir)
+    val seed = KMeans.collectSeed(
+      corpus.filter(col("vec_id") < 26), "vec_id", "vec")
+    val cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+    val cells = KMeans.assignCells(corpus, "vec_id", "vec", cens)
+    graft.ops.RobustStats.madOutlierStats(cells, Seq("cell"), col("dist"))
+      .orderBy("cell")
+  }
+
   /** Product-quantization ANN (third scale path; see
     * `similarity/ProductQuantizer.scala`): 8 subspaces x 8 dims, 16
     * codewords from the q34 seed set, ADC shortlist of 10, exact cosine
@@ -461,6 +480,7 @@ object SimilarityQueries {
     "q49_kmeans_step" -> q49KmeansStep,
     "q149_kmeans_train" -> q149KmeansTrain,
     "q150_ann_ivf_trained" -> q150AnnIvfTrained,
+    "q154_embedding_outliers" -> q154EmbeddingOutliers,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
@@ -715,6 +735,25 @@ object SimilarityQueries {
          FROM fin WHERE rn = 1 ORDER BY query_id""",
     // generated unrolled Lloyd rounds — see KMeans.oracleSql
     "q149_kmeans_train" -> KMeans.oracleSql(cosineParts, "vec_id < 26", rounds = 3),
+    // trained-index assignment distances, then the q112 MAD-fence shape
+    "q154_embedding_outliers" ->
+      s"""WITH $cosineParts,
+         ${KMeans.trainCtes("vec_id < 26", rounds = 3)},
+         af AS MATERIALIZED (SELECT vec_id, cell, dist FROM (
+             SELECT c.vec_id, cen.cen_id AS cell, ${KMeans.distSql("cen")} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY ${KMeans.distSql("cen")} ASC, cen.cen_id ASC) AS rn
+             FROM C c JOIN xx USING (vec_id) CROSS JOIN cen3 cen) t WHERE rn = 1),
+         meds AS (SELECT cell, quantile_cont(dist, 0.5) AS med FROM af GROUP BY 1),
+         d AS (SELECT af.cell, af.dist, m.med FROM af JOIN meds m USING (cell)),
+         mads AS (SELECT cell, quantile_cont(abs(dist - med), 0.5) AS mad
+                  FROM d GROUP BY 1)
+         SELECT d.cell, count(*) AS n,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(d.dist - d.med) > 3 * 1.4826 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN mads m USING (cell)
+         GROUP BY 1 ORDER BY 1""",
     // trained-index IVF search: the same generated training chain, then
     // probe (2 nearest trained cells per query, pinned dist text),
     // cell-join candidates, exact cosine rerank to top-3
