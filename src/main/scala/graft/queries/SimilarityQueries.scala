@@ -377,6 +377,34 @@ object SimilarityQueries {
       saltOn = hash(col("dst")), rankCol = "rank")
   }
 
+  /** kNN LABEL AGREEMENT — the standard embedding-health probe (and the
+    * eval primitive behind kNN classifiers): predict each vector's
+    * label by majority vote of its staged top-3 neighbors (ties → the
+    * lowest label, via one lexicographic max(struct) — the argmin
+    * pattern, never a window over raw votes), then report per-label
+    * agreement. High agreement = the embedding space respects the
+    * labeling; a label whose agreement collapses is mislabeled or
+    * entangled. Consumes the SAME staged edge table as q93/q104 — no
+    * rebuild. Vectors with no bucket-mates emit no vote (mirrored by
+    * the oracle). */
+  val q155KnnLabelAgreement: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+    val edges = knnEdges(s, dir).select("src", "dst")
+    val votes = edges
+      .join(all.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+      .groupBy("src", "nl").agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy("src")
+      .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("m"))
+      .select(col("src"), (-col("m.negl")).as("pred"))
+    pred.join(all.select(col("vec_id").as("src"), col("label")), "src")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_voted"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agreement",
+        round(col("n_agree").cast("double") / col("n_voted"), 6))
+      .orderBy("label")
+  }
+
   /** PageRank centrality over the q93 kNN graph (5 damped rounds) —
     * graph-based data selection: high-rank vectors sit in dense semantic
     * neighborhoods (prototypes), low-rank ones are outliers. Oracle is
@@ -499,6 +527,7 @@ object SimilarityQueries {
     "q149_kmeans_train" -> q149KmeansTrain,
     "q150_ann_ivf_trained" -> q150AnnIvfTrained,
     "q154_embedding_outliers" -> q154EmbeddingOutliers,
+    "q155_knn_label_agreement" -> q155KnnLabelAgreement,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q34_ann_ivf" -> q34AnnIvf,
@@ -753,6 +782,22 @@ object SimilarityQueries {
          FROM fin WHERE rn = 1 ORDER BY query_id""",
     // generated unrolled Lloyd rounds — see KMeans.oracleSql
     "q149_kmeans_train" -> KMeans.oracleSql(cosineParts, "vec_id < 26", rounds = 3),
+    // staged kNN edges -> neighbor-label majority (ties: lowest label)
+    "q155_knn_label_agreement" ->
+      s"""WITH ${knnCtes("")},
+         edges AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+         votes AS (SELECT e.src, l.label AS nl, count(*) AS cnt
+                   FROM edges e JOIN embeddings l ON l.vec_id = e.dst
+                   GROUP BY 1, 2),
+         pred AS (SELECT src, nl AS pred FROM (
+             SELECT src, nl, cnt,
+               row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nl ASC) AS rn
+             FROM votes) t WHERE rn = 1)
+         SELECT l.label, count(*) AS n_voted,
+           CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           round(CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement
+         FROM pred p JOIN embeddings l ON l.vec_id = p.src
+         GROUP BY 1 ORDER BY 1""",
     // trained-index assignment distances, then the q112 MAD-fence shape
     "q154_embedding_outliers" ->
       s"""WITH $cosineParts,
