@@ -187,9 +187,39 @@ object MinHashLSH {
                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
-    val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
-    verifyCandidates(hashed, idCol, hCol,
-      candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
+    // Verify IN the band join, not after it. The candidates→fetch form
+    // (candidatePairs + two array joins) re-ships every document's
+    // shingle array once per candidate PARTNER — with a moderate false-
+    // positive band-collision rate the amplification is brutal: the ×100
+    // rehearsal measured q35 at 17.4M candidates for 25.6k true pairs,
+    // avg ~70 partners/doc, 58 GiB of shuffle read and 33 GiB of spill
+    // just to ship 1.2 GB of arrays. Carrying the array THROUGH the one
+    // (band, key) exchange instead, the sort-merge self-join evaluates
+    // the exact Jaccard PIPELINED (arrays meet in the merge, pair rows
+    // never shuffle), survivors are threshold-filtered in place, and
+    // only the tiny true-pair set reaches the final distinct. A pair
+    // agreeing in k bands pays k Jaccard evaluations — microseconds of
+    // CPU traded against the pair-amplified array shipment. Same output
+    // set exactly (capBuckets semantics and the a<b/distinct contract
+    // are unchanged); measured ×100: 252 s / 33 GiB spill → see
+    // COVERAGE round-7 log.
+    val rows = hashed.select(col(idCol), col(hCol),
+        explode(bandKeys(
+          graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes),
+          numBands, r)).as("__bk"))
+      .select(col(idCol), col(hCol),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
+    val capped = capBuckets(rows, maxBucket)
+    val l = capped.select(col(idCol).as("a"), col(hCol).as("__sh_a"),
+      col("band"), col("key"))
+    val rr = capped.select(col(idCol).as("b"), col(hCol).as("__sh_b"),
+      col("band"), col("key"))
+    l.join(rr, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+      .distinct()
   }
 
   /** INCREMENTAL near-dup gate: candidates between a NEW batch and an
