@@ -182,31 +182,52 @@ object MinHashLSH {
     * Jaccard of the shingle sets modulo 64-bit collisions (≈ n²/2⁶⁴ per
     * document, negligible), and the verify join shuffles 8-byte hashes
     * instead of shingle text. */
+  /** Corpus-size crossover between the two verify forms (measured on
+    * the template-heavy rehearsal corpora): below it the candidates→
+    * fetch form wins (few false-positive partners per doc, so per-pair
+    * array fetches are cheap — sf0.1/20k docs: 2.3 vs 5.6 s); above it
+    * the in-band form wins (candidate partners outgrow numBands and the
+    * per-partner shipment explodes — ×100/500k docs: 200 vs 268 s with
+    * HALF the shuffle read). Both forms produce the IDENTICAL pair set,
+    * so routing is a pure physical choice (the AsOfJoin.backwardAuto
+    * pattern). */
+  val InBandVerifyMinDocs = 100000L
+
   def nearDupPairsHashed(hashed: DataFrame, idCol: String, hCol: String,
                          numHashes: Int, numBands: Int, threshold: Double,
                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
-    // Verify IN the band join, not after it. The candidates→fetch form
-    // (candidatePairs + two array joins) re-ships every document's
-    // shingle array once per candidate PARTNER — with a moderate false-
-    // positive band-collision rate the amplification is brutal: the ×100
-    // rehearsal measured q35 at 17.4M candidates for 25.6k true pairs,
-    // avg ~70 partners/doc, 58 GiB of shuffle read and 33 GiB of spill
-    // just to ship 1.2 GB of arrays. Carrying the array THROUGH the one
-    // (band, key) exchange instead, the sort-merge self-join evaluates
-    // the exact Jaccard PIPELINED (arrays meet in the merge, pair rows
-    // never shuffle), survivors are threshold-filtered in place, and
-    // only the tiny true-pair set reaches the final distinct. A pair
-    // agreeing in k bands pays k Jaccard evaluations — microseconds of
-    // CPU traded against the pair-amplified array shipment. Same output
-    // set exactly (capBuckets semantics and the a<b/distinct contract
-    // are unchanged); measured ×100: 252 s / 33 GiB spill → see
-    // COVERAGE round-7 log.
+    // One cheap routing job: counting ids prunes the (possibly
+    // expression-heavy) shingle column from the scan entirely.
+    val n = hashed.select(col(idCol)).count()
+    if (n < InBandVerifyMinDocs) {
+      val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
+      verifyCandidates(hashed, idCol, hCol,
+        candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
+    } else inBandVerifyPairs(hashed, idCol, hCol, numHashes, numBands, r,
+      threshold, maxBucket)
+  }
+
+  /** Verify IN the band join, not after it — the large-corpus form. The
+    * candidates→fetch form re-ships every document's shingle array once
+    * per candidate PARTNER; with a moderate false-positive band-collision
+    * rate the amplification is brutal (the ×100 rehearsal measured q35 at
+    * 17.4M candidates for 25.6k true pairs, ~70 partners/doc, 58 GiB of
+    * shuffle read to ship 1.2 GB of arrays). Here the array rides the
+    * one (band, key) exchange, the sort-merge self-join evaluates the
+    * exact Jaccard PIPELINED (pair rows never shuffle), survivors are
+    * threshold-filtered in place, and only true pairs reach the final
+    * distinct. A pair agreeing in k bands pays k microsecond Jaccard
+    * evaluations; amplification drops from per-partner to per-band.
+    * Output set identical to the fetch form by construction. */
+  private def inBandVerifyPairs(hashed: DataFrame, idCol: String, hCol: String,
+                                numHashes: Int, numBands: Int, rowsPerBand: Int,
+                                threshold: Double, maxBucket: Int): DataFrame = {
     val rows = hashed.select(col(idCol), col(hCol),
         explode(bandKeys(
           graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes),
-          numBands, r)).as("__bk"))
+          numBands, rowsPerBand)).as("__bk"))
       .select(col(idCol), col(hCol),
         col("__bk.band").as("band"), col("__bk.key").as("key"))
     val capped = capBuckets(rows, maxBucket)
