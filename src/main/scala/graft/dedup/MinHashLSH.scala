@@ -182,31 +182,74 @@ object MinHashLSH {
     * Jaccard of the shingle sets modulo 64-bit collisions (≈ n²/2⁶⁴ per
     * document, negligible), and the verify join shuffles 8-byte hashes
     * instead of shingle text. */
-  /** Corpus-size crossover between the two verify forms (measured on
-    * the template-heavy rehearsal corpora): below it the candidates→
-    * fetch form wins (few false-positive partners per doc, so per-pair
-    * array fetches are cheap — sf0.1/20k docs: 2.3 vs 5.6 s); above it
-    * the in-band form wins (candidate partners outgrow numBands and the
-    * per-partner shipment explodes — ×100/500k docs: 200 vs 268 s with
-    * HALF the shuffle read). Both forms produce the IDENTICAL pair set,
-    * so routing is a pure physical choice (the AsOfJoin.backwardAuto
-    * pattern). */
-  val InBandVerifyMinDocs = 100000L
+  /** Which exact-verify physical form a near-dup run uses. Both forms
+    * produce the IDENTICAL pair set, so the choice is purely physical
+    * (the AsOfJoin.backwardAuto pattern):
+    *
+    *  - [[VerifyForm.Fetch]]: band-join ids only, then fetch each
+    *    candidate's shingle array by key. Wins when candidates are few —
+    *    each doc's array ships ~once per candidate PARTNER.
+    *  - [[VerifyForm.InBand]]: the shingle array rides the band join and
+    *    the Jaccard evaluates pipelined inside it — each doc's array
+    *    ships exactly numBands times, whatever the collision rate. Wins
+    *    when band collisions amplify (the ×100 rehearsal: 17.4M
+    *    candidates, 58→28.5 GiB shuffle, 268→200 s).
+    *  - [[VerifyForm.Auto]]: decide from the measured band-bucket
+    *    histogram (see [[chooseVerifyForm]]) — one small routing job.
+    *    Callers that know their corpus (or loop over a cached input and
+    *    don't want the extra job) pass Fetch/InBand explicitly. */
+  sealed trait VerifyForm
+  object VerifyForm {
+    case object Auto extends VerifyForm
+    case object Fetch extends VerifyForm
+    case object InBand extends VerifyForm
+  }
+
+  /** Cost-based verify routing from ONE band's bucket histogram. The
+    * crossover quantity is candidate volume vs corpus volume: Fetch
+    * ships ~2 arrays per DISTINCT candidate pair, InBand ships every
+    * doc's array once per band — so InBand wins when
+    * 2·candidates > n·numBands. Per-band estimates (bands of one
+    * signature family collide near-identically in expectation):
+    * candidates ≲ numBands · Σ_buckets(band0) C(sz,2), corpus volume
+    * = numBands · n, so the rule reduces to Σ sz·(sz−1) > n over band
+    * 0's (cap-surviving) buckets — i.e. more than one expected verify
+    * partner per doc. The histogram job scans the hashed input once and
+    * shuffles 8-byte keys; oversize buckets are excluded exactly as the
+    * candidate join drops them. */
+  def chooseVerifyForm(hashed: DataFrame, idCol: String, hCol: String,
+                       numHashes: Int, numBands: Int, rowsPerBand: Int,
+                       maxBucket: Int = DefaultMaxBucket): VerifyForm = {
+    val row = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
+      .select(xxhash64(slice(col("__sig"), 1, rowsPerBand)).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucket)
+      .agg(coalesce(sum(col("sz")), lit(0L)).as("n"),
+        coalesce(sum(col("sz") * (col("sz") - lit(1L))), lit(0L)).as("partners2"))
+      .head()
+    if (row.getLong(1) > row.getLong(0)) VerifyForm.InBand else VerifyForm.Fetch
+  }
 
   def nearDupPairsHashed(hashed: DataFrame, idCol: String, hCol: String,
                          numHashes: Int, numBands: Int, threshold: Double,
-                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                         maxBucket: Int = DefaultMaxBucket,
+                         verify: VerifyForm = VerifyForm.Auto): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
-    // One cheap routing job: counting ids prunes the (possibly
-    // expression-heavy) shingle column from the scan entirely.
-    val n = hashed.select(col(idCol)).count()
-    if (n < InBandVerifyMinDocs) {
-      val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
-      verifyCandidates(hashed, idCol, hCol,
-        candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
-    } else inBandVerifyPairs(hashed, idCol, hCol, numHashes, numBands, r,
-      threshold, maxBucket)
+    val form = verify match {
+      case VerifyForm.Auto =>
+        chooseVerifyForm(hashed, idCol, hCol, numHashes, numBands, r, maxBucket)
+      case v => v
+    }
+    form match {
+      case VerifyForm.InBand =>
+        inBandVerifyPairs(hashed, idCol, hCol, numHashes, numBands, r,
+          threshold, maxBucket)
+      case _ =>
+        val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
+        verifyCandidates(hashed, idCol, hCol,
+          candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
+    }
   }
 
   /** Verify IN the band join, not after it — the large-corpus form. The

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * decimal HALF_UP / `std::round` on the double's exact value — no
   * `floor(v + 0.5)`, whose addition can carry v across the .5 boundary.
   *
-  * Null contract: null array → null; any null element → null.
+  * Null contract: null array → null; any null element → null; a query
+  * or bounds array SHORTER than the corpus vector → null (the HOF
+  * predecessor's `element_at` past the end returned null and poisoned
+  * the fold — never an out-of-bounds read).
   * Zero-span dimensions (mx == mn) reconstruct to mn exactly.
   */
 case class Sq8Sim(first: Expression, second: Expression,
@@ -84,6 +87,11 @@ object Sq8Sim {
   def sim(q: ArrayData, v: ArrayData, mn: ArrayData, mx: ArrayData,
           qFloat: Boolean, vFloat: Boolean): java.lang.Double = {
     val n = v.numElements()
+    // Bounds contract: the fold runs over the CORPUS vector's length, and
+    // UnsafeArrayData getters have no runtime bounds checks — a shorter
+    // query/bounds array must return null (the HOF null contract), not
+    // read out of bounds.
+    if (q.numElements() < n || mn.numElements() < n || mx.numElements() < n) return null
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -361,31 +361,37 @@ object TemporalQueries {
     * (`streaming/StreamingOps.intervalJoinStream` — watermarks bound the
     * join state; right rows older than lookback+lateness are evicted).
     *
-    * Harness honesty: each side is staged as 8 time-range files written
-    * SEQUENTIALLY (strictly increasing modification times), and the file
-    * source delivers one file per trigger — so the run is a genuine
+    * Harness honesty: each side is staged as up to 8 time-RANGE files
+    * (`repartitionByRange` on event time — file k's max ts ≤ file k+1's
+    * min ts by construction, no single-task global sort), with strictly
+    * increasing modification times PINNED explicitly after the write
+    * (parallel part files can share an fs-granularity mtime, which would
+    * leave FileStreamSource's delivery order undefined), and the file
+    * source delivers them oldest-first — so the run is a genuine
     * multi-batch stream whose watermark advances and evicts state
     * between batches, in event-time order per side. Under in-order
     * per-side delivery the global (min-across-sources) watermark never
     * outruns a needed row, so the streamed pair set equals the batch
     * interval join EXACTLY — which is what the DuckDB oracle computes. */
   val q151StreamingIntervalJoin: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-q151").toString
     val ev = Tables(s, dir, "events")
     def stage(sub: String, typ: String, ucol: String, tcol: String): String = {
       val path = s"$tmp/$sub"
-      val side = ev.filter(col("event_type") === typ)
+      ev.filter(col("event_type") === typ)
         .select(col("user_id").as(ucol), col("ts").as(tcol))
-        // total order → deterministic 8-way time split (sides are one
-        // event type each — small; the window sort is bounded by them)
-        .withColumn("__b", ntile(8).over(
-          Window.orderBy(col(tcol), col(ucol))))
-        .localCheckpoint()
-      (1 to 8).foreach { b =>
-        side.filter(col("__b") === b).drop("__b").coalesce(1)
-          .write.mode("append").parquet(path)
+        .repartitionByRange(8, col(tcol), col(ucol))
+        .write.mode("overwrite").parquet(path)
+      // pin per-file mtimes in part-name order (range partition 0 = the
+      // earliest time range); 1 s apart, ending "now"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        fs.setTimes(f, base + i * 1000L, -1)
       }
       path
     }

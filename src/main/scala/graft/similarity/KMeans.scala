@@ -58,7 +58,15 @@ object KMeans {
       val dist = (col("__xx") - (lit(2.0) * dp)) + lit(selfDot(cv))
       struct(dist.as("dist"), lit(cid).as("cell"))
     }
+    // Null guard: a vector with any null element has null dist for EVERY
+    // candidate, and Spark's struct ordering sorts a null field FIRST
+    // while an ORDER BY dist ASC oracle sorts nulls LAST — so instead of
+    // assigning such a vector divergently, exclude it on both engines
+    // with the same predicate (__xx = dot(v,v) is null iff the vector is
+    // null or has a null element; the oracle mirror adds
+    // `WHERE xx.xx IS NOT NULL` — see [[trainCtes]]).
     vecs.withColumn("__xx", Cosine.dot(col(vecCol), col(vecCol)))
+      .filter(col("__xx").isNotNull)
       .withColumn("__m", least(candidates: _*))
       .select(col(idCol), col("__m.cell").as("cell"), col("__m.dist").as("dist"))
   }
@@ -139,7 +147,8 @@ object KMeans {
     * trained centroids (the q149 report, the q150 IVF search). */
   def trainCtes(seedPredSql: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""xx AS MATERIALIZED (SELECT vec_id, list_inner_product(cvec, cvec) AS xx FROM C),
+    sb ++= s"""xx AS MATERIALIZED (SELECT vec_id, list_inner_product(cvec, cvec) AS xx FROM C
+        WHERE list_inner_product(cvec, cvec) IS NOT NULL),
       x AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(cvec))) AS d, unnest(cvec) AS xv FROM C),
       cen0 AS MATERIALIZED (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE $seedPredSql)"""
     for (r <- 0 until rounds) {

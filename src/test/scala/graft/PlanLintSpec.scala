@@ -49,6 +49,27 @@ class PlanLintSpec extends SparkSpec {
       s"broadcast over an exploded subtree in: ${offenders.mkString(", ")}")
   }
 
+  test("no query plans an unpartitioned Window (single-task global sort)") {
+    // A Window with an empty partitionSpec funnels the ENTIRE input
+    // through one task's sort — the one shuffle shape that cannot scale
+    // out no matter how many executors exist. Global top-k belongs on
+    // TakeOrdered/BoundedTopK, global splits on repartitionByRange; a
+    // global rank over a corpus has no scale-safe spelling at all.
+    // (q151's staging was the last offender — fixed to range
+    // partitioning; this lint keeps the surface clean.)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: ${offenders.mkString(", ")}")
+  }
+
   test("scorer joins stay non-broadcast in the ADAPTIVE executed plan") {
     // The lint above inspects the pre-AQE sparkPlan; AQE can still demote
     // a sort-merge join to a runtime broadcast from OBSERVED sizes, which

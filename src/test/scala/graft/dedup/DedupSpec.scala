@@ -125,6 +125,47 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1001L, 900L)))
   }
 
+  test("verify router: boilerplate density, not corpus size, picks the form") {
+    import graft.expressions.NgramHashes
+    def hashed(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    // 2000 docs = 20 templates × 100 copies: every surviving band bucket
+    // holds ~100 docs, so expected verify partners/doc ≈ 99 ≫ 1 — the
+    // fetch form would ship each array ~99× where in-band ships it
+    // numBands×. A fixed 100k-doc crossover (the old router) would have
+    // called this Fetch; the histogram calls it InBand.
+    val boiler = (1L to 2000L).map(i =>
+      i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
+    assert(MinHashLSH.chooseVerifyForm(hashed(boiler), "doc_id", "sh",
+      numHashes = 64, numBands = 16, rowsPerBand = 4)
+      == MinHashLSH.VerifyForm.InBand)
+    // 300 all-distinct docs: buckets are singletons, zero expected
+    // partners — Fetch.
+    val sparse = (1L to 300L).map(i =>
+      i -> (1 to 40).map(w => s"doc${i}_w$w").mkString(" "))
+    assert(MinHashLSH.chooseVerifyForm(hashed(sparse), "doc_id", "sh",
+      numHashes = 64, numBands = 16, rowsPerBand = 4)
+      == MinHashLSH.VerifyForm.Fetch)
+  }
+
+  test("explicit verify forms produce the identical pair set (no routing job)") {
+    import graft.expressions.NgramHashes
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val near2 = (1 to 80).map(i => if (i == 7) "OTHER" else s"tok$i").mkString(" ")
+    val other = (1 to 80).map(i => s"zzz$i").mkString(" ")
+    val d = Seq(1L -> base, 2L -> nearDup, 3L -> near2, 4L -> other)
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    def run(form: MinHashLSH.VerifyForm) =
+      MinHashLSH.nearDupPairsHashed(d, "doc_id", "sh", 64, 16, 0.8, verify = form)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val fetch = run(MinHashLSH.VerifyForm.Fetch)
+    val inband = run(MinHashLSH.VerifyForm.InBand)
+    assert(fetch.nonEmpty && fetch.sameElements(inband))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val d = docs(1L -> "a b c d e f g h")
       .select(TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))

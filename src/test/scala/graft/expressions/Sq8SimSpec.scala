@@ -66,6 +66,26 @@ class Sq8SimSpec extends SparkSpec {
     assert(df.filter(col("kern") =!= col("mirror")).count() == 0)
   }
 
+  test("short query/bounds arrays return null (no out-of-bounds read)") {
+    // fold length is size(vec); a 2-dim query against a 3-dim vec (or a
+    // short mn/mx) must yield null — the HOF mirror's element_at past the
+    // end poisoned the fold with null, and UnsafeArrayData getters have
+    // no bounds checks, so the kernel must length-guard explicitly.
+    val rows = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0), Array(0.0, 0.0, 0.0), Array(4.0, 4.0, 4.0)),
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), Array(0.0, 0.0), Array(4.0, 4.0, 4.0)),
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), Array(0.0, 0.0, 0.0), Array(4.0, 4.0)))
+    val df = rows.toDF("qvec", "vec", "mn", "mx")
+      .select(Sq8Sim.sq8_sim(col("qvec"), col("vec"), col("mn"), col("mx")).as("s"))
+    assert(df.collect().forall(_.isNullAt(0)))
+    // LONGER query/bounds than vec stays defined (fold is over vec)
+    val longer = Seq((Array(1.0, 1.0, 9.0), Array(127.5, 4.0), Array(0.0, 0.0, 0.0),
+        Array(255.0, 255.0, 255.0)))
+      .toDF("qvec", "vec", "mn", "mx")
+      .select(Sq8Sim.sq8_sim(col("qvec"), col("vec"), col("mn"), col("mx")).as("s"))
+    assert(longer.collect()(0).getDouble(0) == 132.0)
+  }
+
   test("null element and zero-span handling") {
     val withNull = Seq((Array[java.lang.Double](1.0, null), Array(1.0, 2.0),
         Array(0.0, 0.0), Array(4.0, 4.0)))
