@@ -8,9 +8,11 @@ import graft.text.TextOps
 
 /** Deduplication operator coverage over `documents` (SURVEY.md F8/W4 +
   * the north-star corpus-dedup operators). Every oracle is ground truth
-  * computed independently in DuckDB (all-pairs at sf0.01), so the Spark
+  * computed independently in DuckDB — pair generation through the LINEAR
+  * shared-shingle equi-join ([[pairCtes]]: identical result set to an
+  * all-pairs join, tractable at every SF including sf0.1) — so the Spark
   * side's LSH/banding must achieve exact recall at the declared
-  * thresholds — which the band/chunk parameters guarantee (see each
+  * thresholds, which the band/chunk parameters guarantee (see each
   * library's scaladoc for the probability/pigeonhole argument).
   */
 object DedupQueries {
@@ -315,6 +317,39 @@ object DedupQueries {
                      ELSE [array_to_string(ws, ' ')] END AS s
               FROM W)"""
 
+  /** Char-8-gram shingle lists, normalized to the same SH(doc_id, s)
+    * shape as [[shinglesCte]] so [[pairCtes]] composes over either. */
+  private val charShinglesCte =
+    """SH AS (SELECT doc_id,
+         CASE WHEN len(text) >= 8
+              THEN list_distinct([text[i : i + 7] for i in range(1, len(text) - 6)])
+              ELSE [text] END AS s
+       FROM documents)"""
+
+  /** LINEAR ground-truth pair generation over a preceding SH(doc_id, s)
+    * CTE: unnest the distinct shingles, equi-join on the shingle, and
+    * count group-wise — |A∩B| for every pair sharing ≥ 1 shingle, which
+    * is ALL pairs that can pass a positive threshold (a no-shared-shingle
+    * pair has J = 0). Identical result set to the all-pairs
+    * `list_intersect` join, but the join input is Σ_shingle df² rows
+    * (sf0.1: 2.8M for word 3-grams) instead of n²/2 list intersections —
+    * the difference between ~2 s and tens of minutes in DuckDB, which is
+    * what kept these oracles sf0.01-only through round 7. Still
+    * algorithm-independent: no banding, no signatures — exact set
+    * arithmetic either way. */
+  private def pairCtes(threshold: String): String =
+    s"""ts AS (SELECT doc_id, unnest(s) AS tok FROM SH),
+       sz AS (SELECT doc_id, len(s) AS n FROM SH),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                 FROM ts a JOIN ts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       p AS (SELECT da AS doc_a, db AS doc_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             FROM inter
+             JOIN sz sa ON sa.doc_id = da
+             JOIN sz sb ON sb.doc_id = db
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold)"""
+
   private val simhashCte =
     """T AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
              FROM documents),
@@ -325,6 +360,21 @@ object DedupQueries {
                                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
                            for j in range(0, 48)]) AS simhash
                FROM H)"""
+
+  /** Shared q59/q147 ground truth: every ≥ 0.8 pair (linear pair CTEs),
+    * oriented (batch_id, history_id) and kept only when exactly one side
+    * is the src0 history — the same set the old batch×history cross join
+    * produced. */
+  private lazy val bipartiteNearDupOracle: String =
+    s"""WITH $shinglesCte, ${pairCtes("0.8")}
+       SELECT CASE WHEN da.source <> 'src0' THEN p.doc_a ELSE p.doc_b END AS batch_id,
+              CASE WHEN da.source <> 'src0' THEN p.doc_b ELSE p.doc_a END AS history_id,
+              p.jaccard
+       FROM p
+       JOIN documents da ON da.doc_id = p.doc_a
+       JOIN documents db ON db.doc_id = p.doc_b
+       WHERE (da.source = 'src0') <> (db.source = 'src0')
+       ORDER BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
     "q118_curation_pipeline" ->
@@ -376,33 +426,10 @@ object DedupQueries {
          ORDER BY 1, 2""",
     // q147 = q59's semantics reached through streaming redelivery into
     // the idempotent sink, so the exactly-once EFFECT is checked against
-    // the same all-pairs ground truth
-    "q147_streaming_neardup" ->
-      s"""WITH $shinglesCte,
-         ba AS (SELECT sh.doc_id, sh.s FROM SH sh
-                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source <> 'src0'),
-         hi AS (SELECT sh.doc_id, sh.s FROM SH sh
-                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0')
-         SELECT ba.doc_id AS batch_id, hi.doc_id AS history_id,
-           round(CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ba.s, hi.s))), 4) AS jaccard
-         FROM ba CROSS JOIN hi
-         WHERE CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(ba.s, hi.s))) >= 0.8
-         ORDER BY 1, 2""",
-    "q59_incremental_neardup" ->
-      s"""WITH $shinglesCte,
-         ba AS (SELECT sh.doc_id, sh.s FROM SH sh
-                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source <> 'src0'),
-         hi AS (SELECT sh.doc_id, sh.s FROM SH sh
-                JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0')
-         SELECT ba.doc_id AS batch_id, hi.doc_id AS history_id,
-           round(CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ba.s, hi.s))), 4) AS jaccard
-         FROM ba CROSS JOIN hi
-         WHERE CAST(len(list_intersect(ba.s, hi.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(ba.s, hi.s))) >= 0.8
-         ORDER BY 1, 2""",
+    // the same ground truth: all pairs, orientation (batch, history)
+    // kept where exactly one side is the src0 history
+    "q147_streaming_neardup" -> bipartiteNearDupOracle,
+    "q59_incremental_neardup" -> bipartiteNearDupOracle,
     "q17_dedup_gate" ->
       """WITH b AS (SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
                     FROM documents WHERE source <> 'src0' GROUP BY 1)
@@ -411,30 +438,14 @@ object DedupQueries {
                            WHERE h.source = 'src0' AND md5(h.text) = b.text_hash)
          ORDER BY doc_id""",
     "q18_minhash_pairs" ->
-      s"""WITH $shinglesCte
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-         FROM SH a JOIN SH b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-         ORDER BY 1, 2""",
+      s"""WITH $shinglesCte, ${pairCtes("0.8")}
+         SELECT doc_a, doc_b, jaccard FROM p ORDER BY 1, 2""",
     "q19_simhash" ->
       s"""WITH $simhashCte
          SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM SIM ORDER BY doc_id""",
     "q35_char_ngram_pairs" ->
-      """WITH s AS (SELECT doc_id,
-             CASE WHEN len(text) >= 8
-                  THEN list_distinct([text[i : i + 7] for i in range(1, len(text) - 6)])
-                  ELSE [text] END AS sh
-           FROM documents)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
-         ORDER BY 1, 2""",
+      s"""WITH $charShinglesCte, ${pairCtes("0.7")}
+         SELECT doc_a, doc_b, jaccard FROM p ORDER BY 1, 2""",
     "q20_simhash_pairs" ->
       s"""WITH $simhashCte
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -446,11 +457,8 @@ object DedupQueries {
     // recursive CTE; component id = min reachable doc_id
     // same recursive components as q39; keeper = max n_chars, tie min id
     "q83_best_keeper" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         e AS (SELECT a.doc_id AS a, b.doc_id AS b
-               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      s"""WITH RECURSIVE $shinglesCte, ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
          und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
          reach(v, u) AS (
            SELECT DISTINCT a AS v, a AS u FROM und
@@ -465,11 +473,8 @@ object DedupQueries {
          SELECT cluster, n_members, v AS keeper, n_chars AS keeper_chars
          FROM ranked WHERE rn = 1 ORDER BY cluster""",
     "q39_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         e AS (SELECT a.doc_id AS a, b.doc_id AS b
-               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      s"""WITH RECURSIVE $shinglesCte, ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
          und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
          reach(v, u) AS (
            SELECT DISTINCT a AS v, a AS u FROM und
@@ -481,11 +486,8 @@ object DedupQueries {
     // identical ground truth to q39: the star-contraction variant must
     // produce the same clustering
     "q92_star_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         e AS (SELECT a.doc_id AS a, b.doc_id AS b
-               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      s"""WITH RECURSIVE $shinglesCte, ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
          und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
          reach(v, u) AS (
            SELECT DISTINCT a AS v, a AS u FROM und
@@ -495,18 +497,12 @@ object DedupQueries {
            (v = min(u)) AS is_representative
          FROM reach GROUP BY v ORDER BY doc_id""",
     "q44_decontamination" ->
-      s"""WITH $shinglesCte,
+      s"""WITH $shinglesCte, ${pairCtes("0.8")},
          sp AS (SELECT doc_id,
              CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
                   WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
                   ELSE 'test' END AS split
-           FROM documents),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+           FROM documents)
          SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.jaccard
          FROM p
          JOIN sp sa ON sa.doc_id = p.doc_a
@@ -514,11 +510,8 @@ object DedupQueries {
          WHERE sa.split <> sb.split
          ORDER BY p.doc_a, p.doc_b""",
     "q48_dedup_corpus" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         e AS (SELECT a.doc_id AS a, b.doc_id AS b
-               FROM SH a JOIN SH b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      s"""WITH RECURSIVE $shinglesCte, ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
          und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
          reach(v, u) AS (
            SELECT DISTINCT a AS v, a AS u FROM und
