@@ -373,30 +373,36 @@ object TemporalQueries {
     * per-side delivery the global (min-across-sources) watermark never
     * outruns a needed row, so the streamed pair set equals the batch
     * interval join EXACTLY — which is what the DuckDB oracle computes. */
+  /** Stage one event type as ≤8 time-RANGE parquet files with strictly
+    * increasing, explicitly PINNED mtimes (1 s apart, ending now), so a
+    * FileStreamSource delivers them oldest-range-first — the staging
+    * shared by the q151/q156 streaming certifications (see the q151
+    * scaladoc for why range files + pinned order make stream ≡ batch). */
+  private def stageRangedSide(s: SparkSession, ev: DataFrame, tmp: String,
+                              sub: String, typ: String,
+                              ucol: String, tcol: String): String = {
+    val path = s"$tmp/$sub"
+    ev.filter(col("event_type") === typ)
+      .select(col("user_id").as(ucol), col("ts").as(tcol))
+      .repartitionByRange(8, col(tcol), col(ucol))
+      .write.mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      fs.setTimes(f, base + i * 1000L, -1)
+    }
+    path
+  }
+
   val q151StreamingIntervalJoin: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-q151").toString
     val ev = Tables(s, dir, "events")
-    def stage(sub: String, typ: String, ucol: String, tcol: String): String = {
-      val path = s"$tmp/$sub"
-      ev.filter(col("event_type") === typ)
-        .select(col("user_id").as(ucol), col("ts").as(tcol))
-        .repartitionByRange(8, col(tcol), col(ucol))
-        .write.mode("overwrite").parquet(path)
-      // pin per-file mtimes in part-name order (range partition 0 = the
-      // earliest time range); 1 s apart, ending "now"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val parts = fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      val base = System.currentTimeMillis() - parts.length * 1000L
-      parts.zipWithIndex.foreach { case (f, i) =>
-        fs.setTimes(f, base + i * 1000L, -1)
-      }
-      path
-    }
-    val pPath = stage("purchases", "purchase", "p_user", "p_ts")
-    val cPath = stage("clicks", "click", "c_user", "c_ts")
+    val pPath = stageRangedSide(s, ev, tmp, "purchases", "purchase", "p_user", "p_ts")
+    val cPath = stageRangedSide(s, ev, tmp, "clicks", "click", "c_user", "c_ts")
     // 2 consecutive time-range files per trigger: still a genuine
     // multi-batch run (4+ triggers, watermark advancing and evicting
     // between them) at half the per-batch state-store/checkpoint
@@ -432,7 +438,97 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** CHECKPOINT-RESTART certification — the recovery property q151/q147
+    * leave open: those certify exactly-once and watermark eviction within
+    * ONE query lifetime; here the stream is KILLED mid-corpus, the JVM's
+    * state-store provider cache is dropped (simulating executor death —
+    * otherwise the "restart" would be served from memory and prove
+    * nothing), and a brand-new query resumes from the same checkpoint.
+    * Kill point: ALL clicks are delivered in the first life but the
+    * later HALF of the purchases is held back — so every pair the second
+    * life emits joins a purchase read after the restart to click state
+    * RELOADED from checkpoint files (a symmetric time split would make
+    * cross-life pairs vanishingly rare: only a 1-hour seam of a
+    * multi-week range), and the watermark/offsets come back from the
+    * durable logs — the Spark equivalent of the reference queue's GC
+    * redelivery surviving worker death
+    * (`src/workqueue/rediswq.py:85-166`). The final sink must still
+    * equal the batch interval join exactly (same oracle as q151), and a
+    * non-vacuity require proves second-life pairs exist.
+    *
+    * Sink: a parquet FILE sink (not memory) — its _spark_metadata commit
+    * log is what makes output exactly-once ACROSS lifetimes; reading the
+    * directory back honors the log. */
+  val q156CheckpointRestart: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q156").toString
+    val ev = Tables(s, dir, "events")
+    val pPath = stageRangedSide(s, ev, tmp, "purchases", "purchase", "p_user", "p_ts")
+    val cPath = stageRangedSide(s, ev, tmp, "clicks", "click", "c_user", "c_ts")
+    val pSchema = s.read.parquet(pPath).schema
+    val cSchema = s.read.parquet(cPath).schema
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // hold back each side's LATER half (files are named in range order)
+    def holdBack(path: String): Seq[(Path, Path)] = {
+      val parts = fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val holdDir = new Path(path + "_hold")
+      fs.mkdirs(holdDir)
+      parts.drop(parts.length / 2).map { f =>
+        val held = new Path(holdDir, f.getName)
+        require(fs.rename(f, held), s"hold-back rename failed for $f")
+        (held, f)
+      }.toSeq
+    }
+    val held = holdBack(pPath) // clicks all deliver in life 1
+    require(held.nonEmpty, "restart rehearsal needs files to hold back")
+    // non-vacuity boundary: every pair whose purchase is at/after this
+    // joins second-life input to click state reloaded from checkpoint
+    val minHeldPurchaseTs = s.read.parquet(held.head._1.getParent.toString)
+      .agg(min(col("p_ts"))).head().getTimestamp(0)
+    val out = s"$tmp/pairs"
+    val ckpt = s"$tmp/ckpt"
+    // one LIFE of the query: fresh plan + fresh source instances, same
+    // checkpoint — run to AvailableNow completion and stop
+    def life(): Unit = {
+      val joined = graft.streaming.StreamingOps.intervalJoinStream(
+        s.readStream.schema(pSchema).option("maxFilesPerTrigger", 2).parquet(pPath),
+        s.readStream.schema(cSchema).option("maxFilesPerTrigger", 2).parquet(cPath),
+        key = "p_user", rightKey = "c_user", leftTs = "p_ts", rightTs = "c_ts",
+        lookback = "1 hour", lateness = "10 minutes")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8") // q151's state sizing
+        joined.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    }
+    life()                              // first life: earlier half only
+    org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores() // die
+    held.foreach { case (heldAt, orig) =>
+      require(fs.rename(heldAt, orig), s"restore rename failed for $heldAt")
+    }
+    life()                              // second life: resumes, reads rest
+    // non-vacuity: the certification must have EXERCISED reloaded state
+    val crossLifetimePairs = s.read.parquet(out)
+      .filter(col("p_ts") >= lit(minHeldPurchaseTs))
+      .limit(1).count()
+    require(crossLifetimePairs > 0,
+      "restart certification vacuous: no pair joins a second-life purchase " +
+        "to reloaded click state")
+    s.read.parquet(out)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_users"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q156_checkpoint_restart" -> q156CheckpointRestart,
     "q151_streaming_interval_join" -> q151StreamingIntervalJoin,
     "q132_top_paths" -> q132TopPaths,
     "q131_transitions" -> q131Transitions,
@@ -467,17 +563,23 @@ object TemporalQueries {
          ON o.o_custkey = e.user_id AND e.ts <= o.o_ts
        ORDER BY o.o_orderkey"""
 
+  /** Batch ground truth the streamed pair set must equal exactly —
+    * shared by q151 (single-lifetime) and q156 (kill + restart): the
+    * recovery is only certified if the restarted run converges to the
+    * SAME batch answer. */
+  private val intervalJoinOracle =
+    """SELECT CAST(p.ts AS DATE) AS day, count(*) AS n_pairs,
+         count(DISTINCT p.user_id) AS n_users
+       FROM events p JOIN events c
+         ON c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 1 HOUR
+        AND c.ts <= p.ts
+       WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+       GROUP BY 1 ORDER BY 1"""
+
   val oracles: Map[String, String] = Map(
-    // the batch ground truth the streamed pair set must equal exactly
-    "q151_streaming_interval_join" ->
-      """SELECT CAST(p.ts AS DATE) AS day, count(*) AS n_pairs,
-           count(DISTINCT p.user_id) AS n_users
-         FROM events p JOIN events c
-           ON c.user_id = p.user_id
-          AND c.ts >= p.ts - INTERVAL 1 HOUR
-          AND c.ts <= p.ts
-         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-         GROUP BY 1 ORDER BY 1""",
+    "q151_streaming_interval_join" -> intervalJoinOracle,
+    "q156_checkpoint_restart" -> intervalJoinOracle,
     "q131_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
                     FROM events),

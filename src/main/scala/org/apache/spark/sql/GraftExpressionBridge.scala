@@ -48,3 +48,14 @@ object GraftPlanBridge {
     }
   }
 }
+
+/** Streaming restart-rehearsal bridge: drop every cached state-store
+  * provider from this JVM, so the NEXT micro-batch of a restarted query
+  * must RELOAD its state from checkpoint files — locally simulating
+  * executor death between two lives of a stateful query. Without this,
+  * the in-JVM provider cache serves the "restarted" query from memory
+  * and a recovery certification proves nothing. */
+object GraftStreamingBridge {
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+}
