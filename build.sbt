@@ -31,3 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The ×30 scale gate (VERDICT_r7 #6): builds /tmp/graft-sf3 from sf0.1 if
+// absent, measures the rehearsal cost centers at both SFs, and FAILS on
+// superlinear scaling or >8 GiB disk spill. Run with a big heap:
+//   SPARK_DRIVER_MEM=48g sbt scaleGate
+addCommandAlias("scaleGate", "runMain graft.ScaleGate")

@@ -32,6 +32,43 @@ object ScaleRehearsal {
     "q147_streaming_neardup",
   )
 
+  /** One query's rehearsal measurements (bytes unless noted). */
+  final case class QM(name: String, sec: Double, shufR: Long, shufW: Long,
+                      spill: Long, peakMem: Long, tasks: Long, rows: Long,
+                      error: Option[String])
+
+  /** Run `names` against `sfDir` on an already-built session, noop-sink
+    * timed with task metrics — the measurement core shared by the
+    * rehearsal main (human table) and [[ScaleGate]] (pass/fail budgets).
+    * Queries that throw come back with `error` set, never aborting the
+    * sweep. */
+  def measure(spark: SparkSession, sfDir: String, names: Seq[String]): Seq[QM] = {
+    val m = new Metrics
+    spark.sparkContext.addSparkListener(m)
+    try names.map { name =>
+      SparkEntry.queries.get(name) match {
+        case None => QM(name, 0, 0, 0, 0, 0, 0, 0, Some("unknown query"))
+        case Some(fn) =>
+          System.gc(); m.reset()
+          val t0 = System.nanoTime()
+          try {
+            val obs = new org.apache.spark.sql.Observation()
+            fn(spark, sfDir).observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n"))
+              .write.format("noop").mode("overwrite").save()
+            val rows = obs.get("n").asInstanceOf[Long]
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(300) // listener bus drains asynchronously
+            QM(name, sec, m.shuffleRead.sum, m.shuffleWrite.sum,
+              m.spillDisk.sum, m.peakExecMem, m.tasks.sum, rows, None)
+          } catch { case e: Throwable =>
+            QM(name, (System.nanoTime() - t0) / 1e9, 0, 0, 0, 0, 0, 0,
+              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+          }
+      }
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
   private final class Metrics extends SparkListener {
     val shuffleRead, shuffleWrite, spillDisk, spillMem = new LongAdder
     val tasks = new LongAdder
@@ -72,42 +109,25 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val m = new Metrics
-    spark.sparkContext.addSparkListener(m)
 
     SparkEntry.entry(spark).collect() // warmup
 
+    // noop sink: executes the FULL physical plan (including final sorts)
+    // without materializing the result on the driver — a .collect() of an
+    // output-heavy query times driver ser/de, which no warehouse pipeline
+    // pays (they write). Row count rides an Observation so it costs no
+    // second action. (All inside `measure`.)
     def gb(b: Long): String = f"${b / 1024.0 / 1024 / 1024}%7.2f"
     println(f"${"query"}%-26s ${"sec"}%8s ${"shufR GiB"}%9s ${"shufW GiB"}%9s ${"spill GiB"}%9s ${"peakTask GiB"}%12s ${"tasks"}%7s rows")
-    var failed = List.empty[String]
-    names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case None => println(s"$name: unknown query"); failed ::= name
-        case Some(fn) =>
-          System.gc(); m.reset()
-          val t0 = System.nanoTime()
-          try {
-            // noop sink: executes the FULL physical plan (including final
-            // sorts) without materializing the result on the driver — a
-            // .collect() of an output-heavy query times driver ser/de,
-            // which no warehouse pipeline pays (they write). Row count
-            // rides an Observation so it costs no second action.
-            val obs = new org.apache.spark.sql.Observation()
-            fn(spark, sfDir).observe(obs, org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)).as("n"))
-              .write.format("noop").mode("overwrite").save()
-            val rows = obs.get("n").asInstanceOf[Long]
-            val sec = (System.nanoTime() - t0) / 1e9
-            // tasks drain asynchronously; give the listener bus a moment
-            Thread.sleep(300)
-            println(f"$name%-26s $sec%8.2f ${gb(m.shuffleRead.sum)}%9s ${gb(m.shuffleWrite.sum)}%9s ${gb(m.spillDisk.sum)}%9s ${gb(m.peakExecMem)}%12s ${m.tasks.sum}%7d $rows")
-          } catch { case e: Throwable =>
-            println(s"$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-            failed ::= name
-          }
-      }
+    val results = measure(spark, sfDir, names)
+    results.foreach {
+      case QM(name, sec, _, _, _, _, _, _, Some(err)) =>
+        println(f"$name%-26s $sec%8.2f FAILED: $err")
+      case QM(name, sec, sr, sw, sp, pk, tasks, rows, None) =>
+        println(f"$name%-26s $sec%8.2f ${gb(sr)}%9s ${gb(sw)}%9s ${gb(sp)}%9s ${gb(pk)}%12s $tasks%7d $rows")
     }
-    if (failed.nonEmpty) println(s"FAILED: ${failed.reverse.mkString(", ")}")
+    val failed = results.filter(_.error.nonEmpty).map(_.name)
+    if (failed.nonEmpty) println(s"FAILED: ${failed.mkString(", ")}")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -243,6 +243,77 @@ object DedupQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** The COMPOSED end-to-end curation pipeline — every dedup family
+    * operator chained the way a 100 TB corpus actually runs them, as one
+    * oracle-checked query: quality gate (q67/q118 thresholds) → exact
+    * dedup keepers (q17) → near-dup clusters drop non-representatives
+    * (q48) → SemDeDup semantic dedup over the survivors' embeddings
+    * (q65, vec_id ≡ doc_id, adaptive k = max(16, ⌈√n⌉) over the
+    * SURVIVOR count) → n-gram decontamination of the train split against
+    * the test split (q57) → the final train manifest.
+    *
+    * Scale shape: the two natural warehouse staging points are
+    * MATERIALIZED as bucketed staged tables (`Sinks.stagedTable`) — after
+    * the text-hash dedup (the last text-sized intermediate) and after
+    * semantic dedup (the corpus every downstream consumer reads) — so
+    * each expensive stage is computed once, never re-derived per
+    * consumer; every "drop" set (near-dup members, semantic drops,
+    * contaminated docs) is pair-bounded and broadcast into a left-anti
+    * join, so no stage ever reshuffles the corpus by anything but its
+    * own keys. Proves the operators COMPOSE under staging: each stage's
+    * oracle mirror is the same SQL that checks it standalone. */
+  val q157CurationE2e: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // 1. quality gate (integer-arithmetic thresholds, as q118)
+    val toks = TextOps.tokens(col("text"))
+    val gated = d.select(col("doc_id"), col("source"), col("text"),
+        size(toks).as("n_words"), size(array_distinct(toks)).as("n_distinct"))
+      .filter(col("n_words") >= 20 && col("n_distinct") * 10 >= col("n_words") * 3)
+      .select("doc_id", "source", "text")
+    // 2. exact dedup, deterministic min-id keeper; staged (bucketed)
+    val s1 = graft.sinks.Sinks.stagedTable(s, s"graft_q157_keepers_$suffix",
+      key = "doc_id", numBuckets = 8, sortCols = Seq("doc_id")) {
+      ExactDedup.keepers(ExactDedup.withTextHash(gated, "text"),
+          "text_hash", "doc_id", carryCols = Seq("source", "text"))
+        .select("doc_id", "source", "text")
+    }
+    // 3. near-dup clusters at J >= 0.8; drop non-representatives
+    val sh = s1.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh", 64, 16, 0.8)
+    val dupes = Clusters.assign(pairs, "doc_a", "doc_b")
+      .filter(!col("is_representative")).select(col("id").as("doc_id"))
+    val s2 = s1.join(broadcast(dupes), Seq("doc_id"), "left_anti")
+    // 4. semantic dedup over the survivors' embeddings (q65 semantics,
+    //    k sized to the SURVIVOR corpus)
+    val corpus = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val k = math.max(16L, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
+    val centroids = corpus.filter(col("vec_id") < 10 + k)
+      .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
+    val cells = graft.similarity.IvfFlat.assign(
+      corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
+    val semDrops = graft.similarity.SemanticDedup
+      .dropReport(cells, corpus, "vec_id", "vec", tau = 0.3)
+      .select(col("vec_id").as("doc_id"))
+    val s3 = graft.sinks.Sinks.stagedTable(s, s"graft_q157_dedup_$suffix",
+      key = "doc_id", numBuckets = 8, sortCols = Seq("doc_id")) {
+      s2.join(broadcast(semDrops), Seq("doc_id"), "left_anti")
+    }
+    // 5. decontaminate the train split against the test split (q57)
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val train = s3.filter(bucket < 80)
+    val testSplit = s3.filter(bucket >= 90)
+    val contaminated = graft.dedup.BloomDecontaminate.contaminationReport(
+        train, testSplit, "doc_id", "text", n = 8, expectedEvalNgrams = 100000L)
+      .select("doc_id")
+    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** Q8/K1 exactly-once at NEAR-DUP granularity, driver-certified: the
     * incoming batch streams through `foreachBatch`, each microbatch runs
     * `MinHashLSH.nearDupAgainstHashed` against the static src0 history
@@ -292,6 +363,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q157_curation_e2e" -> q157CurationE2e,
     "q147_streaming_neardup" -> q147StreamingNeardup,
     "q118_curation_pipeline" -> q118CurationPipeline,
     "q115_prefix_jaccard" -> q115PrefixJaccard,
@@ -377,6 +449,86 @@ object DedupQueries {
        ORDER BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    // the composed pipeline: each stage's mirror is the SAME SQL that
+    // checks it standalone (q118 gate+exact, q48-style clusters via the
+    // linear pairCtes, q65 cells/pairs, q57 gram decontamination)
+    "q157_curation_e2e" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, source, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> len(x) > 0)) AS n_words,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> len(x) > 0))) AS n_distinct
+           FROM documents),
+         g AS (SELECT doc_id, source, text FROM t
+               WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3),
+         dd AS (SELECT doc_id, source, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+           FROM g),
+         s1 AS (SELECT doc_id, source, text FROM dd WHERE rk = 1),
+         W AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> len(x) > 0) AS ws
+               FROM s1),
+         SH AS (SELECT doc_id,
+                  CASE WHEN len(ws) >= 3
+                       THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)])
+                       ELSE [array_to_string(ws, ' ')] END AS s
+                FROM W),
+         ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u),
+         dupes AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(u)),
+         s2 AS (SELECT s1.* FROM s1
+                WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.doc_id = s1.doc_id)),
+         C AS (SELECT e2.vec_id, CAST(e2.embedding AS DOUBLE[]) AS cvec
+               FROM embeddings e2 JOIN s2 ON s2.doc_id = e2.vec_id),
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C
+                 WHERE vec_id < 10 + (SELECT greatest(16,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM C)),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT c.vec_id, cen.cen_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 (list_inner_product(c.cvec, c.cvec)
+                  - 2 * list_inner_product(c.cvec, cen.cen_vec)
+                  + list_inner_product(cen.cen_vec, cen.cen_vec)) ASC, cen.cen_id ASC) AS rn
+             FROM C c, cen) t2 WHERE rn = 1),
+         sempairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+             list_inner_product(cx.cvec, cy.cvec)
+               / (sqrt(list_inner_product(cx.cvec, cx.cvec))
+                  * sqrt(list_inner_product(cy.cvec, cy.cvec))) AS sim
+           FROM cells x
+           JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN C cx ON cx.vec_id = x.vec_id
+           JOIN C cy ON cy.vec_id = y.vec_id),
+         semdrop AS (SELECT DISTINCT b AS doc_id FROM sempairs WHERE sim >= 0.3),
+         s3 AS (SELECT s2.* FROM s2
+                WHERE NOT EXISTS (SELECT 1 FROM semdrop WHERE semdrop.doc_id = s2.doc_id)),
+         sp AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b
+                FROM s3),
+         W2 AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> len(x) > 0) AS ws
+                FROM s3),
+         g8 AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) >= 8
+                    THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+                    ELSE [array_to_string(ws, ' ')] END) AS gs
+                FROM W2),
+         trg AS (SELECT g8.doc_id, unnest(gs) AS gram
+                 FROM g8 JOIN sp USING (doc_id) WHERE sp.b < 80),
+         evg AS (SELECT DISTINCT unnest(gs) AS gram
+                 FROM g8 JOIN sp USING (doc_id) WHERE sp.b >= 90),
+         contaminated AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (gram))
+         SELECT s3.doc_id, s3.source
+         FROM s3 JOIN sp USING (doc_id)
+         WHERE sp.b < 80
+           AND NOT EXISTS (SELECT 1 FROM contaminated c2 WHERE c2.doc_id = s3.doc_id)
+         ORDER BY 1""",
     "q118_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, source, text,
              len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -73,6 +73,51 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("literal integer"))
   }
 
+  test("EVERY registry entry has a passing SQL invocation (enumerated parity)") {
+    // Key-set equality makes this spec fail when a function is added to
+    // GraftExtensions without SQL coverage here (or covered here without
+    // being registered) — the registry can never drift untested.
+    val calls: Map[String, String] = Map(
+      "str_q2b" -> "str_q2b('Ｈｉ！') = 'Hi!'",
+      "dot_product" -> "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) = 11.0d",
+      "l2_squared" -> "l2_squared(array(0.0d, 0.0d), array(3.0d, 4.0d)) = 25.0d",
+      "l2_normalize" -> "element_at(l2_normalize(array(3.0d, 4.0d)), 1) = 0.6d",
+      "char_ngram_hashes" -> "size(char_ngram_hashes('abcd', 2)) = 3",
+      "word_ngram_hashes" -> "size(word_ngram_hashes('a b c d', 2)) = 3",
+      "minhash_sig" -> "size(minhash_sig(word_ngram_hashes('a b c d e', 2), 8)) = 8",
+      "simhash48" -> "simhash48(array('a', 'b'), 8) IS NOT NULL",
+      "poly_fingerprint" -> "poly_fingerprint('a b c') IS NOT NULL",
+      "word_gram_keys" -> "size(word_gram_keys('a b c d e f', 3)) = 4",
+      // zero-span dims reconstruct to mn exactly: 2 * (7 + 0) = 14
+      "sq8_sim" -> "sq8_sim(array(2.0d), array(123.0d), array(7.0d), array(7.0d)) = 14.0d",
+    )
+    val registered = GraftExtensions.functions.map(_._1.funcName).toSet
+    assert(registered == calls.keySet,
+      s"registry/coverage drift: only-registered=${registered -- calls.keySet} " +
+        s"only-covered=${calls.keySet -- registered}")
+    calls.foreach { case (name, pred) =>
+      assert(spark.sql(s"SELECT $pred AS ok").collect()(0).getBoolean(0),
+        s"SQL invocation failed for $name: $pred")
+    }
+  }
+
+  test("literal-k rejection covers every k-taking registry function") {
+    Seq(("abc", 2)).toDF("s", "k").createOrReplaceTempView("ext_k2")
+    Seq(
+      "char_ngram_hashes(s, k)",
+      "word_ngram_hashes(s, k)",
+      "minhash_sig(array(CAST(1 AS BIGINT)), k)",
+      "simhash48(array('a'), k)",
+      "word_gram_keys(s, k)",
+    ).foreach { call =>
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT $call FROM ext_k2").collect()
+      }
+      assert(ex.getMessage.contains("literal integer"),
+        s"non-literal k must be an analysis error for: $call")
+    }
+  }
+
   test("ApproxDistinctRewrite: flag flips exact distinct counts to HLL++, schema unchanged") {
     import graft.plans.ApproxDistinctRewrite
     val prev = spark.experimental.extraOptimizations
