@@ -45,13 +45,29 @@ object ProductQuantizer {
       .select(col(idCol), col("s.m").as("m"), col("s.sub").as("sub"))
 
   /** Codebooks from a small seed set: (m, code_id, cw). `seed` must be
-    * broadcast-sized; code ids follow ascending `idCol`. */
+    * driver-sized (k codewords × d floats — the KMeans-centroid
+    * precedent), so it is NUMBERED ON THE DRIVER: collect, sort by
+    * `idCol`, re-emit as a local relation. The former spelling was an
+    * unpartitioned `row_number` window — harmless at k=32 but the one
+    * plan shape PlanLint bans outright (a global-sort window is
+    * unbounded to the planner even when a filter makes it tiny), and
+    * the collect states the size contract honestly. Values are exact:
+    * float→double widening is lossless and the dot kernels accumulate
+    * in double either way. */
   def codebooks(seed: DataFrame, idCol: String, vecCol: String,
                 numSub: Int, subDim: Int): DataFrame = {
-    val w = Window.orderBy(col(idCol)) // seed is tiny; single-task sort is fine
-    subvectors(seed.withColumn("code_id", row_number().over(w) - 1)
-        .drop(idCol).withColumnRenamed("code_id", idCol),
-        idCol, vecCol, numSub, subDim)
+    val spark = seed.sparkSession
+    import spark.implicits._
+    val numbered = seed
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, v), i) => (i, v) }
+      .toSeq.toDF(idCol, vecCol)
+    subvectors(numbered, idCol, vecCol, numSub, subDim)
       .select(col("m"), col(idCol).as("code_id"), col("sub").as("cw"))
   }
 

@@ -49,25 +49,39 @@ class PlanLintSpec extends SparkSpec {
       s"broadcast over an exploded subtree in: ${offenders.mkString(", ")}")
   }
 
-  test("no query plans an unpartitioned Window (single-task global sort)") {
-    // A Window with an empty partitionSpec funnels the ENTIRE input
-    // through one task's sort — the one shuffle shape that cannot scale
-    // out no matter how many executors exist. Global top-k belongs on
-    // TakeOrdered/BoundedTopK, global splits on repartitionByRange; a
-    // global rank over a corpus has no scale-safe spelling at all.
-    // (q151's staging was the last offender — fixed to range
-    // partitioning; this lint keeps the surface clean.)
-    import org.apache.spark.sql.execution.window.WindowExec
+  test("no query plans an unpartitioned Window over UNBOUNDED input") {
+    // A Window with an empty partitionSpec funnels its whole input
+    // through one task's sort. That's fine when the input is
+    // structurally BOUNDED — an aggregate (group-cardinality rows), a
+    // group-limit (the two-phase TopK re-rank), or a global limit (a
+    // codebook seed) — because the single task sorts group-count rows,
+    // not the corpus; that's the same judgment the broadcast-Generate
+    // lint applies. It is a scale bug when a corpus-row path reaches the
+    // window with no bounding node: that sort cannot scale out no
+    // matter how many executors exist (q151's staging ntile was exactly
+    // this — fixed to range partitioning). The walk requires EVERY leaf
+    // path below the window to pass a bounding node.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec | _: WindowGroupLimitExec |
+           _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.sparkPlan
         val bad = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
         }
         if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"unpartitioned window in: ${offenders.mkString(", ")}")
+      s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
   test("scorer joins stay non-broadcast in the ADAPTIVE executed plan") {
