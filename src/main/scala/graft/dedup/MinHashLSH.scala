@@ -216,11 +216,15 @@ object MinHashLSH {
     * 0's (cap-surviving) buckets — i.e. more than one expected verify
     * partner per doc. The histogram job scans the hashed input once and
     * shuffles 8-byte keys; oversize buckets are excluded exactly as the
-    * candidate join drops them. */
+    * candidate join drops them. Cost note: only band 0's rowsPerBand
+    * signature entries are computed (the coefficient family is
+    * prefix-stable, and the router needs a consistent bucket histogram,
+    * not the full signature) — 1/numBands of the signature kernel work
+    * the real run pays. */
   def chooseVerifyForm(hashed: DataFrame, idCol: String, hCol: String,
                        numHashes: Int, numBands: Int, rowsPerBand: Int,
                        maxBucket: Int = DefaultMaxBucket): VerifyForm = {
-    val row = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
+    val row = signaturesFromHashArray(hashed, idCol, hCol, rowsPerBand)
       .select(xxhash64(slice(col("__sig"), 1, rowsPerBand)).as("key"))
       .groupBy("key").agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBucket)
