@@ -205,34 +205,40 @@ object MinHashLSH {
     case object InBand extends VerifyForm
   }
 
-  /** Cost-based verify routing from ONE band's bucket histogram. The
-    * crossover quantity is candidate volume vs corpus volume: Fetch
-    * ships ~2 arrays per DISTINCT candidate pair, InBand ships every
-    * doc's array once per band — so InBand wins when
-    * 2·candidates > n·numBands. Per-band estimates (bands of one
-    * signature family collide near-identically in expectation):
-    * candidates ≲ numBands · Σ_buckets(band0) C(sz,2), corpus volume
-    * = numBands · n, so the rule reduces to Σ sz·(sz−1) > n over band
-    * 0's (cap-surviving) buckets — i.e. more than one expected verify
-    * partner per doc. The histogram job scans the hashed input once and
-    * shuffles 8-byte keys; oversize buckets are excluded exactly as the
-    * candidate join drops them. Cost note: only band 0's rowsPerBand
-    * signature entries are computed (the coefficient family is
-    * prefix-stable, and the router needs a consistent bucket histogram,
-    * not the full signature) — 1/numBands of the signature kernel work
-    * the real run pays. */
+  /** In-band's measured per-shipped-array cost relative to fetch's: the
+    * in-band form drags each array through the capBuckets window and the
+    * band join's sort, where fetch sorts skinny id rows and fetches
+    * arrays by hash join. Calibrated against six measurements (×100
+    * char-8-gram: fetch 268 s / in-band 200 s at 2C/(nB)=4.35; ×30
+    * char-8-gram: 23.7 / 29.8 s at 1.46; ×30 word-3-gram near-tie at
+    * 0.02; sf0.1 fetch 2.3 / 5.6 s; the boilerplate and sparse router
+    * spec corpora) — every measured winner is predicted with κ = 2. */
+  val InBandCostFactor = 2.0
+
+  /** Cost-based verify routing from the MEASURED candidate count. Fetch
+    * ships ~2 arrays per DISTINCT candidate pair; InBand ships every
+    * doc's array once per band but pays ~[[InBandCostFactor]]× per array
+    * — so InBand wins iff 2·C > κ·n·numBands. C is computed EXACTLY by
+    * running the ids-only candidate join (skinny 8-byte rows — the cheap
+    * part of either form; the expense both forms differ on is array
+    * movement, which this job never does), with the same hot-bucket cap
+    * the real run applies. A band-0 histogram estimator was tried first
+    * and REJECTED: Σ_bands pairs overestimates C by the cross-band
+    * dedup factor (1 for band-local false positives, numBands for true
+    * dups that collide everywhere), which mis-routed the dup-heavy ×30
+    * rehearsal corpus; the exact count has no such regime dependence. */
   def chooseVerifyForm(hashed: DataFrame, idCol: String, hCol: String,
                        numHashes: Int, numBands: Int, rowsPerBand: Int,
                        maxBucket: Int = DefaultMaxBucket): VerifyForm = {
-    val row = signaturesFromHashArray(hashed, idCol, hCol, rowsPerBand)
-      .select(xxhash64(slice(col("__sig"), 1, rowsPerBand)).as("key"))
-      .groupBy("key").agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= maxBucket)
-      .agg(coalesce(sum(col("sz")), lit(0L)).as("n"),
-        coalesce(sum(col("sz") * (col("sz") - lit(1L))), lit(0L)).as("partners2"))
-      .head()
-    if (row.getLong(1) > row.getLong(0)) VerifyForm.InBand else VerifyForm.Fetch
+    val n = hashed.select(col(idCol)).count()
+    val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
+    val c = candidatePairs(sigs, idCol, "__sig", numBands, rowsPerBand, maxBucket)
+      .count()
+    if (inBandWins(c, n, numBands)) VerifyForm.InBand else VerifyForm.Fetch
   }
+
+  private def inBandWins(c: Long, n: Long, numBands: Int): Boolean =
+    2.0 * c > InBandCostFactor * n * numBands
 
   def nearDupPairsHashed(hashed: DataFrame, idCol: String, hCol: String,
                          numHashes: Int, numBands: Int, threshold: Double,
@@ -240,19 +246,31 @@ object MinHashLSH {
                          verify: VerifyForm = VerifyForm.Auto): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
-    val form = verify match {
-      case VerifyForm.Auto =>
-        chooseVerifyForm(hashed, idCol, hCol, numHashes, numBands, r, maxBucket)
-      case v => v
-    }
-    form match {
-      case VerifyForm.InBand =>
-        inBandVerifyPairs(hashed, idCol, hCol, numHashes, numBands, r,
-          threshold, maxBucket)
-      case _ =>
-        val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
-        verifyCandidates(hashed, idCol, hCol,
-          candidatePairs(sigs, idCol, "__sig", numBands, r, maxBucket), threshold)
+    def fetch(cands: DataFrame) =
+      verifyCandidates(hashed, idCol, hCol, cands, threshold)
+    def inBand() =
+      inBandVerifyPairs(hashed, idCol, hCol, numHashes, numBands, r,
+        threshold, maxBucket)
+    def freshCands() = candidatePairs(
+      signaturesFromHashArray(hashed, idCol, hCol, numHashes),
+      idCol, "__sig", numBands, r, maxBucket)
+    verify match {
+      case VerifyForm.InBand => inBand()
+      case VerifyForm.Fetch  => fetch(freshCands())
+      case VerifyForm.Auto   =>
+        // the routing count MATERIALIZES the ids-only candidate set; a
+        // Fetch decision then reuses it from cache, so Auto costs ~one
+        // count over the fetch form it would have run anyway (the cached
+        // pair set is released by the ContextCleaner once the returned
+        // plan is executed and dropped)
+        val n = hashed.select(col(idCol)).count()
+        val cands = freshCands()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = cands.count()
+        if (inBandWins(c, n, numBands)) {
+          cands.unpersist(blocking = false)
+          inBand()
+        } else fetch(cands)
     }
   }
 

@@ -129,11 +129,11 @@ class DedupSpec extends SparkSpec {
     import graft.expressions.NgramHashes
     def hashed(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
       .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
-    // 2000 docs = 20 templates × 100 copies: every surviving band bucket
-    // holds ~100 docs, so expected verify partners/doc ≈ 99 ≫ 1 — the
-    // fetch form would ship each array ~99× where in-band ships it
-    // numBands×. A fixed 100k-doc crossover (the old router) would have
-    // called this Fetch; the histogram calls it InBand.
+    // 2000 docs = 20 templates × 100 copies: ~99k distinct candidate
+    // pairs, so the fetch form would ship each array ~99× where in-band
+    // ships it numBands×. A fixed 100k-doc crossover (the old router)
+    // would have called this Fetch; the measured candidate count calls
+    // it InBand (2C = 198k > 2·n·B = 64k).
     val boiler = (1L to 2000L).map(i =>
       i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
     assert(MinHashLSH.chooseVerifyForm(hashed(boiler), "doc_id", "sh",
