@@ -30,6 +30,11 @@ object ScaleRehearsal {
     "q118_curation_pipeline", "q120_lateral_top_order", "q123_bpe_encode",
     "q124_range_frame", "q127_ann_sq8", "q144_native_topk",
     "q147_streaming_neardup",
+    // round-8 additions: the sf0.1 cost centers the original list missed
+    // (per BENCH_r08) + the composed five-stage curation pipeline
+    "q35_char_ngram_pairs", "q83_best_keeper", "q88_bpe_train",
+    "q108_top_supplier", "q142_excess_stock", "q145_provenance",
+    "q146_xml_extract", "q152_bigram_lm", "q157_curation_e2e",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */
