@@ -527,7 +527,94 @@ object TemporalQueries {
       .orderBy("day")
   }
 
+  /** STREAMING SESSIONIZATION with custom event-time state, certified
+    * stream ≡ batch — the arbitrary-stateful-processing shape the other
+    * streaming certifications leave open (q86 sink exactly-once, q147
+    * keyed band join, q151/q156 stream-stream join; `StatefulDedup`'s
+    * TTL gate is processing-time). `streaming/StreamingSessionize` runs
+    * gap sessionization as a per-key state machine on
+    * `flatMapGroupsWithState` + EventTimeTimeout: closed sessions shed
+    * eagerly as the watermark passes them (state holds OPEN sessions
+    * only — the bounded-state property a 100 TB stream needs), timers
+    * re-arm at the earliest retained close.
+    *
+    * Harness: events staged as time-range files with pinned increasing
+    * mtimes (q151's staging argument — in-order delivery, so no row
+    * outruns the watermark), THREE far-future flush sentinels under a
+    * reserved key so the watermark provably passes every real session
+    * close inside a DATA batch regardless of file-count parity (sentinel
+    * k's timestamp raises the max event time; the batch carrying
+    * sentinel k+1 then fires the timers — no reliance on the engine
+    * scheduling a no-data batch). Two non-vacuity requires: sessions
+    * must emit across ≥2 distinct batches (eager shedding, not one
+    * final flush), and the streamed session set rolls up to EXACTLY the
+    * q128 batch oracle (same gap, same rollup, same SQL). */
+  val q158StreamingSessionize: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StreamingSessionize
+    val gapUs = 21600000000L // 6 h — q128's threshold, same corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q158").toString
+    val path = s"$tmp/events"
+    Tables(s, dir, "events").select(col("user_id"), col("ts"))
+      .repartitionByRange(7, col("ts"), col("user_id"))
+      .write.mode("overwrite").parquet(path)
+    val maxTs = s.read.parquet(path).agg(max(col("ts"))).head().getTimestamp(0)
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // three flush sentinels, 1 h apart, all past max + gap + lateness
+    (1 to 3).foreach { i =>
+      val sentTs = new java.sql.Timestamp(
+        maxTs.getTime + gapUs / 1000L + 600000L + i * 3600000L)
+      val sdir = s"$tmp/sent$i"
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(-1L, sentTs)),
+          s.read.parquet(path).schema)
+        .coalesce(1).write.mode("overwrite").parquet(sdir)
+      val part = fs.listStatus(new Path(sdir)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      require(fs.rename(part, new Path(path, f"zzz-sentinel-$i.parquet")),
+        s"sentinel move failed for $sdir")
+    }
+    // pin strictly increasing mtimes: range files in name order (range k
+    // precedes range k+1), sentinels last — deterministic delivery order
+    val parts = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (f, i) => fs.setTimes(f, base + i * 1000L, -1) }
+    import s.implicits._
+    val raw = s.readStream.schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", 2).parquet(path)
+    val sessions = StreamingSessionize.sessions(
+      raw.select(col("user_id").as("key"), col("ts"),
+        unix_micros(col("ts")).as("us")).as[StreamingSessionize.SessEvent],
+      gapUs, lateness = "10 minutes")
+    val sink = s"q158_sessions_${math.abs(tmp.hashCode)}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state sizing, as q151
+      sessions.toDF().writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val emittingBatches = q.recentProgress.count(_.sink.numOutputRows > 0)
+    require(emittingBatches >= 2,
+      s"sessionize certification vacuous: sessions emitted in $emittingBatches " +
+        "batch(es) — eager watermark shedding not exercised")
+    s.table(sink).filter(col("key") >= 0) // drop the flush sentinels
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_sess_events"),
+        sum(col("end_us") - col("start_us")).as("total_dur_us"),
+        round(sum(col("n_ev")).cast("double") / count(lit(1)), 4)
+          .as("avg_sess_events"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q158_streaming_sessionize" -> q158StreamingSessionize,
     "q156_checkpoint_restart" -> q156CheckpointRestart,
     "q151_streaming_interval_join" -> q151StreamingIntervalJoin,
     "q132_top_paths" -> q132TopPaths,
@@ -604,6 +691,28 @@ object TemporalQueries {
          p AS (SELECT a || '>' || b || '>' || c AS path, count(*) AS n
                FROM t WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1)
          SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""",
+    // q158 streams the SAME corpus through the custom-state sessionizer
+    // and must roll up to exactly the batch sessionization ground truth
+    // (q128's oracle verbatim) — that equality IS the certification.
+    "q158_streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        > 21600000000 THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess,
+                 us
+               FROM g),
+         sl AS (SELECT user_id, sess, count(*) AS n_ev,
+                  max(us) - min(us) AS dur
+                FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           max(n_ev) AS max_sess_events,
+           CAST(sum(dur) AS BIGINT) AS total_dur_us,
+           round(CAST(sum(n_ev) AS DOUBLE) / count(*), 4) AS avg_sess_events
+         FROM sl GROUP BY 1 ORDER BY 1""",
     "q128_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT user_id, us,
