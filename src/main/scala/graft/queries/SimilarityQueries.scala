@@ -290,6 +290,49 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** EMBEDDING-SPACE DRIFT between two corpus cohorts — "did the new
+    * crawl move in embedding space?", the distribution-shift monitor a
+    * continuously-ingesting training pipeline runs next to q102's
+    * token-level drift (this is its semantic-space twin) and q154/q155's
+    * geometry health checks. Cohorts here are the deterministic vec_id
+    * parity split (the harness stand-in for old-corpus vs new-batch);
+    * per dimension: cohort means, mean shift, and the standardized mean
+    * difference smd = Δmean / pooled σ (Cohen's d — scale-free, so one
+    * alerting threshold works across dimensions of different variance).
+    *
+    * Scale shape: one codegen'd posexplode pass, then a single partial
+    * (map-side) aggregation to d rows — no window, no join; cross-row
+    * sums are DECIMAL(28,12) quantize-then-sum (exact, associative — the
+    * Pca/KMeans determinism contract), so means/variances are
+    * bit-identical under any partitioning and in any engine; the n·mean²
+    * variance form is computed in doubles from those exact sums with an
+    * identical formula tree in the oracle. */
+  val q159EmbeddingDrift: Q = (s, dir) => {
+    val dec = "decimal(28,12)"
+    val x = Tables(s, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(2)).as("cohort"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("cohort"), col("dim"), col("vf").cast("double").as("v"))
+    val g = x.groupBy(col("dim")).agg(
+      sum(when(col("cohort") === 0, lit(1L))).as("n_a"),
+      sum(when(col("cohort") === 1, lit(1L))).as("n_b"),
+      sum(when(col("cohort") === 0, col("v")).cast(dec)).cast("double").as("sa"),
+      sum(when(col("cohort") === 1, col("v")).cast(dec)).cast("double").as("sb"),
+      sum(when(col("cohort") === 0, col("v") * col("v")).cast(dec))
+        .cast("double").as("qa"),
+      sum(when(col("cohort") === 1, col("v") * col("v")).cast(dec))
+        .cast("double").as("qb"))
+    val ma = col("sa") / col("n_a")
+    val mb = col("sb") / col("n_b")
+    val va = (col("qa") - col("sa") * col("sa") / col("n_a")) / (col("n_a") - 1)
+    val vb = (col("qb") - col("sb") * col("sb") / col("n_b")) / (col("n_b") - 1)
+    g.select(col("dim"), col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(mb - ma, 6).as("shift"),
+        round((mb - ma) / sqrt((va + vb) / lit(2.0)), 4).as("smd"))
+      .orderBy("dim")
+  }
+
   /** Product-quantization ANN (third scale path; see
     * `similarity/ProductQuantizer.scala`): 8 subspaces x 8 dims, 16
     * codewords from the q34 seed set, ADC shortlist of 10, exact cosine
@@ -527,6 +570,7 @@ object SimilarityQueries {
     "q149_kmeans_train" -> q149KmeansTrain,
     "q150_ann_ivf_trained" -> q150AnnIvfTrained,
     "q154_embedding_outliers" -> q154EmbeddingOutliers,
+    "q159_embedding_drift" -> q159EmbeddingDrift,
     "q155_knn_label_agreement" -> q155KnnLabelAgreement,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
@@ -798,6 +842,29 @@ object SimilarityQueries {
            round(CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement
          FROM pred p JOIN embeddings l ON l.vec_id = p.src
          GROUP BY 1 ORDER BY 1""",
+    // identical formula tree over the same decimal-exact sums: n·mean²
+    // variance form in doubles, FILTERed per cohort
+    "q159_embedding_drift" ->
+      """WITH x AS (SELECT vec_id % 2 AS cohort,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+         g AS (SELECT dim,
+             CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) FILTER (WHERE cohort = 0) AS DOUBLE) AS sa,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) FILTER (WHERE cohort = 1) AS DOUBLE) AS sb,
+             CAST(sum(CAST(v * v AS DECIMAL(28,12))) FILTER (WHERE cohort = 0) AS DOUBLE) AS qa,
+             CAST(sum(CAST(v * v AS DECIMAL(28,12))) FILTER (WHERE cohort = 1) AS DOUBLE) AS qb
+           FROM x GROUP BY dim)
+         SELECT dim, n_a, n_b,
+           round(sa / n_a, 6) + 0 AS mean_a,
+           round(sb / n_b, 6) + 0 AS mean_b,
+           round(sb / n_b - sa / n_a, 6) + 0 AS shift,
+           round((sb / n_b - sa / n_a)
+             / sqrt(((qa - sa * sa / n_a) / (n_a - 1)
+                   + (qb - sb * sb / n_b) / (n_b - 1)) / 2.0), 4) + 0 AS smd
+         FROM g ORDER BY dim""",
     // trained-index assignment distances, then the q112 MAD-fence shape
     "q154_embedding_outliers" ->
       s"""WITH $cosineParts,
