@@ -35,6 +35,9 @@ object ScaleRehearsal {
     "q35_char_ngram_pairs", "q83_best_keeper", "q88_bpe_train",
     "q108_top_supplier", "q142_excess_stock", "q145_provenance",
     "q146_xml_extract", "q152_bigram_lm", "q157_curation_e2e",
+    // round-8 continuation: custom-state streaming sessionize (state must
+    // shed with the watermark, not grow with the corpus) + embedding drift
+    "q158_streaming_sessionize", "q159_embedding_drift",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */

@@ -89,6 +89,15 @@ object MinHashLSH {
     hashed.select(col(idCol),
       graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes).as("__sig"))
 
+  /** Signatures over PRE-EXPLODED base-hash rows (idCol, hCol) — the
+    * codegen explode+min-agg path of `signatures` for callers that bring
+    * their own base-hash family (e.g. q160's md5-derived audit sketch,
+    * which must be ANSI-mirrorable; the affine coefficient family and P
+    * are shared, so signatures differ only in the base hash). */
+  def signaturesFromBaseRows(exploded: DataFrame, idCol: String, hCol: String,
+                             numHashes: Int): DataFrame =
+    aggMins(exploded.select(col(idCol), col(hCol).as("__h")), idCol, numHashes)
+
   private def aggMins(exploded: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * a + b, lit(P))).as(s"__m$i")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Clusters, ExactDedup, MinHashLSH, PrefixFilterJoin, SimHash}
@@ -76,6 +76,113 @@ object DedupQueries {
         numHashes = 64, numBands = 16, threshold = 0.7)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Word-3-gram STRINGS with the oracle's exact construction (split on
+    * whitespace runs, drop empties; n ≥ 3 → distinct 3-grams joined by
+    * single spaces, else the whole token list as one gram) — the
+    * string-space twin of `NgramHashes.word_ngram_hashes` for operators
+    * whose oracle must recompute the same gram set AND hash it (xxhash64
+    * has no DuckDB mirror; gram strings + md5 do). */
+  private def gramStrings(text: Column): Column = {
+    val ws = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3)))))
+      .otherwise(array(array_join(ws, " ")))
+  }
+
+  /** SKETCH CALIBRATION AUDIT — "how well does the MinHash estimate
+    * track exact Jaccard on the pairs the sketch actually surfaces?":
+    * the measurement a pipeline runs before trusting a banded sketch at
+    * 100 TB, where exact verification of every candidate is the
+    * dominant cost and a mis-calibrated estimator silently moves the
+    * dedup threshold. A deterministic half-corpus sample (md5 bucket,
+    * the q40 split machinery) runs a 32-hash/8-band MinHash whose base
+    * hash is md5-derived (`TextOps.md5Int60` — same affine coefficient
+    * family and P as the production xxhash64 sketch, so calibration
+    * transfers), generates candidates through REAL banding, then per
+    * estimate-decile reports pair count, mean estimated J (signature
+    * agreement fraction), mean exact J (gram-set Jaccard), and mean
+    * absolute error. The oracle replicates the identical deterministic
+    * algorithm CTE-for-CTE with the coefficients inlined (q22/q34
+    * implementation-parity precedent), candidate generation included —
+    * so a banding or estimator regression shifts a bin and breaks the
+    * hash. Cross-row means are decimal quantize-then-sum. */
+  val q160SketchCalibration: Q = (s, dir) => {
+    val P = MinHashLSH.P
+    val nh = 32; val bands = 8; val rpb = 4
+    val d = Tables(s, dir, "documents")
+      .filter(pmod(TextOps.md5Int32(col("text")), lit(100)) < 50)
+    val sh = d.select(col("doc_id"), gramStrings(col("text")).as("grams"))
+    val base = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), pmod(TextOps.md5Int60(col("g")), lit(P)).as("h"))
+    val sigs = MinHashLSH.signaturesFromBaseRows(base, "doc_id", "h", nh)
+    val bandRows = sigs.select(col("doc_id"), explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          array_join(transform(slice(col("__sig"), j * rpb + 1, rpb),
+            x => x.cast("string")), ",").as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val withSides = cand
+      .join(sigs.select(col("doc_id").as("da"), col("__sig").as("sig_a")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("__sig").as("sig_b")), "db")
+      .join(sh.select(col("doc_id").as("da"), col("grams").as("g_a")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("grams").as("g_b")), "db")
+    val agr = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, lit(1)).otherwise(lit(0))), lit(0), (acc, v) => acc + v)
+    val est = agr.cast("double") / nh
+    val inter = size(array_intersect(col("g_a"), col("g_b")))
+    val exact = inter.cast("double") /
+      (size(col("g_a")) + size(col("g_b")) - inter).cast("double")
+    val dec = "decimal(28,12)"
+    withSides.select(least(lit(9), floor(est * 10)).cast("int").as("bin"),
+        est.as("est"), exact.as("exact"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("est").cast(dec)).cast("double") / count(lit(1)), 4)
+          .as("mean_est"),
+        round(sum(col("exact").cast(dec)).cast("double") / count(lit(1)), 4)
+          .as("mean_exact"),
+        round(sum(abs(col("est") - col("exact")).cast(dec)).cast("double")
+          / count(lit(1)), 4).as("mae"))
+      .orderBy("bin")
+  }
+
+  /** CROSS-SOURCE DUPLICATION MATRIX — "which crawls overlap?": q18's
+    * near-dup pairs joined to each side's source and rolled up to
+    * (source_a, source_b) with pair count and mean Jaccard, the
+    * corpus-observability view that tells a curation team which feeds
+    * to dedup against each other first (and which mirror each other
+    * wholesale). Source pairs are normalized lexicographically so both
+    * directions fold together; means are decimal quantize-then-sum over
+    * the per-pair 4-decimal Jaccard (the grain q18 certifies). Scale:
+    * the pair table is the banded-join output (bounded), the source
+    * lookup is a doc-count equi-join, the matrix is |sources|² rows. */
+  val q162DupSourceMatrix: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    val src = d.select(col("doc_id"), col("source"))
+    val dec = "decimal(28,12)"
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        round(col("jaccard"), 4).as("j"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j").cast(dec)).cast("double") / count(lit(1)), 4)
+          .as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Dedup CLUSTERS: near-dup pairs (as q18) → connected components →
@@ -374,6 +481,8 @@ object DedupQueries {
     "q48_dedup_corpus" -> q48DedupCorpus,
     "q17_dedup_gate" -> q17DedupGate,
     "q18_minhash_pairs" -> q18MinhashPairs,
+    "q160_sketch_calibration" -> q160SketchCalibration,
+    "q162_dup_source_matrix" -> q162DupSourceMatrix,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
     "q35_char_ngram_pairs" -> q35CharNgramPairs,
@@ -421,6 +530,65 @@ object DedupQueries {
              JOIN sz sa ON sa.doc_id = da
              JOIN sz sb ON sb.doc_id = db
              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold)"""
+
+  /** q160's mirror — GENERATED, not hand-written (Pca.oracleSql
+    * precedent): the 32 affine coefficients are inlined as literals from
+    * the shared `MinHashSig.coeffs` family, the banding is 8 generated
+    * UNION ALL branches keyed on stringified signature slices, and the
+    * exact side reuses the [[pairCtes]] shared-gram join restricted to
+    * the candidate set (LEFT JOIN: a band collision between gram-disjoint
+    * docs must surface as exact = 0, not drop out). */
+  private def sketchCalibrationOracle: String = {
+    val p = graft.dedup.MinHashLSH.P
+    val cs = graft.expressions.MinHashSig.coeffs(32)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n             ")
+    val bandSel = (0 until 8).map { j =>
+      val key = (0 until 4).map(r => s"m${j * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+    }.mkString("\n           UNION ALL ")
+    val agr = (0 until 32).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shinglesCte,
+       samp AS MATERIALIZED (
+         SELECT sh.doc_id, s FROM SH sh JOIN documents d ON d.doc_id = sh.doc_id
+         WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 50),
+       hs AS MATERIALIZED (
+         SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS h
+         FROM (SELECT doc_id, unnest(s) AS g FROM samp)),
+       sig AS MATERIALIZED (
+         SELECT doc_id, $minCols
+         FROM hs GROUP BY doc_id),
+       bands AS MATERIALIZED ($bandSel),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       ts AS (SELECT doc_id, unnest(s) AS tok FROM samp),
+       sz AS (SELECT doc_id, len(s) AS n FROM samp),
+       inter AS (SELECT c.da, c.db, count(*) AS i
+                 FROM cand c
+                 JOIN ts a ON a.doc_id = c.da
+                 JOIN ts b ON b.doc_id = c.db AND b.tok = a.tok
+                 GROUP BY 1, 2),
+       pe AS (SELECT
+                CAST(($agr) AS DOUBLE) / 32 AS est,
+                CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / (sza.n + szb.n - coalesce(i.i, 0)) AS exact
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.da
+              JOIN sig sb ON sb.doc_id = c.db
+              JOIN sz sza ON sza.doc_id = c.da
+              JOIN sz szb ON szb.doc_id = c.db
+              LEFT JOIN inter i ON i.da = c.da AND i.db = c.db)
+       SELECT CAST(least(9, CAST(floor(est * 10) AS BIGINT)) AS INT) AS bin,
+         count(*) AS n_pairs,
+         round(CAST(sum(CAST(est AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS mean_est,
+         round(CAST(sum(CAST(exact AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS mean_exact,
+         round(CAST(sum(CAST(abs(est - exact) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS mae
+       FROM pe GROUP BY 1 ORDER BY 1"""
+  }
 
   private val simhashCte =
     """T AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
@@ -592,6 +760,18 @@ object DedupQueries {
     "q18_minhash_pairs" ->
       s"""WITH $shinglesCte, ${pairCtes("0.8")}
          SELECT doc_a, doc_b, jaccard FROM p ORDER BY 1, 2""",
+    "q160_sketch_calibration" -> sketchCalibrationOracle,
+    "q162_dup_source_matrix" ->
+      s"""WITH $shinglesCte, ${pairCtes("0.8")},
+         m AS (SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b, p.jaccard
+               FROM p
+               JOIN documents da ON da.doc_id = p.doc_a
+               JOIN documents db ON db.doc_id = p.doc_b)
+         SELECT source_a, source_b, count(*) AS n_pairs,
+           round(CAST(sum(CAST(jaccard AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 4) AS mean_jaccard
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "q19_simhash" ->
       s"""WITH $simhashCte
          SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM SIM ORDER BY doc_id""",

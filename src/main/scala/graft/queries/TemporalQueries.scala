@@ -549,12 +549,20 @@ object TemporalQueries {
     * must emit across ≥2 distinct batches (eager shedding, not one
     * final flush), and the streamed session set rolls up to EXACTLY the
     * q128 batch oracle (same gap, same rollup, same SQL). */
-  val q158StreamingSessionize: Q = (s, dir) => {
-    import org.apache.spark.sql.streaming.Trigger
+  private val SessGapUs = 21600000000L // 6 h — q128's threshold, same corpus
+
+  /** Stage the events corpus for the sessionize certifications: ≤7
+    * time-range parquet files plus three far-future flush sentinels
+    * under the reserved key −1, all with strictly increasing PINNED
+    * mtimes (range files in range order, sentinels last). Three
+    * sentinels make the final timer firing parity-robust: whatever the
+    * data-file count mod maxFilesPerTrigger, some sentinel lands in a
+    * LATER batch than another, so the watermark passes every real
+    * session close inside a batch that has data — no reliance on the
+    * engine scheduling a no-data batch. Returns the staged path. */
+  private def stageSessionizeInput(s: SparkSession, dir: String,
+                                   tmp: String): String = {
     import org.apache.hadoop.fs.Path
-    import graft.streaming.StreamingSessionize
-    val gapUs = 21600000000L // 6 h — q128's threshold, same corpus
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q158").toString
     val path = s"$tmp/events"
     Tables(s, dir, "events").select(col("user_id"), col("ts"))
       .repartitionByRange(7, col("ts"), col("user_id"))
@@ -564,7 +572,7 @@ object TemporalQueries {
     // three flush sentinels, 1 h apart, all past max + gap + lateness
     (1 to 3).foreach { i =>
       val sentTs = new java.sql.Timestamp(
-        maxTs.getTime + gapUs / 1000L + 600000L + i * 3600000L)
+        maxTs.getTime + SessGapUs / 1000L + 600000L + i * 3600000L)
       val sdir = s"$tmp/sent$i"
       s.createDataFrame(java.util.List.of(
           org.apache.spark.sql.Row(-1L, sentTs)),
@@ -575,24 +583,49 @@ object TemporalQueries {
       require(fs.rename(part, new Path(path, f"zzz-sentinel-$i.parquet")),
         s"sentinel move failed for $sdir")
     }
-    // pin strictly increasing mtimes: range files in name order (range k
-    // precedes range k+1), sentinels last — deterministic delivery order
     val parts = fs.listStatus(new Path(path)).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val base = System.currentTimeMillis() - parts.length * 1000L
     parts.zipWithIndex.foreach { case (f, i) => fs.setTimes(f, base + i * 1000L, -1) }
+    path
+  }
+
+  /** The custom-state sessionizer over a staged file stream (shared by
+    * q158 single-lifetime and q161 restart). */
+  private def sessionizeStream(s: SparkSession,
+                               path: String): DataFrame = {
+    import graft.streaming.StreamingSessionize
     import s.implicits._
     val raw = s.readStream.schema(s.read.parquet(path).schema)
       .option("maxFilesPerTrigger", 2).parquet(path)
-    val sessions = StreamingSessionize.sessions(
+    StreamingSessionize.sessions(
       raw.select(col("user_id").as("key"), col("ts"),
         unix_micros(col("ts")).as("us")).as[StreamingSessionize.SessEvent],
-      gapUs, lateness = "10 minutes")
+      SessGapUs, lateness = "10 minutes").toDF()
+  }
+
+  /** Session-detail rows → the q128 per-user rollup (sentinels dropped)
+    * — the oracle-facing grain shared by q158/q161. */
+  private def sessionRollup(sessions: DataFrame): DataFrame =
+    sessions.filter(col("key") >= 0) // drop the flush sentinels
+      .groupBy(col("key").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_sess_events"),
+        sum(col("end_us") - col("start_us")).as("total_dur_us"),
+        round(sum(col("n_ev")).cast("double") / count(lit(1)), 4)
+          .as("avg_sess_events"))
+      .orderBy("user_id")
+
+  val q158StreamingSessionize: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q158").toString
+    val path = stageSessionizeInput(s, dir, tmp)
     val sink = s"q158_sessions_${math.abs(tmp.hashCode)}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "8") // state sizing, as q151
-      sessions.toDF().writeStream.format("memory").queryName(sink)
+      sessionizeStream(s, path).writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -602,18 +635,73 @@ object TemporalQueries {
     require(emittingBatches >= 2,
       s"sessionize certification vacuous: sessions emitted in $emittingBatches " +
         "batch(es) — eager watermark shedding not exercised")
-    s.table(sink).filter(col("key") >= 0) // drop the flush sentinels
-      .groupBy(col("key").as("user_id"))
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(col("n_ev")).as("n_events"),
-        max(col("n_ev")).as("max_sess_events"),
-        sum(col("end_us") - col("start_us")).as("total_dur_us"),
-        round(sum(col("n_ev")).cast("double") / count(lit(1)), 4)
-          .as("avg_sess_events"))
-      .orderBy("user_id")
+    sessionRollup(s.table(sink))
+  }
+
+  /** CHECKPOINT-RESTART certification for CUSTOM event-time state — the
+    * q156 property for the `flatMapGroupsWithState` state format (q156
+    * certifies the stream-stream JOIN's state recovery; this certifies
+    * recovery of user-defined state: the sessionizer's open-session
+    * buffers and their event-time timers). The stream is killed after
+    * the earlier half of the time range, the state-store provider cache
+    * is dropped (simulating executor death), and a new query resumes
+    * from the checkpoint over the restored files. Non-vacuity: at least
+    * one emitted session must SPAN the kill boundary — its early events
+    * exist only in reloaded state, its late events only in second-life
+    * input, so the session is correct only if buffer AND timer came back
+    * from the checkpoint files. Final rollup must equal the q128 batch
+    * oracle exactly; the parquet sink's commit log makes output
+    * exactly-once across the two lifetimes. */
+  val q161SessionizeRestart: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q161").toString
+    val path = stageSessionizeInput(s, dir, tmp)
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // hold back the later data files AND the sentinels (names sort in
+    // range order with sentinels last) — life 1 sees the earlier half
+    val parts = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dataCount = parts.count(!_.getName.startsWith("zzz-sentinel"))
+    val holdDir = new Path(s"$tmp/hold")
+    fs.mkdirs(holdDir)
+    val held = parts.drop(dataCount / 2).map { f =>
+      val h = new Path(holdDir, f.getName)
+      require(fs.rename(f, h), s"hold-back rename failed for $f")
+      (h, f)
+    }
+    require(held.nonEmpty, "restart rehearsal needs files to hold back")
+    val boundaryUs = s.read.parquet(held.head._1.toString)
+      .agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val out = s"$tmp/sessions"
+    def life(): Unit = {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        sessionizeStream(s, path).writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    }
+    life()                              // first life: earlier half only
+    org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores() // die
+    held.foreach { case (h, orig) =>
+      require(fs.rename(h, orig), s"restore rename failed for $h")
+    }
+    life()                              // second life: resumes from ckpt
+    val crossBoundary = s.read.parquet(out)
+      .filter(col("start_us") < boundaryUs && col("end_us") >= boundaryUs)
+      .limit(1).count()
+    require(crossBoundary > 0,
+      "restart certification vacuous: no session spans the kill boundary " +
+        "(reloaded open-session state never exercised)")
+    sessionRollup(s.read.parquet(out))
   }
 
   val defs: Map[String, Q] = Map(
+    "q161_sessionize_restart" -> q161SessionizeRestart,
     "q158_streaming_sessionize" -> q158StreamingSessionize,
     "q156_checkpoint_restart" -> q156CheckpointRestart,
     "q151_streaming_interval_join" -> q151StreamingIntervalJoin,
@@ -693,7 +781,28 @@ object TemporalQueries {
          SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""",
     // q158 streams the SAME corpus through the custom-state sessionizer
     // and must roll up to exactly the batch sessionization ground truth
-    // (q128's oracle verbatim) — that equality IS the certification.
+    // (q128's oracle verbatim) — that equality IS the certification;
+    // q161 re-runs it killed-and-restarted from the checkpoint, and
+    // recovery is only certified if it converges to the SAME answer.
+    "q161_sessionize_restart" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        > 21600000000 THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess,
+                 us
+               FROM g),
+         sl AS (SELECT user_id, sess, count(*) AS n_ev,
+                  max(us) - min(us) AS dur
+                FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           max(n_ev) AS max_sess_events,
+           CAST(sum(dur) AS BIGINT) AS total_dur_us,
+           round(CAST(sum(n_ev) AS DOUBLE) / count(*), 4) AS avg_sess_events
+         FROM sl GROUP BY 1 ORDER BY 1""",
     "q158_streaming_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT user_id, us,
