@@ -38,6 +38,7 @@ object ScaleRehearsal {
     // round-8 continuation: custom-state streaming sessionize (state must
     // shed with the watermark, not grow with the corpus) + embedding drift
     "q158_streaming_sessionize", "q159_embedding_drift",
+    "q160_sketch_calibration", "q162_dup_source_matrix",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */

@@ -78,19 +78,42 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Word-3-gram STRINGS with the oracle's exact construction (split on
-    * whitespace runs, drop empties; n ≥ 3 → distinct 3-grams joined by
-    * single spaces, else the whole token list as one gram) — the
-    * string-space twin of `NgramHashes.word_ngram_hashes` for operators
-    * whose oracle must recompute the same gram set AND hash it (xxhash64
-    * has no DuckDB mirror; gram strings + md5 do). */
-  private def gramStrings(text: Column): Column = {
-    val ws = filter(split(trim(text), "\\s+"), w => length(w) > 0)
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3)))))
-      .otherwise(array(array_join(ws, " ")))
+  /** DISTINCT word-n-gram STRING rows (doc_id, gram) with the oracle's
+    * exact construction (split on whitespace runs, drop empties, n-word
+    * grams joined by single spaces) — the string-space twin of
+    * `NgramHashes.word_ngram_hashes` for operators whose oracle must
+    * recompute the same gram set AND hash it (xxhash64 has no DuckDB
+    * mirror; gram strings + md5 do).
+    *
+    * Built as posexplode → per-doc `lead` chain → codegen concat — NOT
+    * an array `transform` HOF: the HOF form runs interpreted per gram
+    * (the `MinHashLSH.signatures` lesson) and measured 12–19 s at sf0.1
+    * where this form is ~1 s. The two windows share one (doc_id)
+    * exchange. `keepShort` mirrors the 3-gram oracle's short-doc
+    * fallback (whole token list as one gram — `concat_ws` skips the
+    * null leads, which IS that gram); without it short docs emit
+    * nothing (the 8-gram oracle's ELSE []). */
+  private def gramRows(d: DataFrame, n: Int, keepShort: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val w = byDoc.orderBy("p0")
+    val words = d.select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p0", "w")))
+      .filter(length(col("w")) > 0)
+    val leadCols = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    val withLeads = words.select(
+      Seq(col("doc_id"), col("w"),
+        count(lit(1)).over(byDoc).as("wc"),
+        row_number().over(w).as("pos")) ++ leadCols: _*)
+    val gram = concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*)
+    val full = withLeads
+      .filter(col("pos") + (n - 1) <= col("wc") ||
+        (if (keepShort) col("wc") < n && col("pos") === 1 else lit(false)))
+      .select(col("doc_id"), gram.as("gram")).distinct()
+    if (!keepShort) full
+    else // empty/whitespace-only docs: the oracle's fallback is one "" gram
+      full.unionByName(d.filter(length(trim(col("text"))) === 0)
+        .select(col("doc_id"), lit("").as("gram")))
   }
 
   /** SKETCH CALIBRATION AUDIT — "how well does the MinHash estimate
@@ -152,6 +175,62 @@ object DedupQueries {
         round(sum(abs(col("est") - col("exact")).cast(dec)).cast("double")
           / count(lit(1)), 4).as("mae"))
       .orderBy("bin")
+  }
+
+  /** CLUSTER-LEVEL SPLIT LEAKAGE — the cluster-grain complement of
+    * q44's pairwise decontamination: a near-dup CLUSTER whose members
+    * land in different train/valid/test splits leaks the whole group
+    * (every member is a paraphrase of every other through the chain),
+    * even when some member pairs individually sit below the pair
+    * report's radar. q39's connected components joined to q40's
+    * deterministic md5 split, rolled up per cluster with per-split
+    * member counts, keeping only clusters that span ≥ 2 splits — the
+    * list a pipeline re-assigns (whole cluster to one split) before a
+    * split ships. */
+  val q163SplitLeakage: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    val clusters = Clusters.assign(pairs, "doc_a", "doc_b")
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val splits = d.select(col("doc_id"),
+      when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+    clusters.select(col("id").as("doc_id"), col("cluster"))
+      .join(splits, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        sum(when(col("split") === "train", lit(1L)).otherwise(lit(0L))).as("n_train"),
+        sum(when(col("split") === "valid", lit(1L)).otherwise(lit(0L))).as("n_valid"),
+        sum(when(col("split") === "test", lit(1L)).otherwise(lit(0L))).as("n_test"))
+      .filter(col("n_splits") > 1)
+      .orderBy("cluster")
+  }
+
+  /** BOILERPLATE PASSAGE HOTLIST — the most widely repeated word
+    * 8-grams across the corpus by document frequency: headers, footers,
+    * licence blurbs, navigation chrome — the passages a curation
+    * pipeline strips BEFORE near-dup detection (they glue unrelated
+    * docs into spurious candidate pairs; C4/RefinedWeb both run this
+    * pass). Distinct grams per doc (df counts documents, not repeats),
+    * df ≥ 2, global top-20 by (df DESC, gram ASC) — a total order, so
+    * the cut is deterministic; the global top-k lowers to TakeOrdered,
+    * never a single-task global sort. */
+  val q164BoilerplateNgrams: Q = (s, dir) => {
+    val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+    val grams = when(size(ws) >= 8,
+      array_distinct(transform(sequence(lit(0), size(ws) - 8),
+        i => concat_ws(" ", (0 until 8).map(k => element_at(ws, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+    Tables(s, dir, "documents")
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(20)
   }
 
   /** CROSS-SOURCE DUPLICATION MATRIX — "which crawls overlap?": q18's
@@ -483,6 +562,8 @@ object DedupQueries {
     "q18_minhash_pairs" -> q18MinhashPairs,
     "q160_sketch_calibration" -> q160SketchCalibration,
     "q162_dup_source_matrix" -> q162DupSourceMatrix,
+    "q163_split_leakage" -> q163SplitLeakage,
+    "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
     "q35_char_ngram_pairs" -> q35CharNgramPairs,
@@ -761,6 +842,43 @@ object DedupQueries {
       s"""WITH $shinglesCte, ${pairCtes("0.8")}
          SELECT doc_a, doc_b, jaccard FROM p ORDER BY 1, 2""",
     "q160_sketch_calibration" -> sketchCalibrationOracle,
+    // q39's recursive-CTE components + q40's md5 split, cluster rollup
+    "q163_split_leakage" ->
+      s"""WITH RECURSIVE $shinglesCte, ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u),
+         cl AS (SELECT v AS doc_id, min(u) AS cluster FROM reach GROUP BY v),
+         sp AS (SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80
+                         THEN 'train'
+                       WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+                         THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM documents)
+         SELECT cluster, count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         FROM cl JOIN sp USING (doc_id)
+         GROUP BY cluster HAVING count(DISTINCT split) > 1
+         ORDER BY cluster""",
+    "q164_boilerplate_ngrams" ->
+      """WITH W AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         G AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+                 THEN list_distinct([array_to_string(ws[i : i + 7], ' ')
+                                     for i in range(1, len(ws) - 6)])
+                 ELSE [] END) AS gram
+               FROM W),
+         dfq AS (SELECT gram, count(*) AS df FROM G GROUP BY gram)
+         SELECT gram, df FROM dfq WHERE df >= 2
+         ORDER BY df DESC, gram LIMIT 20""",
     "q162_dup_source_matrix" ->
       s"""WITH $shinglesCte, ${pairCtes("0.8")},
          m AS (SELECT least(da.source, db.source) AS source_a,
