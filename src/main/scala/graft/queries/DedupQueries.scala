@@ -138,7 +138,8 @@ object DedupQueries {
     val nh = 32; val bands = 8; val rpb = 4
     val d = Tables(s, dir, "documents")
       .filter(pmod(TextOps.md5Int32(col("text")), lit(100)) < 50)
-    val sh = d.select(col("doc_id"), gramStrings(col("text")).as("grams"))
+    val sh = d.select(col("doc_id"),
+      TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("grams"))
     val base = sh.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), pmod(TextOps.md5Int60(col("g")), lit(P)).as("h"))
     val sigs = MinHashLSH.signaturesFromBaseRows(base, "doc_id", "h", nh)
