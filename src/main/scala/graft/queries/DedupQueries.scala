@@ -219,15 +219,30 @@ object DedupQueries {
     * pass). Distinct grams per doc (df counts documents, not repeats),
     * df ≥ 2, global top-20 by (df DESC, gram ASC) — a total order, so
     * the cut is deterministic; the global top-k lowers to TakeOrdered,
-    * never a single-task global sort. */
+    * never a single-task global sort.
+    *
+    * Shape: gram construction is the codegen'd [[graft.expressions.WordGramStrings]]
+    * kernel (the declarative transform/concat_ws chain under the
+    * Generate re-ran the regex split per element_at — quadratic per doc,
+    * 60 s of a 60 s query at sf0.1; the q115 trap again), and the df
+    * count runs HASH-FIRST: phase 1 aggregates xxhash64(gram) — 8-byte
+    * rows on the wire where raw grams would ship ~8× the corpus text —
+    * and phase 2 recounts BY STRING only the grams whose hash survived
+    * df ≥ 2 (a superset of the true survivors under collisions, so the
+    * exact recount gives identical results). The survivor-hash set is
+    * boilerplate-sized by construction — that's the list being mined —
+    * so it broadcasts; a corpus where it wouldn't fit needs a higher
+    * df threshold, not a different plan. */
   val q164BoilerplateNgrams: Q = (s, dir) => {
-    val ws = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
-    val grams = when(size(ws) >= 8,
-      array_distinct(transform(sequence(lit(0), size(ws) - 8),
-        i => concat_ws(" ", (0 until 8).map(k => element_at(ws, i + k + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-    Tables(s, dir, "documents")
-      .select(explode(grams).as("gram"))
+    val d = Tables(s, dir, "documents")
+    val grams = d.select(explode(
+      graft.expressions.WordGramStrings.word_gram_strings(col("text"), 8)).as("gram"))
+    val cand = grams.select(xxhash64(col("gram")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") >= 2)
+      .select("h")
+    grams
+      .join(broadcast(cand), xxhash64(col("gram")) === cand("h"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("gram").asc)

@@ -107,6 +107,30 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("WordGramStrings kernel ≡ declarative split/transform/concat_ws chain") {
+    val inputs = Seq(
+      "a b c d e f g h i j",
+      "a b c",                   // exactly n
+      "a b",                     // < n → empty
+      "solo", "", "  \t ",
+      "x y x y x y",             // identical windows → dedup
+      "unicode héllo wörld 中文 টোকেন mixed in here",
+      "  leading and\ttrailing   whitespace\n runs ")
+    val n = 3
+    val ws = filter(split(trim(col("s")), "\\s+"), w => length(w) > 0)
+    val declarative = when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val both = inputs.toDF("s").select(
+      graft.expressions.WordGramStrings.word_gram_strings(col("s"), n).as("k"),
+      declarative.as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.zip(inputs).foreach { case ((k, h), in) =>
+      assert(k == h, s"kernel $k != spec $h for input '$in'")
+    }
+  }
+
   test("property: kernels ≡ HOF specs on random unicode strings (ScalaCheck)") {
     import org.scalacheck.Gen
     import graft.text.TextOps
