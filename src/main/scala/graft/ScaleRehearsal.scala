@@ -39,6 +39,12 @@ object ScaleRehearsal {
     // shed with the watermark, not grow with the corpus) + embedding drift
     "q158_streaming_sessionize", "q159_embedding_drift",
     "q160_sketch_calibration", "q162_dup_source_matrix",
+    // round-9 additions: restart cert, cluster-grain split family (the
+    // LSH-pair + connected-components composition), the hash-first
+    // boilerplate hotlist, and hard-negative mining off the staged edges
+    "q161_sessionize_restart", "q163_split_leakage",
+    "q164_boilerplate_ngrams", "q165_hard_negatives",
+    "q166_cluster_safe_split",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */

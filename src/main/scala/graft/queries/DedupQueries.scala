@@ -233,6 +233,43 @@ object DedupQueries {
     * boilerplate-sized by construction — that's the list being mined —
     * so it broadcasts; a corpus where it wouldn't fit needs a higher
     * df threshold, not a different plan. */
+  /** CLUSTER-SAFE SPLIT ASSIGNMENT — the FIX for the leakage q163
+    * reports: every document's split is decided by its near-dup
+    * cluster REPRESENTATIVE's text hash (singletons are their own
+    * representative), so a whole paraphrase cluster lands in one split
+    * by construction — the GPT-3-style leakage-safe split. Reuses the
+    * q163 pair/cluster machinery unchanged; the only additions are two
+    * doc-keyed joins (member → representative → representative's
+    * bucket). Reports the shipped manifest: per split, member count,
+    * cluster count, and how many docs MOVED relative to the naive
+    * doc-level split — the audit number a pipeline logs when it
+    * re-splits. */
+  val q166ClusterSafeSplit: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+      numHashes = 64, numBands = 16, threshold = 0.8)
+    val clusters = Clusters.assign(pairs, "doc_a", "doc_b")
+    def splitOf(bucket: Column): Column =
+      when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
+        .otherwise(lit("test"))
+    val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
+    val base = d.select(col("doc_id"), splitOf(bucket).as("doc_split"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+    val repSplit = d.select(col("doc_id").as("rep"),
+      splitOf(bucket).as("split"))
+    base.join(repSplit, "rep")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(when(col("doc_split") =!= col("split"), lit(1L)).otherwise(lit(0L)))
+          .as("n_moved"))
+      .orderBy("split")
+  }
+
   val q164BoilerplateNgrams: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val grams = d.select(explode(
@@ -579,6 +616,7 @@ object DedupQueries {
     "q160_sketch_calibration" -> q160SketchCalibration,
     "q162_dup_source_matrix" -> q162DupSourceMatrix,
     "q163_split_leakage" -> q163SplitLeakage,
+    "q166_cluster_safe_split" -> q166ClusterSafeSplit,
     "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
@@ -883,6 +921,32 @@ object DedupQueries {
          FROM cl JOIN sp USING (doc_id)
          GROUP BY cluster HAVING count(DISTINCT split) > 1
          ORDER BY cluster""",
+    "q166_cluster_safe_split" ->
+      s"""WITH RECURSIVE $shinglesCte, ${pairCtes("0.8")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p),
+         und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(v, u) AS (
+           SELECT DISTINCT a AS v, a AS u FROM und
+           UNION
+           SELECT r.v, und.b AS u FROM reach r JOIN und ON und.a = r.u),
+         cl AS (SELECT v AS doc_id, min(u) AS cluster FROM reach GROUP BY v),
+         sp AS (SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80
+                         THEN 'train'
+                       WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+                         THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM documents),
+         base AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+                  FROM documents d LEFT JOIN cl USING (doc_id))
+         SELECT rs.split AS split, count(*) AS n_docs,
+           count(DISTINCT base.rep) AS n_clusters,
+           CAST(sum(CASE WHEN ds.split <> rs.split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+         FROM base
+           JOIN sp ds ON ds.doc_id = base.doc_id
+           JOIN sp rs ON rs.doc_id = base.rep
+         GROUP BY 1 ORDER BY 1""",
     "q164_boilerplate_ngrams" ->
       """WITH W AS (SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws

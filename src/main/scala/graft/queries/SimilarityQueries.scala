@@ -555,7 +555,34 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** HARD-NEGATIVE MINING — for each anchor, the most similar staged
+    * kNN neighbor with a DIFFERENT label: the contrastive-training
+    * negative every embedding-model pipeline mines (in-batch negatives
+    * are easy; the ones that move the loss live just across the label
+    * boundary). Consumes the SAME staged edge table as
+    * q93/q104/q109/q113/q134/q155 — no rebuild; anchors whose top-3
+    * neighbors all share their label emit no row (an honest answer,
+    * mirrored by the oracle). Argmax by one lexicographic max(struct)
+    * with (sim DESC, dst ASC) tie order — never a window over the
+    * corpus-sized edge join. */
+  val q165HardNegatives: Q = (s, dir) => {
+    val all = Tables(s, dir, "embeddings")
+    val lbl = all.select(col("vec_id"), col("label"))
+    val hn = knnEdges(s, dir).select("src", "dst", "sim")
+      .join(lbl.select(col("vec_id").as("src"), col("label").as("anchor_label")), "src")
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("neg_label")), "dst")
+      .filter(col("anchor_label") =!= col("neg_label"))
+    hn.groupBy("src", "anchor_label")
+      .agg(max(struct(col("sim"), (-col("dst")).as("negd"),
+        col("dst"), col("neg_label"))).as("m"))
+      .select(col("src"), col("anchor_label"),
+        col("m.dst").as("hard_negative"), col("m.neg_label").as("neg_label"),
+        round(col("m.sim"), 6).as("sim"))
+      .orderBy("src")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q165_hard_negatives" -> q165HardNegatives,
     "q135_filtered_ann" -> q135FilteredAnn,
     "q134_kcore" -> q134Kcore,
     "q127_ann_sq8" -> q127AnnSq8,
@@ -660,6 +687,20 @@ object SimilarityQueries {
              FROM embeddings WHERE vec_id >= 10)"""
 
   val oracles: Map[String, String] = Map(
+    "q165_hard_negatives" ->
+      s"""WITH ${knnCtes("MATERIALIZED ")},
+         e AS (SELECT src, dst, sim FROM ranked WHERE rank <= 3),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         hn AS (SELECT e.src, la.label AS anchor_label, e.dst,
+             lb.label AS neg_label, e.sim,
+             row_number() OVER (PARTITION BY e.src
+               ORDER BY e.sim DESC, e.dst ASC) AS rn
+           FROM e JOIN lab la ON la.vec_id = e.src
+                  JOIN lab lb ON lb.vec_id = e.dst
+           WHERE la.label <> lb.label)
+         SELECT src, anchor_label, dst AS hard_negative, neg_label,
+           round(sim, 6) AS sim
+         FROM hn WHERE rn = 1 ORDER BY src""",
     "q135_filtered_ann" ->
       """WITH Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
                label FROM embeddings WHERE vec_id < 10),
