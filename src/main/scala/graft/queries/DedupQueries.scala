@@ -233,6 +233,95 @@ object DedupQueries {
     * boilerplate-sized by construction — that's the list being mined —
     * so it broadcasts; a corpus where it wouldn't fit needs a higher
     * df threshold, not a different plan. */
+  /** STREAMING CURATION PIPELINE — the streaming twin of the batch
+    * composition q157 certifies: quality gate → exact dedup with
+    * keep-FIRST across micro-batches → near-dup gate against the kept
+    * src0 history → exactly-once append, run as one continuous ingest
+    * (the reference's actual operating mode — its lurkers tail sources
+    * and upsert only unseen documents; `src/base.py:210-218` dedup gate,
+    * `:272` bulk write).
+    *
+    * Stream ≡ batch comes from two properties, each carried by
+    * construction rather than assertion: (1) the stream side is staged
+    * as doc_id-RANGE files with pinned ascending mtimes (the q151
+    * staging), so arrival order IS doc_id order and the cross-batch
+    * keep-first keeper is the GLOBAL min doc_id per text hash — a
+    * plain row_number in the oracle; (2) the near-dup gate probes a
+    * STATIC kept history (src0), so each doc's verdict is independent
+    * of batching (q147's envelope: no LSH bucket above the per-side
+    * cap at these SFs). The exact-dedup key history is a (text_hash,
+    * batch_id) table filtered to STRICTLY EARLIER batches on probe, so
+    * a redelivered micro-batch reproduces its own output instead of
+    * anti-joining against its own keys (the idempotentAppend partition
+    * is per-batch, making the kept table exactly-once under re-runs).
+    * Final surface: per-source survivor count + token mass. */
+  val q167StreamingCuration: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q167").toString
+    val d = Tables(s, dir, "documents")
+    val streamPath = s"$tmp/stream"
+    d.filter(col("source") =!= "src0")
+      .repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(streamPath)
+    // pin strictly increasing mtimes in part-file (= doc_id range) order
+    val sp = new org.apache.hadoop.fs.Path(streamPath)
+    val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(sp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val mbase = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (f, i) => fs.setTimes(f, mbase + i * 1000L, -1) }
+
+    val histHashed = d.filter(col("source") === "src0")
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+      .localCheckpoint()
+    val out = s"$tmp/kept"
+    val seen = s"$tmp/seen"
+    val schema = s.read.parquet(streamPath).schema
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+      .parquet(streamPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val toks = TextOps.tokens(col("text"))
+        val gated = batch
+          .select(col("doc_id"), col("source"), col("text"),
+            size(toks).as("n_words"), size(array_distinct(toks)).as("n_distinct"))
+          .filter(col("n_words") >= 20 &&
+            col("n_distinct") * 10 >= col("n_words") * 3)
+        val k = ExactDedup.keepers(ExactDedup.withTextHash(gated, "text"),
+          "text_hash", "doc_id", carryCols = Seq("source", "text", "n_words"))
+        val seenPath = new org.apache.hadoop.fs.Path(seen)
+        val fresh =
+          if (fs.exists(seenPath)) {
+            val prior = ss.read.parquet(seen)
+              .filter(col("batch_id") < batchId).select("text_hash")
+            k.join(prior, Seq("text_hash"), "left_anti")
+          } else k
+        val bh = fresh.select(col("doc_id"),
+          graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+        val flagged = MinHashLSH.nearDupAgainstHashed(bh, histHashed,
+            "doc_id", "sh", numHashes = 64, numBands = 16, threshold = 0.8)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val kept = fresh.join(flagged, Seq("doc_id"), "left_anti")
+        graft.sinks.Sinks.idempotentAppend(
+          kept.select(col("doc_id"), col("source"), col("n_words"))
+            .withColumn("part", lit(batchId)),
+          out, Seq("part"))
+        fresh.select(col("text_hash"), lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(seen)
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** CLUSTER-SAFE SPLIT ASSIGNMENT — the FIX for the leakage q163
     * reports: every document's split is decided by its near-dup
     * cluster REPRESENTATIVE's text hash (singletons are their own
@@ -617,6 +706,7 @@ object DedupQueries {
     "q162_dup_source_matrix" -> q162DupSourceMatrix,
     "q163_split_leakage" -> q163SplitLeakage,
     "q166_cluster_safe_split" -> q166ClusterSafeSplit,
+    "q167_streaming_curation" -> q167StreamingCuration,
     "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
@@ -947,6 +1037,30 @@ object DedupQueries {
            JOIN sp ds ON ds.doc_id = base.doc_id
            JOIN sp rs ON rs.doc_id = base.rep
          GROUP BY 1 ORDER BY 1""",
+    "q167_streaming_curation" ->
+      s"""WITH $shinglesCte, ${pairCtes("0.8")},
+         t AS (SELECT doc_id, source, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> len(x) > 0)) AS n_words,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> len(x) > 0))) AS n_distinct
+           FROM documents WHERE source <> 'src0'),
+         g AS (SELECT doc_id, source, text, n_words FROM t
+               WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3),
+         dd AS (SELECT doc_id, source, n_words,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+           FROM g),
+         flagged AS (SELECT DISTINCT
+             CASE WHEN da.source <> 'src0' THEN p.doc_a ELSE p.doc_b END AS doc_id
+           FROM p
+           JOIN documents da ON da.doc_id = p.doc_a
+           JOIN documents db ON db.doc_id = p.doc_b
+           WHERE (da.source = 'src0') <> (db.source = 'src0')),
+         kept AS (SELECT * FROM dd WHERE rk = 1
+                  AND doc_id NOT IN (SELECT doc_id FROM flagged))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY 1 ORDER BY 1""",
     "q164_boilerplate_ngrams" ->
       """WITH W AS (SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
