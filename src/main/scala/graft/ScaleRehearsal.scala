@@ -44,7 +44,7 @@ object ScaleRehearsal {
     // boilerplate hotlist, and hard-negative mining off the staged edges
     "q161_sessionize_restart", "q163_split_leakage",
     "q164_boilerplate_ngrams", "q165_hard_negatives",
-    "q166_cluster_safe_split",
+    "q166_cluster_safe_split", "q167_streaming_curation",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */

@@ -74,7 +74,7 @@ object PageRank {
     val ids = nodes.select(col(idCol).as("__id")).localCheckpoint(true)
     val n = ids.count()
     var pr = ids.withColumn("__pr", lit(1.0 / n))
-    for (_ <- 0 until iters) {
+    for (round <- 1 to iters) {
       val in = e.join(pr.select(col("__id").as("__src"), col("__pr")), "__src")
         .select(col("__dst").as("__id"),
           (col("__pr") * col("__recip")).cast(Dec).as("__c"))
@@ -83,7 +83,11 @@ object PageRank {
         .select(col("__id"),
           (lit(teleportNumerator / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("__pr"))
-        .localCheckpoint(true)
+      // checkpoint every OTHER round (and the last): caps lineage growth
+      // at two join+agg layers while halving the eager materializations —
+      // checkpoint cadence is a lineage concern only, the decimal
+      // quantization makes every round's VALUES partitioning-independent
+      if (round % 2 == 0 || round == iters) pr = pr.localCheckpoint(true)
     }
     pr.select(col("__id").as(idCol), col("__pr").as("pr"))
   }
