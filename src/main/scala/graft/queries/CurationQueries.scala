@@ -545,7 +545,36 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-GATE THRESHOLD SWEEP — the tuning pass run BEFORE fixing a
+    * pipeline's filters: survivor count and surviving token mass for
+    * every (min_words × min lexical-diversity) threshold combination,
+    * in ONE corpus scan. Per-doc stats (two ints) are computed once,
+    * cross-joined to the broadcast 12-row threshold grid, filtered to
+    * passing combos BEFORE the shuffle, and map-side-combined into a
+    * 12-row result — the text is tokenized exactly once however many
+    * thresholds are swept, and the only exchange carries (combo,
+    * partial-count) rows. Diversity thresholds are rationals gated in
+    * integer arithmetic (the q118/PrefixFilterJoin discipline):
+    * n_distinct·10 ≥ n_words·d. */
+  val q168GateSweep: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val stats = d.select(size(toks).as("n_words"),
+      size(array_distinct(toks)).as("n_distinct"))
+    val grid = Seq(10, 20, 40, 80).flatMap(mw => Seq(2, 3, 4).map(dd => (mw, dd)))
+    import s.implicits._
+    val combos = broadcast(grid.toDF("min_words", "min_diversity_x10"))
+    stats.crossJoin(combos)
+      .filter(col("n_words") >= col("min_words") &&
+        col("n_distinct") * 10 >= col("n_words") * col("min_diversity_x10"))
+      .groupBy("min_words", "min_diversity_x10")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_words").cast("long")).as("n_tokens_kept"))
+      .orderBy("min_words", "min_diversity_x10")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q168_gate_sweep" -> q168GateSweep,
     "q153_percent_rank" -> q153PercentRank,
     "q152_bigram_lm" -> q152BigramLm,
     "q148_ridge_probe" -> q148RidgeProbe,
@@ -584,6 +613,23 @@ object CurationQueries {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "q168_gate_sweep" ->
+      """WITH t AS (SELECT
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS n_words,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0))) AS n_distinct
+           FROM documents),
+         grid AS (SELECT mw.v AS min_words, dd.v AS min_diversity_x10
+                  FROM (VALUES (10), (20), (40), (80)) mw(v),
+                       (VALUES (2), (3), (4)) dd(v))
+         SELECT min_words, min_diversity_x10,
+           count(*) AS n_kept,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens_kept
+         FROM t, grid
+         WHERE n_words >= min_words
+           AND n_distinct * 10 >= n_words * min_diversity_x10
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // the windowed spelling IS the ground truth the decomposition must
     // reproduce: percent_rank = (rank-1)/(N-1), ties share
     "q153_percent_rank" ->
