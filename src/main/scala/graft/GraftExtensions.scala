@@ -88,6 +88,9 @@ object GraftExtensions {
     fn("word_gram_keys", "word_gram_keys(str, n) - distinct polynomial word-n-gram keys over md5 token hashes", 2) {
       case Seq(c, n) => WordGramKeys(c, litInt(n, "word_gram_keys"))
     },
+    fn("word_gram_strings", "word_gram_strings(str, n) - distinct space-joined word n-grams, first-occurrence order", 2) {
+      case Seq(c, n) => WordGramStrings(c, litInt(n, "word_gram_strings"))
+    },
     fn("sq8_sim", "sq8_sim(query, vec, mn, mx) - asymmetric SQ8 similarity of a full-precision query against a per-dimension [mn,mx]-quantized vector", 4) {
       case Seq(q, v, mn, mx) => Sq8Sim(q, v, mn, mx)
     },

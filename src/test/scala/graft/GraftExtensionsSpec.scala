@@ -88,6 +88,7 @@ class GraftExtensionsSpec extends SparkSpec {
       "simhash48" -> "simhash48(array('a', 'b'), 8) IS NOT NULL",
       "poly_fingerprint" -> "poly_fingerprint('a b c') IS NOT NULL",
       "word_gram_keys" -> "size(word_gram_keys('a b c d e f', 3)) = 4",
+      "word_gram_strings" -> "element_at(word_gram_strings('a b c d', 3), 2) = 'b c d'",
       // zero-span dims reconstruct to mn exactly: 2 * (7 + 0) = 14
       "sq8_sim" -> "sq8_sim(array(2.0d), array(123.0d), array(7.0d), array(7.0d)) = 14.0d",
     )
@@ -109,6 +110,7 @@ class GraftExtensionsSpec extends SparkSpec {
       "minhash_sig(array(CAST(1 AS BIGINT)), k)",
       "simhash48(array('a'), k)",
       "word_gram_keys(s, k)",
+      "word_gram_strings(s, k)",
     ).foreach { call =>
       val ex = intercept[Exception] {
         spark.sql(s"SELECT $call FROM ext_k2").collect()
