@@ -142,16 +142,25 @@ class AnalysisSpec extends SparkSpec {
         Gen.const("héllo"), Gen.const("中文词"), Gen.const("\n"))).map(_.mkString))
     val samples = (1 to 60).flatMap(i =>
       gen.apply(params, org.scalacheck.rng.Seed(9000L + i)))
+    val n = 3
+    val ws3 = filter(split(trim(col("s")), "\\s+"), w => length(w) > 0)
+    val gsSpec = when(size(ws3) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws3) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws3, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
     val rows = samples.toDF("s").select(
       TextAnalysis.fingerprint(col("s")).as("fpK"),
       TextAnalysis.fingerprintHof(col("s")).as("fpH"),
       graft.expressions.WordGramKeys.word_gram_keys(col("s"), 3).as("gk"),
       TextAnalysis.gramKeys(
-        transform(TextOps.tokens(col("s")), t => TextOps.md5Int32(t)), 3).as("gh"))
-      .as[(Long, Long, Seq[Long], Seq[Long])].collect()
-    rows.zip(samples).foreach { case ((fpK, fpH, gk, gh), in) =>
+        transform(TextOps.tokens(col("s")), t => TextOps.md5Int32(t)), 3).as("gh"),
+      graft.expressions.WordGramStrings.word_gram_strings(col("s"), 3).as("gsK"),
+      gsSpec.as("gsH"))
+      .as[(Long, Long, Seq[Long], Seq[Long], Seq[String], Seq[String])].collect()
+    rows.zip(samples).foreach { case ((fpK, fpH, gk, gh, gsK, gsH), in) =>
       assert(fpK == fpH, s"fingerprint mismatch for '${in.take(60)}'")
       assert(gk == gh, s"gramKeys mismatch for '${in.take(60)}'")
+      assert(gsK == gsH, s"gramStrings mismatch for '${in.take(60)}'")
     }
   }
 
