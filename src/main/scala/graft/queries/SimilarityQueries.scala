@@ -409,6 +409,16 @@ object SimilarityQueries {
   private def knnTop3(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
+    // FETCH form, kept after measuring the in-band alternative (the q35
+    // in-band-verify lesson does NOT transfer here): scoring inside the
+    // bucket self-join cut shuffle 6.9 → 2.1 GiB at ×100 but RAISED wall
+    // time 60 → 92 s (and 5.7 → 8.5 s at sf0.1) — a 64-dim vector is
+    // ~512 B, so re-fetching it per candidate partner is cheap, while
+    // the in-band join materializes two vector payloads per PAIR ROW and
+    // drags them through the capBuckets window. In-band wins when the
+    // ridden payload is corpus-text-sized (MinHash shingle arrays,
+    // 4–16 KB/doc); for short fixed-width vectors fetch is the right
+    // physical form at every measured scale.
     val cands = RandomHyperplaneLSH.selfCandidates(all, "vec_id", "vec",
         NumTables, adaptiveNearDupBits(all), Dims, ordered = false)
       .toDF("src", "dst")
