@@ -214,7 +214,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PER-LANGUAGE TOKENIZER FERTILITY — corpus-level tokens-per-word by
+    * language (q36's per-doc ratio rolled up on the lang column): THE
+    * multilingual cost-planning metric — a language whose fertility runs
+    * 2–3× English pays that factor in context length, training compute
+    * and serving cost, which is why tokenizer evaluations report it
+    * (e.g. the XLM-R and NLLB tokenizer analyses). One scan, map-side
+    * combined; exact integer sums, one rounded division at the end. */
+  val q169LangFertility: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(col("lang"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextOps.wordCount(col("text")).as("n_w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe").cast("long")).as("n_tokens"),
+        sum(col("n_w").cast("long")).as("n_words"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 4))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q169_lang_fertility" -> q169LangFertility,
     "q42_token_packing" -> q42TokenPacking,
     "q45_repetition" -> q45Repetition,
     "q46_funnel" -> q46Funnel,
@@ -233,6 +256,19 @@ object TextQueries {
   // replace-all; list_filter/list_transform/list_reduce mirror Spark HOFs;
   // ('0x'||substr(md5(x),1,8))::BIGINT mirrors TextOps.md5Int32.
   val oracles: Map[String, String] = Map(
+    "q169_lang_fertility" ->
+      """WITH t AS (SELECT lang,
+             len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS n_w
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+           CAST(sum(n_w) AS BIGINT) AS n_words,
+           round(CAST(sum(n_bpe) AS DOUBLE)
+             / greatest(CAST(sum(n_w) AS BIGINT), 1), 4) AS fertility
+         FROM t GROUP BY 1 ORDER BY 1""",
     "q36_bpe_tokens" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text,
