@@ -211,28 +211,6 @@ object DedupQueries {
       .orderBy("cluster")
   }
 
-  /** BOILERPLATE PASSAGE HOTLIST — the most widely repeated word
-    * 8-grams across the corpus by document frequency: headers, footers,
-    * licence blurbs, navigation chrome — the passages a curation
-    * pipeline strips BEFORE near-dup detection (they glue unrelated
-    * docs into spurious candidate pairs; C4/RefinedWeb both run this
-    * pass). Distinct grams per doc (df counts documents, not repeats),
-    * df ≥ 2, global top-20 by (df DESC, gram ASC) — a total order, so
-    * the cut is deterministic; the global top-k lowers to TakeOrdered,
-    * never a single-task global sort.
-    *
-    * Shape: gram construction is the codegen'd [[graft.expressions.WordGramStrings]]
-    * kernel (the declarative transform/concat_ws chain under the
-    * Generate re-ran the regex split per element_at — quadratic per doc,
-    * 60 s of a 60 s query at sf0.1; the q115 trap again), and the df
-    * count runs HASH-FIRST: phase 1 aggregates xxhash64(gram) — 8-byte
-    * rows on the wire where raw grams would ship ~8× the corpus text —
-    * and phase 2 recounts BY STRING only the grams whose hash survived
-    * df ≥ 2 (a superset of the true survivors under collisions, so the
-    * exact recount gives identical results). The survivor-hash set is
-    * boilerplate-sized by construction — that's the list being mined —
-    * so it broadcasts; a corpus where it wouldn't fit needs a higher
-    * df threshold, not a different plan. */
   /** STREAMING CURATION PIPELINE — the streaming twin of the batch
     * composition q157 certifies: quality gate → exact dedup with
     * keep-FIRST across micro-batches → near-dup gate against the kept
@@ -377,6 +355,28 @@ object DedupQueries {
       .orderBy("split")
   }
 
+  /** BOILERPLATE PASSAGE HOTLIST — the most widely repeated word
+    * 8-grams across the corpus by document frequency: headers, footers,
+    * licence blurbs, navigation chrome — the passages a curation
+    * pipeline strips BEFORE near-dup detection (they glue unrelated
+    * docs into spurious candidate pairs; C4/RefinedWeb both run this
+    * pass). Distinct grams per doc (df counts documents, not repeats),
+    * df ≥ 2, global top-20 by (df DESC, gram ASC) — a total order, so
+    * the cut is deterministic; the global top-k lowers to TakeOrdered,
+    * never a single-task global sort.
+    *
+    * Shape: gram construction is the codegen'd [[graft.expressions.WordGramStrings]]
+    * kernel (the declarative transform/concat_ws chain under the
+    * Generate re-ran the regex split per element_at — quadratic per doc,
+    * 60 s of a 60 s query at sf0.1; the q115 trap again), and the df
+    * count runs HASH-FIRST: phase 1 aggregates xxhash64(gram) — 8-byte
+    * rows on the wire where raw grams would ship ~8× the corpus text —
+    * and phase 2 recounts BY STRING only the grams whose hash survived
+    * df ≥ 2 (a superset of the true survivors under collisions, so the
+    * exact recount gives identical results). The survivor-hash set is
+    * boilerplate-sized by construction — that's the list being mined —
+    * so it broadcasts; a corpus where it wouldn't fit needs a higher
+    * df threshold, not a different plan. */
   val q164BoilerplateNgrams: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val grams = d.select(explode(
