@@ -318,6 +318,50 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** CURATION SURVIVORSHIP FUNNEL — the observability view every
+    * pipeline logs next to its output: how many documents (and how much
+    * token mass) survive each stage of the q167 composition — raw →
+    * quality gate → exact-dedup keeper → near-dup-clean. Computed as
+    * ONE doc-grain frame with per-stage boolean flags (keeper = min
+    * doc_id per text hash via one vocab-sized join back; near-dup flags
+    * from the banded probe of the src0 history, keepers only) and ONE
+    * final conditional aggregate — the corpus is scanned once however
+    * many stages the funnel reports, where the naive per-stage count
+    * chain re-runs the lineage per stage. */
+  val q170CurationFunnel: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val base = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"),
+        size(toks).as("n_words"), size(array_distinct(toks)).as("n_distinct"))
+      .withColumn("pass_q",
+        col("n_words") >= 20 && col("n_distinct") * 10 >= col("n_words") * 3)
+    val hashed = ExactDedup.withTextHash(base, "text")
+    val keepers = hashed.filter(col("pass_q"))
+      .groupBy("text_hash").agg(min(col("doc_id")).as("keeper_id"))
+    val withKeep = hashed.join(keepers, Seq("text_hash"), "left")
+      .withColumn("is_keeper", col("doc_id") === coalesce(col("keeper_id"), lit(-1L)))
+    val hist = d.filter(col("source") === "src0")
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val probe = withKeep.filter(col("is_keeper"))
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val flagged = MinHashLSH.nearDupAgainstHashed(probe, hist, "doc_id", "sh",
+        numHashes = 64, numBands = 16, threshold = 0.8)
+      .select(col("batch_id").as("doc_id"), lit(true).as("is_dup")).distinct()
+    withKeep.join(flagged, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("is_keeper") && col("is_dup").isNull, 1L).otherwise(0L))
+          .as("n_clean"),
+        sum(col("n_words").cast("long")).as("tok_raw"),
+        sum(when(col("is_keeper") && col("is_dup").isNull,
+          col("n_words").cast("long")).otherwise(0L)).as("tok_clean"))
+  }
+
   /** CLUSTER-SAFE SPLIT ASSIGNMENT — the FIX for the leakage q163
     * reports: every document's split is decided by its near-dup
     * cluster REPRESENTATIVE's text hash (singletons are their own
@@ -725,6 +769,7 @@ object DedupQueries {
     "q163_split_leakage" -> q163SplitLeakage,
     "q166_cluster_safe_split" -> q166ClusterSafeSplit,
     "q167_streaming_curation" -> q167StreamingCuration,
+    "q170_curation_funnel" -> q170CurationFunnel,
     "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
@@ -1079,6 +1124,34 @@ object DedupQueries {
          SELECT source, count(*) AS n_docs,
            CAST(sum(n_words) AS BIGINT) AS n_tokens
          FROM kept GROUP BY 1 ORDER BY 1""",
+    "q170_curation_funnel" ->
+      s"""WITH $shinglesCte, ${pairCtes("0.8")},
+         t AS (SELECT doc_id, source, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> len(x) > 0)) AS n_words,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> len(x) > 0))) AS n_distinct
+           FROM documents WHERE source <> 'src0'),
+         g AS (SELECT doc_id, text, n_words FROM t
+               WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3),
+         dd AS (SELECT doc_id, n_words,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+           FROM g),
+         flagged AS (SELECT DISTINCT
+             CASE WHEN da.source <> 'src0' THEN p.doc_a ELSE p.doc_b END AS doc_id
+           FROM p
+           JOIN documents da ON da.doc_id = p.doc_a
+           JOIN documents db ON db.doc_id = p.doc_b
+           WHERE (da.source = 'src0') <> (db.source = 'src0')),
+         k AS (SELECT doc_id, n_words FROM dd WHERE rk = 1),
+         c AS (SELECT doc_id, n_words FROM k
+               WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+         SELECT (SELECT count(*) FROM t) AS n_raw,
+           (SELECT count(*) FROM g) AS n_quality,
+           (SELECT count(*) FROM k) AS n_unique,
+           (SELECT count(*) FROM c) AS n_clean,
+           (SELECT CAST(sum(n_words) AS BIGINT) FROM t) AS tok_raw,
+           (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM c) AS tok_clean""",
     "q164_boilerplate_ngrams" ->
       """WITH W AS (SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
