@@ -45,7 +45,7 @@ object ScaleRehearsal {
     "q161_sessionize_restart", "q163_split_leakage",
     "q164_boilerplate_ngrams", "q165_hard_negatives",
     "q166_cluster_safe_split", "q167_streaming_curation",
-    "q168_gate_sweep", "q169_lang_fertility",
+    "q168_gate_sweep", "q169_lang_fertility", "q170_curation_funnel",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */
