@@ -94,5 +94,8 @@ object GraftExtensions {
     fn("sq8_sim", "sq8_sim(query, vec, mn, mx) - asymmetric SQ8 similarity of a full-precision query against a per-dimension [mn,mx]-quantized vector", 4) {
       case Seq(q, v, mn, mx) => Sq8Sim(q, v, mn, mx)
     },
+    fn("jaccard_sim", "jaccard_sim(a, b) - set Jaccard of two bigint-arrays (= size(array_intersect)/size(array_union))", 2) {
+      case Seq(a, b) => JaccardSim(a, b)
+    },
   )
 }

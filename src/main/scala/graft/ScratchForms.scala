@@ -2,49 +2,78 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.dedup.MinHashLSH
 
-/** Dev sandbox: time the q24 hierarchical-vote forms at an arbitrary SF
-  * dir (the sf0.1 measurements in SectorVote's scaladoc; this re-runs
-  * them at rehearsal scale). Usage: runMain graft.ScratchForms <sfDir> */
+/** Scratch probe for the round's physical-form experiments (contents
+  * change per experiment; the committed state documents the latest).
+  *
+  * Current: q35 ×100 structure probe — candidate-pair mass with and
+  * without the exact-safe SIZE-RATIO prefilter (jaccard(A,B) <=
+  * min(|A|,|B|)/max(|A|,|B|), so min/max < t proves the pair fails the
+  * threshold before any array ships), plus exact-fingerprint group
+  * structure (docs with IDENTICAL hash sets are jaccard-1 cliques and
+  * interchangeable w.r.t. every third doc).
+  *
+  * Usage: runMain graft.ScratchForms [sfDir] [c8|n3]
+  */
 object ScratchForms {
   def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dir = args.lift(0).getOrElse("/tmp/graft-sf10")
+    val gram = args.lift(1).getOrElse("c8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "192"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.enrich.SectorVote
-    def icb8 = (pmod(col("p_size"), lit(5)) + 1) * 1000000L +
-      pmod(col("p_partkey"), lit(5)) * 10000L +
-      pmod(col("p_partkey"), lit(3)) * 100L +
-      pmod(col("p_partkey"), lit(2))
-    def pairs = Tables(spark, dir, "lineitem")
-      .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("doc"), icb8.cast("long").as("code"))
-    // noop write, NOT count(): count lets Catalyst prune every column,
-    // deleting the winner computation itself — a count-based comparison
-    // times only the groupBy skeletons (the first version of this
-    // harness made exactly that mistake)
-    def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      println(f"FORM $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    }
-    pairs.count() // warm file listing/footers
-    time("windowed") { SectorVote.hierarchical(pairs, "doc", "code") }
-    time("hashAggCascade") { SectorVote.hierarchicalHashAgg(pairs, "doc", "code") }
-    time("compactHof") { SectorVote.hierarchicalCompact(pairs, "doc", "code") }
-    time("hybridTypedAgg") {
-      import spark.implicits._
-      val reduced = pairs.groupBy("doc", "code").agg(count(lit(1)).as("cnt"))
-        .as[(Long, Long, Long)]
-      reduced.groupByKey(_._1).mapValues(r => (r._2, r._3))
-        .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
-        .select(col("key").as("doc"), col("v.sector"), col("v.level"))
-    }
+
+    val d = Tables(spark, dir, "documents")
+    val threshold = if (gram == "c8") 0.7 else 0.8
+    val sh = (gram match {
+      case "c8" => d.select(col("doc_id"),
+        graft.expressions.NgramHashes.char_ngram_hashes(col("text"), 8).as("sh"))
+      case _ => d.select(col("doc_id"),
+        graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    }).localCheckpoint()
+
+    val n = sh.count()
+    println(s"PROBE corpus=$dir gram=$gram docs=$n threshold=$threshold")
+
+    // exact-fingerprint structure: identical hash SETS
+    val fp = sh.select(col("doc_id"), size(col("sh")).as("nsz"),
+      xxhash64(concat_ws(",", transform(array_sort(col("sh")), x => x.cast("string")))).as("fp"))
+    val groups = fp.groupBy("fp").agg(count(lit(1)).as("g")).localCheckpoint()
+    val stats = groups.agg(count(lit(1)).as("n_groups"),
+      sum(when(col("g") > 1, col("g")).otherwise(0L)).as("docs_in_dup_groups"),
+      max(col("g")).as("max_group"),
+      sum(col("g") * (col("g") - 1) / 2).as("intra_pairs")).head()
+    println(s"PROBE fingerprint groups=${stats.get(0)} docsInDupGroups=${stats.get(1)} maxGroup=${stats.get(2)} intraPairs=${stats.get(3)}")
+
+    // candidate mass, with and without the size-ratio prefilter
+    val sigs = MinHashLSH.signaturesFromHashArray(sh, "doc_id", "sh", 64)
+      .join(fp.select(col("doc_id"), col("nsz")), "doc_id")
+    val rows = sigs.select(col("doc_id"), col("nsz"),
+        explode(MinHashLSH.bandKeys(col("__sig"), 16, 4)).as("bk"))
+      .select(col("doc_id"), col("nsz"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("__bsz") <= MinHashLSH.DefaultMaxBucket).drop("__bsz")
+      .localCheckpoint()
+    val l = rows.select(col("doc_id").as("a"), col("nsz").as("na"), col("band"), col("key"))
+    val r = rows.select(col("doc_id").as("b"), col("nsz").as("nb"), col("band"), col("key"))
+    val joined = l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+    val agg = joined.agg(count(lit(1)).as("collisions"),
+      sum(when(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")), 1L).otherwise(0L)).as("collisionsSizeOk")).head()
+    println(s"PROBE bandCollisions=${agg.get(0)} afterSizeFilter=${agg.get(1)}")
+    val c = joined.select("a", "b").distinct().count()
+    val cSize = joined
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select("a", "b").distinct().count()
+    println(s"PROBE distinctC=$c afterSizeFilterC=$cSize inbandShip=${n * 16}")
     spark.stop()
   }
 }

@@ -166,6 +166,20 @@ object MinHashLSH {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Jaccard chooser: the native [[graft.expressions.JaccardSim]] kernel
+    * for `array<bigint>` inputs (the hashed-shingle hot path — one
+    * evaluation per candidate band collision, 25.6M at the ×100
+    * rehearsal, where the declarative intersect/union pair boxes and
+    * allocates two throwaway arrays per call), the declarative form for
+    * everything else. Value-identical by the kernel's contract. */
+  private def jaccardExpr(setType: org.apache.spark.sql.types.DataType)
+      : (Column, Column) => Column = setType match {
+    case org.apache.spark.sql.types.ArrayType(
+           org.apache.spark.sql.types.LongType, _) =>
+      (a, b) => graft.expressions.JaccardSim.jaccard_sim(a, b)
+    case _ => (a, b) => jaccard(a, b)
+  }
+
   /** End-to-end near-dup pairs over (id, shingles): LSH candidates, then
     * exact-Jaccard filter at `threshold`. Output: (doc_a, doc_b, jaccard). */
   def nearDupPairs(shingled: DataFrame, idCol: String, shCol: String,
@@ -309,9 +323,10 @@ object MinHashLSH {
       col("band"), col("key"))
     val rr = capped.select(col(idCol).as("b"), col(hCol).as("__sh_b"),
       col("band"), col("key"))
+    val jac = jaccardExpr(hashed.schema(hCol).dataType)
     l.join(rr, Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .withColumn("jaccard", jac(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .distinct()
@@ -333,25 +348,57 @@ object MinHashLSH {
                            idCol: String, hCol: String,
                            numHashes: Int, numBands: Int,
                            threshold: Double,
-                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                           maxBucket: Int = DefaultMaxBucket): DataFrame =
+    nearDupAgainstBandRows(batchHashed,
+      historyBandRows(historyHashed, idCol, hCol, numHashes, numBands, maxBucket),
+      historyHashed, idCol, hCol, numHashes, numBands, threshold, maxBucket)
+
+  /** The history side's capped band-bucket membership rows
+    * (`b, band, key`) — compute ONCE when a static history is probed by
+    * many batches (persist/localCheckpoint, or `Sinks.bucketedWrite` by
+    * (band, key) in a persistent deployment), then pass to
+    * [[nearDupAgainstBandRows]]: each probe joins the prebuilt index
+    * instead of re-running the corpus's signatures and banding. */
+  def historyBandRows(historyHashed: DataFrame, idCol: String, hCol: String,
+                      numHashes: Int, numBands: Int,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
-    // cap each SIDE's bucket at maxBucket: the bipartite blow-up is
-    // |batch ∩ bucket| × |history ∩ bucket|, so the per-side cap bounds
-    // any one bucket's output at maxBucket².
-    def bands(df: DataFrame, as: String) =
-      capBuckets(
-        signaturesFromHashArray(df, idCol, hCol, numHashes)
-          .select(col(idCol).as(as),
-            explode(bandKeys(col("__sig"), numBands, r)).as("bk"))
-          .select(col(as), col("bk.band").as("band"), col("bk.key").as("key")),
-        maxBucket)
-    val cands = bands(batchHashed, "a").join(bands(historyHashed, "b"), Seq("band", "key"))
+    capBuckets(
+      signaturesFromHashArray(historyHashed, idCol, hCol, numHashes)
+        .select(col(idCol).as("b"),
+          explode(bandKeys(col("__sig"), numBands, r)).as("bk"))
+        .select(col("b"), col("bk.band").as("band"), col("bk.key").as("key")),
+      maxBucket)
+  }
+
+  /** [[nearDupAgainstHashed]] against a PREBUILT history band index (see
+    * [[historyBandRows]]). Identical output: the per-side bucket caps —
+    * the bipartite blow-up is |batch ∩ bucket| × |history ∩ bucket|, so
+    * each side's cap bounds any one bucket's output at maxBucket² — are
+    * applied to the batch side here and were applied to the history side
+    * when its index was built. */
+  def nearDupAgainstBandRows(batchHashed: DataFrame, historyBands: DataFrame,
+                             historySets: DataFrame,
+                             idCol: String, hCol: String,
+                             numHashes: Int, numBands: Int,
+                             threshold: Double,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+    val batchBands = capBuckets(
+      signaturesFromHashArray(batchHashed, idCol, hCol, numHashes)
+        .select(col(idCol).as("a"),
+          explode(bandKeys(col("__sig"), numBands, r)).as("bk"))
+        .select(col("a"), col("bk.band").as("band"), col("bk.key").as("key")),
+      maxBucket)
+    val cands = batchBands.join(historyBands, Seq("band", "key"))
       .select("a", "b").distinct()
     val setsA = batchHashed.select(col(idCol).as("a"), col(hCol).as("__sh_a"))
-    val setsB = historyHashed.select(col(idCol).as("b"), col(hCol).as("__sh_b"))
+    val setsB = historySets.select(col(idCol).as("b"), col(hCol).as("__sh_b"))
+    val jac = jaccardExpr(batchHashed.schema(hCol).dataType)
     cands.join(setsA, "a").join(setsB, "b")
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .withColumn("jaccard", jac(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("batch_id"), col("b").as("history_id"), col("jaccard"))
   }
@@ -360,8 +407,9 @@ object MinHashLSH {
                                cands: DataFrame, threshold: Double): DataFrame = {
     val setsA = sets.select(col(idCol).as("a"), col(setCol).as("__sh_a"))
     val setsB = sets.select(col(idCol).as("b"), col(setCol).as("__sh_b"))
+    val jac = jaccardExpr(sets.schema(setCol).dataType)
     cands.join(setsA, "a").join(setsB, "b")
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .withColumn("jaccard", jac(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }

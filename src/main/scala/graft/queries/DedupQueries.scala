@@ -278,6 +278,10 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
       .localCheckpoint()
+    // static history ⇒ band index built ONCE, probed by every micro-batch
+    // (the deployment shape nearDupAgainstHashed's scaladoc prescribes)
+    val histBands = MinHashLSH.historyBandRows(histHashed, "doc_id", "sh",
+      numHashes = 64, numBands = 16).localCheckpoint()
     val out = s"$tmp/kept"
     val seen = s"$tmp/seen"
     val schema = s.read.parquet(streamPath).schema
@@ -303,8 +307,9 @@ object DedupQueries {
           } else k
         val bh = fresh.select(col("doc_id"),
           graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
-        val flagged = MinHashLSH.nearDupAgainstHashed(bh, histHashed,
-            "doc_id", "sh", numHashes = 64, numBands = 16, threshold = 0.8)
+        val flagged = MinHashLSH.nearDupAgainstBandRows(bh, histBands,
+            histHashed, "doc_id", "sh",
+            numHashes = 64, numBands = 16, threshold = 0.8)
           .select(col("batch_id").as("doc_id")).distinct()
         val kept = fresh.join(flagged, Seq("doc_id"), "left_anti")
         graft.sinks.Sinks.idempotentAppend(
@@ -324,8 +329,14 @@ object DedupQueries {
       // after termination so repeated runs don't accumulate state dirs
       .option("checkpointLocation", s"$tmp/ckpt-${System.nanoTime()}")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // right-size the per-batch jobs (gate/dedup/LSH probe/writes run as
+    // BATCH jobs inside foreachBatch and read the LIVE session conf, so
+    // the setting must span awaitTermination, not just start())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      q.start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
       .filter(_.getName.startsWith("ckpt-"))
       .foreach(p => fs.delete(p, true))
