@@ -303,12 +303,28 @@ object MinHashLSH {
     * rate the amplification is brutal (the ×100 rehearsal measured q35 at
     * 17.4M candidates for 25.6k true pairs, ~70 partners/doc, 58 GiB of
     * shuffle read to ship 1.2 GB of arrays). Here the array rides the
-    * one (band, key) exchange, the sort-merge self-join evaluates the
-    * exact Jaccard PIPELINED (pair rows never shuffle), survivors are
+    * one (band, key) exchange, the self-join evaluates the exact Jaccard
+    * PIPELINED (pair rows never shuffle), survivors are
     * threshold-filtered in place, and only true pairs reach the final
     * distinct. A pair agreeing in k bands pays k microsecond Jaccard
     * evaluations; amplification drops from per-partner to per-band.
-    * Output set identical to the fetch form by construction. */
+    * Output set identical to the fetch form by construction.
+    *
+    * Physical form of the FAT side — two alternatives were built and
+    * MEASURED at ×100 (500k docs, 8M band rows × ~2.4 KB arrays, 32g
+    * heap, 192 partitions) against this windowed-count + sort-merge form
+    * (110.8 s solo, zero spill, post-JaccardSim):
+    *   (a) hoist the hot-bucket guard to a skinny pre-pass (extra
+    *       scan-side MinHash + (band,key) count-agg, oversized list
+    *       broadcast-anti-joined before the fat exchange) + shuffle_hash
+    *       self-join: 165.0 s — building hash relations over fat array
+    *       rows costs far more than the sorts it avoids;
+    *   (b) the same hoisted guard + sort-merge join: 114.2 s — the extra
+    *       skinny MinHash pass costs ≈ what skipping the windowed count
+    *       saves.
+    * Both reverted: the window's count slots into the exchange+sort the
+    * SMJ needs anyway, and the shuffle (one fat exchange written once,
+    * read twice) plus the scan-side MinHash are the real floor. */
   private def inBandVerifyPairs(hashed: DataFrame, idCol: String, hCol: String,
                                 numHashes: Int, numBands: Int, rowsPerBand: Int,
                                 threshold: Double, maxBucket: Int): DataFrame = {

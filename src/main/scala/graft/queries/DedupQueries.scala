@@ -240,11 +240,89 @@ object DedupQueries {
     // certified to reproduce exactly — so repeated bench/rehearsal runs
     // reuse one directory instead of accumulating unbounded staging
     // copies (each run still costs only its own checkpoint, deleted
-    // inside streamingCuration).
+    // inside streamingCuration). q171 uses a SEPARATE keyed dir so the
+    // two queries never race on shared kept/seen partitions when run
+    // concurrently from different JVMs.
+    streamingCuration(s, dir, curationTmp("q167", dir))
+  }
+
+  /** KILL-AND-RESUME certification for the streaming curation pipeline —
+    * the q156/q161 restart property applied to the COMPOSED q167
+    * pipeline, whose cross-batch dedup state is TABLE-backed (the
+    * seen/kept parquet tables plus the checkpoint's offset and commit
+    * logs) rather than a state store: the Spark analog of the
+    * reference's Redis work queue surviving worker death
+    * (`/root/reference/src/workqueue/rediswq.py:85-166`). Life 1 ingests
+    * only the earlier half of the staged corpus files (a pathGlobFilter
+    * prefix — the staging stays immutable), the JVM's state-store cache
+    * is dropped and a brand-new query resumes from the same checkpoint
+    * over ALL files: the offset log keeps life 1's batches committed (no
+    * redelivery), the resumed batches probe life 1's seen hashes for
+    * their keep-first verdicts, and the final per-source aggregate must
+    * equal the SAME batch oracle as q167. Non-vacuity: at least one
+    * gated life-2 document must collide with a life-1 seen hash, so the
+    * cross-batch keep-first gate demonstrably spans the kill. */
+  val q171CurationRestart: Q = (s, dir) => {
+    val tmp = curationTmp("q171", dir)
+    val ckpt = s"$tmp/ckpt-${System.nanoTime()}"
+    val res = streamingCurationLives(s, dir, tmp, ckpt,
+      lives = Seq(Some("part-0000[0-3]*"), None))
+    // structural non-vacuity: life 2 must have RESUMED, not redelivered —
+    // the seen table carries exactly batches {0,1} from life 1 (4 files
+    // at 2/trigger behind the glob) and {2,3} from life 2
+    val seenBatches = s.read.parquet(s"$tmp/seen")
+      .select(col("batch_id").cast("long")) // partition col infers as int
+      .distinct().collect().map(_.getLong(0)).toSet
+    require(seenBatches == Set(0L, 1L, 2L, 3L),
+      s"restart certification vacuous: seen batches $seenBatches != {0,1,2,3} " +
+        "(life 2 redelivered or never resumed)")
+    // strong non-vacuity — the keep-first gate must demonstrably SPAN the
+    // kill: a gated life-2 document collides with a life-1 seen hash.
+    // Only enforceable when the corpus has gate-surviving duplicate
+    // groups on both sides of the kill boundary (sf0.01's corpus has no
+    // exact-dup pairs outside src0 at all; sf0.1 and the rehearsal
+    // corpora do, and the driver verifies there too).
+    val streamPath = s"$tmp/stream"
+    val fs = new org.apache.hadoop.fs.Path(streamPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(streamPath))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val boundaryId = s.read.parquet(parts(4).toString)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val toks = TextOps.tokens(col("text"))
+    val gated = ExactDedup.withTextHash(
+      s.read.parquet(streamPath)
+        .select(col("doc_id"), col("text"),
+          size(toks).as("n_words"), size(array_distinct(toks)).as("n_distinct"))
+        .filter(col("n_words") >= 20 && col("n_distinct") * 10 >= col("n_words") * 3),
+      "text")
+    val spanning = gated
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") < boundaryId && col("mx") >= boundaryId)
+      .limit(1).count()
+    if (spanning > 0) {
+      val life1Seen = s.read.parquet(s"$tmp/seen")
+        .filter(col("batch_id") <= 1).select("text_hash")
+      val crossLife = gated.filter(col("doc_id") >= boundaryId)
+        .join(life1Seen, Seq("text_hash"), "left_semi")
+        .limit(1).count()
+      require(crossLife > 0,
+        "restart certification vacuous: the corpus has cross-boundary " +
+          "duplicate groups but no life-2 document collided with a " +
+          "life-1 seen hash (the cross-kill keep-first gate never fired)")
+    }
+    res
+  }
+
+  /** Keyed, reusable working dir for the curation harnesses (one per
+    * (tag, input dir)): staging is skip-if-present and the pipelines are
+    * certified idempotent under full redelivery, so repeated runs reuse
+    * one directory instead of accumulating copies. */
+  private def curationTmp(tag: String, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-q167-$key"
-    streamingCuration(s, dir, tmp)
+    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
   }
 
   /** q167's engine, parameterized by working dir so the spec can run the
@@ -257,7 +335,17 @@ object DedupQueries {
     * unchanged. Staging is idempotent (skip if present) so both runs
     * consume the identical files. */
   private[graft] def streamingCuration(s: SparkSession, dir: String,
-                                       tmp: String): DataFrame = {
+                                       tmp: String): DataFrame =
+    streamingCurationLives(s, dir, tmp,
+      s"$tmp/ckpt-${System.nanoTime()}", lives = Seq(None))
+
+  /** The curation engine's full generality: run the SAME checkpoint
+    * through `lives` successive query lifetimes, life i reading only the
+    * staged files its glob admits (None = all). q167 runs one unfiltered
+    * life; q171 runs (earlier-half, all) — a mid-corpus kill + resume. */
+  private[graft] def streamingCurationLives(s: SparkSession, dir: String,
+                                            tmp: String, ckpt: String,
+                                            lives: Seq[Option[String]]): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val d = Tables(s, dir, "documents")
     val streamPath = s"$tmp/stream"
@@ -285,8 +373,10 @@ object DedupQueries {
     val out = s"$tmp/kept"
     val seen = s"$tmp/seen"
     val schema = s.read.parquet(streamPath).schema
-    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
-      .parquet(streamPath)
+    def lifeWriter(glob: Option[String]) = {
+      val reader = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+      glob.foreach(g => reader.option("pathGlobFilter", g))
+      reader.parquet(streamPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
@@ -323,19 +413,25 @@ object DedupQueries {
           fresh.select(col("text_hash"), lit(batchId).as("batch_id")),
           seen, Seq("batch_id"))
       }
-      // fresh checkpoint per invocation: a re-run of the whole pipeline
-      // against the same kept/seen tables is a FULL redelivery, which
-      // the spec exploits as the at-least-once certification; deleted
-      // after termination so repeated runs don't accumulate state dirs
-      .option("checkpointLocation", s"$tmp/ckpt-${System.nanoTime()}")
+      // fresh checkpoint per INVOCATION, shared across this invocation's
+      // lives: a re-run of the whole pipeline against the same kept/seen
+      // tables is a FULL redelivery, which the spec exploits as the
+      // at-least-once certification; deleted after the final life so
+      // repeated runs don't accumulate state dirs
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
+    }
     // right-size the per-batch jobs (gate/dedup/LSH probe/writes run as
     // BATCH jobs inside foreachBatch and read the LIVE session conf, so
     // the setting must span awaitTermination, not just start())
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      q.start().awaitTermination()
+      lives.zipWithIndex.foreach { case (glob, i) =>
+        if (i > 0) // the kill between lives must be a real one
+          org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
+        lifeWriter(glob).start().awaitTermination()
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
       .filter(_.getName.startsWith("ckpt-"))
@@ -810,12 +906,41 @@ object DedupQueries {
     "q166_cluster_safe_split" -> q166ClusterSafeSplit,
     "q167_streaming_curation" -> q167StreamingCuration,
     "q170_curation_funnel" -> q170CurationFunnel,
+    "q171_curation_restart" -> q171CurationRestart,
     "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
     "q35_char_ngram_pairs" -> q35CharNgramPairs,
     "q39_dedup_clusters" -> q39DedupClusters,
   )
+
+  /** The batch semantics of the streaming curation pipeline — shared by
+    * q167 (single life) and q171 (kill-and-resume): gate → keep-first by
+    * text hash → near-dup-vs-src0 drop → per-source rollup. */
+  private lazy val curationOracle: String =
+    s"""WITH $shinglesCte, ${pairCtes("0.8")},
+       t AS (SELECT doc_id, source, text,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> len(x) > 0)) AS n_words,
+           len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> len(x) > 0))) AS n_distinct
+         FROM documents WHERE source <> 'src0'),
+       g AS (SELECT doc_id, source, text, n_words FROM t
+             WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3),
+       dd AS (SELECT doc_id, source, n_words,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         FROM g),
+       flagged AS (SELECT DISTINCT
+           CASE WHEN da.source <> 'src0' THEN p.doc_a ELSE p.doc_b END AS doc_id
+         FROM p
+         JOIN documents da ON da.doc_id = p.doc_a
+         JOIN documents db ON db.doc_id = p.doc_b
+         WHERE (da.source = 'src0') <> (db.source = 'src0')),
+       kept AS (SELECT * FROM dd WHERE rk = 1
+                AND doc_id NOT IN (SELECT doc_id FROM flagged))
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_tokens
+       FROM kept GROUP BY 1 ORDER BY 1"""
 
   private val shinglesCte =
     """W AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
@@ -1140,30 +1265,11 @@ object DedupQueries {
            JOIN sp ds ON ds.doc_id = base.doc_id
            JOIN sp rs ON rs.doc_id = base.rep
          GROUP BY 1 ORDER BY 1""",
-    "q167_streaming_curation" ->
-      s"""WITH $shinglesCte, ${pairCtes("0.8")},
-         t AS (SELECT doc_id, source, text,
-             len(list_filter(string_split_regex(trim(text), '\\s+'),
-               x -> len(x) > 0)) AS n_words,
-             len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
-               x -> len(x) > 0))) AS n_distinct
-           FROM documents WHERE source <> 'src0'),
-         g AS (SELECT doc_id, source, text, n_words FROM t
-               WHERE n_words >= 20 AND n_distinct * 10 >= n_words * 3),
-         dd AS (SELECT doc_id, source, n_words,
-             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-           FROM g),
-         flagged AS (SELECT DISTINCT
-             CASE WHEN da.source <> 'src0' THEN p.doc_a ELSE p.doc_b END AS doc_id
-           FROM p
-           JOIN documents da ON da.doc_id = p.doc_a
-           JOIN documents db ON db.doc_id = p.doc_b
-           WHERE (da.source = 'src0') <> (db.source = 'src0')),
-         kept AS (SELECT * FROM dd WHERE rk = 1
-                  AND doc_id NOT IN (SELECT doc_id FROM flagged))
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(n_words) AS BIGINT) AS n_tokens
-         FROM kept GROUP BY 1 ORDER BY 1""",
+    "q167_streaming_curation" -> curationOracle,
+    // q171 is the kill-and-resume run of the SAME pipeline: its final
+    // table must equal the identical batch oracle (the restart is a
+    // physical event, not a semantic one)
+    "q171_curation_restart" -> curationOracle,
     "q170_curation_funnel" ->
       s"""WITH $shinglesCte, ${pairCtes("0.8")},
          t AS (SELECT doc_id, source, text,
