@@ -37,3 +37,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // superlinear scaling or >8 GiB disk spill. Run with a big heap:
 //   SPARK_DRIVER_MEM=48g sbt scaleGate
 addCommandAlias("scaleGate", "runMain graft.ScaleGate")
+// ×100 tier over the top cost centers only — run with SPARK_DRIVER_MEM=32g+
+addCommandAlias("scaleGate100", "runMain graft.ScaleGate100")

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ×100 tier of the scale gate (`sbt scaleGate100`) — the ×30 gate's
+  * budgets are loose enough that the heaviest cost centers only reveal
+  * their hazards at ×100 (the round-9 sweep passed ×30 everywhere while
+  * q35 ran 29.9 GiB of shuffle at ×100). This gate measures ONLY the
+  * top cost centers — the queries whose ×100 behavior bounds the
+  * library's 100 TB story — and fails on a superlinear scaler or a
+  * multi-GiB spill exactly like the ×30 tier.
+  *
+  * Memory note: run with SPARK_DRIVER_MEM=32g (or more). The in-band
+  * LSH verify sorts ~150 MB of fat array rows per task ×32 concurrent
+  * tasks; at the default 8g heap that legitimately spills (measured
+  * 13.9 GiB on q35), which this gate would flag — the flag would be
+  * real (an executor sized like that WOULD spill) but the 100 TB
+  * deployment premise is executors with sane sort headroom.
+  */
+object ScaleGate100 {
+
+  /** The ×100 cost centers: top-5 by the round-9 sweep plus q58 (the
+    * peak-task-memory canary — its sketch build holds the largest
+    * single-task state of the whole surface). */
+  val names: Seq[String] = Seq(
+    "q35_char_ngram_pairs", "q115_prefix_jaccard", "q23_majority_sector",
+    "q24_sector_rollup", "q104_pagerank", "q58_sketch_stats",
+  )
+
+  val SlackFactor = 1.5
+  val MinBaseSec = 1.0
+  val SpillBudgetBytes: Long = 8L << 30
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dir = args.lift(1).getOrElse("/tmp/graft-sf10")
+    val copies = args.lift(2).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-gate-100")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = Tables.names.forall { t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t.parquet/_SUCCESS"))
+    }
+    if (!complete) {
+      println(s"SCALEGATE100 building ×$copies corpus at $dir")
+      ScaleUp.build(spark, src, dir, copies, quiet = true)
+    }
+
+    SparkEntry.entry(spark).collect() // warmup
+
+    println(s"SCALEGATE100 baseline at $src")
+    val base = ScaleRehearsal.measure(spark, src, names).map(q => q.name -> q).toMap
+    // a cluster scales shuffle partitions with the data; 6× for 100×
+    // keeps per-task shuffle blocks at the ×30 tier's per-task size
+    spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 6).toString)
+    println(s"SCALEGATE100 ×$copies at $dir")
+    val big = ScaleRehearsal.measure(spark, dir, names)
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+
+    def gb(b: Long): Double = b / 1024.0 / 1024 / 1024
+    println(f"${"query"}%-26s ${"sf0.1 s"}%8s ${"x100 s"}%8s ${"ratio"}%7s ${"budget"}%8s ${"spill GiB"}%9s verdict")
+    var bad = List.empty[String]
+    big.foreach { q =>
+      val b = base(q.name)
+      val err = q.error.orElse(b.error)
+      val budget = SlackFactor * copies * math.max(b.sec, MinBaseSec)
+      val verdict =
+        if (err.nonEmpty) s"ERROR ${err.get}"
+        else if (q.sec > budget) f"SUPERLINEAR (${q.sec}%.1f > ${budget}%.1f s)"
+        else if (q.spill > SpillBudgetBytes) f"SPILL (${gb(q.spill)}%.1f GiB)"
+        else "ok"
+      if (verdict != "ok") bad ::= q.name
+      println(f"${q.name}%-26s ${b.sec}%8.2f ${q.sec}%8.2f ${q.sec / math.max(b.sec, 0.01)}%7.1f ${budget}%8.1f ${gb(q.spill)}%9.2f $verdict")
+    }
+    spark.stop()
+    if (bad.nonEmpty) {
+      println(s"SCALEGATE100 FAIL: ${bad.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
+    println("SCALEGATE100 PASS")
+  }
+}

@@ -14,12 +14,18 @@ import graft.dedup.MinHashLSH
   * structure (docs with IDENTICAL hash sets are jaccard-1 cliques and
   * interchangeable w.r.t. every third doc).
   *
-  * Usage: runMain graft.ScratchForms [sfDir] [c8|n3]
+  * Mode `q23forms`: time q23's two equivalent majority-vote physical
+  * forms (relational two-hash-agg vs the typed `majorityFullAgg`
+  * Aggregator) under full materialization — the ×100 decision record
+  * the sf0.1 measurement in q23's scaladoc extrapolates from.
+  *
+  * Usage: runMain graft.ScratchForms [sfDir] [c8|n3|q23forms]
   */
 object ScratchForms {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft-sf10")
     val gram = args.lift(1).getOrElse("c8")
+    if (gram == "q23forms") { q23Forms(dir); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -74,6 +80,41 @@ object ScratchForms {
         lit(threshold) * greatest(col("na"), col("nb")))
       .select("a", "b").distinct().count()
     println(s"PROBE distinctC=$c afterSizeFilterC=$cSize inbandShip=${n * 16}")
+    spark.stop()
+  }
+
+  private def q23Forms(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "192"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.enrich.SectorVote
+    def pairs = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"FORM $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    pairs.count() // warm file listing/footers
+    time("relationalTwoAgg") {
+      SectorVote.majority(pairs, "l_orderkey", "p_brand")
+    }
+    time("typedFullAgg") {
+      import spark.implicits._
+      pairs.as[(Long, String)].groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(SectorVote.majorityFullAgg().toColumn.name("v"))
+        .select(col("key").as("l_orderkey"), col("v.majority"),
+          col("v.cnt"), col("v.total"))
+    }
     spark.stop()
   }
 }

@@ -231,11 +231,18 @@ object MinHashLSH {
   /** In-band's measured per-shipped-array cost relative to fetch's: the
     * in-band form drags each array through the capBuckets window and the
     * band join's sort, where fetch sorts skinny id rows and fetches
-    * arrays by hash join. Calibrated against six measurements (×100
-    * char-8-gram: fetch 268 s / in-band 200 s at 2C/(nB)=4.35; ×30
-    * char-8-gram: 23.7 / 29.8 s at 1.46; ×30 word-3-gram near-tie at
-    * 0.02; sf0.1 fetch 2.3 / 5.6 s; the boilerplate and sparse router
-    * spec corpora) — every measured winner is predicted with κ = 2. */
+    * arrays by hash join. RECALIBRATED (round 10) on the regenerated
+    * corpora AFTER the JaccardSim kernel landed — the kernel cut both
+    * forms' per-pair verify CPU ~equally (×30 char-8 fetch went
+    * 100 → 7.8 s), leaving the decision array-movement-bound, so κ
+    * survives unchanged. Post-kernel calibration points (32g heap):
+    *   ×100 char-8: 2C/(nB)=4.34, fetch 276 s / in-band 120 s —
+    *     predicted ratio 4.34/κ=2.17, measured 2.31;
+    *   ×30 char-8: 1.46, fetch 7.8 / in-band 13.5 — Fetch predicted ✓;
+    *   ×30 word-3: 0.02, fetch 4.4 / in-band 5.3 — Fetch predicted ✓
+    *     (fixed overheads dominate at tiny C);
+    *   plus the sf0.1 and router-spec corpora from the round-8 fit.
+    * Every measured winner is predicted with κ = 2. */
   val InBandCostFactor = 2.0
 
   /** Cost-based verify routing from the MEASURED candidate count. Fetch
