@@ -97,5 +97,8 @@ object GraftExtensions {
     fn("jaccard_sim", "jaccard_sim(a, b) - set Jaccard of two bigint-arrays (= size(array_intersect)/size(array_union))", 2) {
       case Seq(a, b) => JaccardSim(a, b)
     },
+    fn("set_intersect_size", "set_intersect_size(a, b) - |A∩B| of two bigint- or string-arrays (= size(array_intersect))", 2) {
+      case Seq(a, b) => SetIntersectSize(a, b)
+    },
   )
 }

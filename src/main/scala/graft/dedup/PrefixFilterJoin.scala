@@ -78,15 +78,18 @@ object PrefixFilterJoin {
     // doc-keyed joins moves candidate + doc rows; the previous
     // token-granularity join exploded candidates × tokens-per-doc
     // (~10M intermediate rows at sf0.1 for 193k candidates) through
-    // the exchange before re-aggregating. size(array_intersect) is a
-    // codegen'd hash intersection, O(|a|+|b|) per pair — same exact
-    // count, ~tokens-per-doc× fewer shuffled rows.
+    // the exchange before re-aggregating. The intersection count is the
+    // native set_intersect_size kernel (sort-merge in per-thread
+    // scratch) — size(array_intersect) built a boxed hash set and a
+    // result array per pair whose contents the enclosing size discarded
+    // (the JaccardSim lesson, applied to the count-only verify).
     val docSets = ts.groupBy("id").agg(collect_list("token").as("toks"))
     val inter = cands
       .join(docSets.select(col("id").as("a"), col("toks").as("toks_a")), "a")
       .join(docSets.select(col("id").as("b"), col("toks").as("toks_b")), "b")
       .select(col("a"), col("b"), col("na"), col("nb"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("i"))
+        graft.expressions.SetIntersectSize.set_intersect_size(
+          col("toks_a"), col("toks_b")).as("i"))
     inter
       .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),

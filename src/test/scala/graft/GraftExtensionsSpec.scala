@@ -93,6 +93,7 @@ class GraftExtensionsSpec extends SparkSpec {
       "sq8_sim" -> "sq8_sim(array(2.0d), array(123.0d), array(7.0d), array(7.0d)) = 14.0d",
       // {1,2,3} vs {2,3,4}: 2 common of 4 total
       "jaccard_sim" -> "jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) = 0.5d",
+      "set_intersect_size" -> "set_intersect_size(array('a', 'b', 'b'), array('b', 'c')) = 1",
     )
     val registered = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(registered == calls.keySet,
