@@ -289,22 +289,43 @@ object DedupQueries {
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val boundaryId = s.read.parquet(parts(4).toString)
       .agg(min(col("doc_id"))).head().getLong(0)
-    val toks = TextOps.tokens(col("text"))
-    val gated = ExactDedup.withTextHash(
-      s.read.parquet(streamPath)
-        .select(col("doc_id"), col("text"),
-          size(toks).as("n_words"), size(array_distinct(toks)).as("n_distinct"))
-        .filter(col("n_words") >= 20 && col("n_distinct") * 10 >= col("n_words") * 3),
-      "text")
-    val spanning = gated
-      .groupBy("text_hash")
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") < boundaryId && col("mx") >= boundaryId)
-      .limit(1).count()
-    if (spanning > 0) {
+    // the spanning property depends only on the (immutable) staged corpus
+    // — computed once per keyed dir, memoized as a marker file
+    val spanMarker = new org.apache.hadoop.fs.Path(tmp, "spanning.flag")
+    val spanning: Boolean =
+      if (fs.exists(spanMarker)) {
+        val in = fs.open(spanMarker)
+        try in.readByte() == 1 finally in.close()
+      } else {
+        val toks = TextOps.tokens(col("text"))
+        val gated = ExactDedup.withTextHash(
+          s.read.parquet(streamPath)
+            .select(col("doc_id"), col("text"),
+              size(toks).as("n_words"), size(array_distinct(toks)).as("n_distinct"))
+            .filter(col("n_words") >= 20 && col("n_distinct") * 10 >= col("n_words") * 3),
+          "text")
+        val n = gated
+          .groupBy("text_hash")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") < boundaryId && col("mx") >= boundaryId)
+          .limit(1).count()
+        val out = fs.create(spanMarker, true)
+        out.writeByte(if (n > 0) 1 else 0)
+        out.close()
+        n > 0
+      }
+    if (spanning) {
       val life1Seen = s.read.parquet(s"$tmp/seen")
         .filter(col("batch_id") <= 1).select("text_hash")
-      val crossLife = gated.filter(col("doc_id") >= boundaryId)
+      val toks2 = TextOps.tokens(col("text"))
+      val gated2 = ExactDedup.withTextHash(
+        s.read.parquet(streamPath)
+          .filter(col("doc_id") >= boundaryId)
+          .select(col("doc_id"), col("text"),
+            size(toks2).as("n_words"), size(array_distinct(toks2)).as("n_distinct"))
+          .filter(col("n_words") >= 20 && col("n_distinct") * 10 >= col("n_words") * 3),
+        "text")
+      val crossLife = gated2
         .join(life1Seen, Seq("text_hash"), "left_semi")
         .limit(1).count()
       require(crossLife > 0,
