@@ -80,10 +80,22 @@ object Sinks {
     * (`SinksSpec` asserts the plan has no shuffle). Bucketing requires
     * the table catalog (`saveAsTable`), not a bare path. */
   def bucketedWrite(df: DataFrame, table: String, key: String,
-                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    bucketedWriteKeys(df, table, Seq(key), numBuckets, sortCols)
+
+  /** [[bucketedWrite]] on a COMPOSITE key. The bucket columns must be
+    * the join's FULL key set: join co-partitioning requires both sides
+    * to agree on the same partitioning function, so a table bucketed on
+    * a subset of the join keys still re-shuffles (Spark's
+    * requireAllClusterKeysForCoPartition default — a (band, key) band
+    * join over an index bucketed on `key` alone reads `Bucketed: false
+    * (disabled by query planner)`, measured in IncrementalIndexSpec). */
+  def bucketedWriteKeys(df: DataFrame, table: String, keys: Seq[String],
+                        numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketedWriteKeys needs at least one key column")
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(numBuckets, key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
