@@ -873,7 +873,12 @@ object DedupQueries {
     * the (ground-truth, all-pairs) DuckDB oracle checks. */
   val q147StreamingNeardup: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q147").toString
+    // keyed + reused across runs: the sink is a dynamic-partition
+    // overwrite keyed on a batch-stable column, so re-runs (= more
+    // redeliveries) replace their own output — the very property this
+    // query certifies; per-run checkpoints are deleted at the end
+    val tmp = curationTmp("q147", dir)
+    new java.io.File(tmp).mkdirs()
     val out = s"$tmp/sink"
     // history hashes depend only on history: computed once, reused by
     // every microbatch of both runs (the staged-index shape from the
@@ -896,13 +901,18 @@ object DedupQueries {
             flagged.withColumn("part", pmod(col("batch_id"), lit(8))),
             out, Seq("part"))
         }
-        .option("checkpointLocation", s"$tmp/ckpt-$run")
+        .option("checkpointLocation", s"$tmp/ckpt-$run-${System.nanoTime()}")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
     deliverAll("first")
     deliverAll("redelivery")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+      .filter(_.getName.startsWith("ckpt-"))
+      .foreach(p => fs.delete(p, true))
     s.read.parquet(out)
       .select(col("batch_id"), col("history_id"),
         round(col("jaccard"), 4).as("jaccard"))

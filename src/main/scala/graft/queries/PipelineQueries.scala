@@ -118,7 +118,13 @@ object PipelineQueries {
     * (SURVEY §7.4's "at-least-once + idempotent sink = exactly-once"). */
   val q86ExactlyOnce: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q86").toString
+    // keyed + reused across runs: re-running IS more redelivery, which
+    // the idempotent sink is certified to absorb; per-run checkpoints
+    // are deleted at the end (the q167/q147 hygiene pattern)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-q86-$key"
+    new java.io.File(tmp).mkdirs()
     val out = s"$tmp/sink"
     def deliverAll(run: String): Unit = {
       val q = Tables.stream(s, dir, "documents")
@@ -128,13 +134,18 @@ object PipelineQueries {
             batch.withColumn("part", pmod(col("doc_id"), lit(8))),
             out, Seq("part"))
         }
-        .option("checkpointLocation", s"$tmp/ckpt-$run")
+        .option("checkpointLocation", s"$tmp/ckpt-$run-${System.nanoTime()}")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
     deliverAll("first")
     deliverAll("redelivery")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+      .filter(_.getName.startsWith("ckpt-"))
+      .foreach(p => fs.delete(p, true))
     s.read.parquet(out)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
