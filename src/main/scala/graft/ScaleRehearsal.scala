@@ -46,8 +46,9 @@ object ScaleRehearsal {
     "q164_boilerplate_ngrams", "q165_hard_negatives",
     "q166_cluster_safe_split", "q167_streaming_curation",
     "q168_gate_sweep", "q169_lang_fertility", "q170_curation_funnel",
-    // round-10 addition: kill-and-resume for the composed curation stream
-    "q171_curation_restart",
+    // round-10 additions: kill-and-resume for the composed curation
+    // stream; the exact-PPJoin threshold sensitivity curve
+    "q171_curation_restart", "q172_dedup_threshold_curve",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */

@@ -41,7 +41,19 @@ object PrefixFilterJoin {
   /** @return (doc_a, doc_b, jaccard) for every pair with
     *         Jaccard ≥ tNum/tDen, doc_a < doc_b */
   def jaccardJoin(docs: DataFrame, idCol: String, tokensCol: Column,
-                  tNum: Int, tDen: Int, scale: Int = 6): DataFrame = {
+                  tNum: Int, tDen: Int, scale: Int = 6): DataFrame =
+    jaccardJoinTallies(docs, idCol, tokensCol, tNum, tDen)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), scale)
+          .as("jaccard"))
+
+  /** [[jaccardJoin]] exposing the INTEGER tallies instead of the rounded
+    * ratio: (doc_a, doc_b, i, na, nb) with i = |A∩B| — for consumers
+    * that re-gate at several thresholds (q172's sensitivity curve) and
+    * must stay in exact integer arithmetic across all of them. */
+  def jaccardJoinTallies(docs: DataFrame, idCol: String, tokensCol: Column,
+                         tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     // materialize the deduped (id, token) table once — it feeds sizes,
     // frequencies, prefixes AND both verify sides, and the explode+
@@ -93,8 +105,6 @@ object PrefixFilterJoin {
     inter
       .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        round(col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double"), scale)
-          .as("jaccard"))
+        col("i"), col("na"), col("nb"))
   }
 }

@@ -763,6 +763,47 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DEDUP THRESHOLD SENSITIVITY CURVE — the tuning view a curation team
+    * reads before picking a near-dup threshold: for each candidate
+    * threshold, how many pairs fire and how many documents are
+    * implicated. Built on the EXACT PPJoin pair set at the LOWEST tier
+    * (q115's machinery at 0.6, full recall by construction — an
+    * LSH-banded pair set would under-count the low tiers), then every
+    * tier is a conditional aggregate over the integer tallies
+    * (10·i ≥ k·|A∪B| — no doubles anywhere in the gates), so the whole
+    * curve costs ONE similarity join however many tiers it reports (the
+    * q170 one-scan-funnel pattern applied to threshold tuning). The
+    * doc counts come from a doc-grain max-tier frame; the two 1-row
+    * aggregates broadcast into the 4-row stack. */
+  val q172DedupThresholdCurve: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val sh = graft.expressions.WordGramKeys.word_gram_keys(col("text"), 3)
+    val tiers = Seq(6, 7, 8, 9)
+    val tal = PrefixFilterJoin.jaccardJoinTallies(d, "doc_id", sh, tNum = 3, tDen = 5)
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        (col("na") + col("nb") - col("i")).as("u"))
+    val pairRow = tal.agg(
+      coalesce(sum(when(col("i") * 10 >= col("u") * tiers.head, 1L)
+        .otherwise(0L)), lit(0L)).as(s"p${tiers.head}"),
+      tiers.tail.map(k => coalesce(sum(when(col("i") * 10 >= col("u") * k, 1L)
+        .otherwise(0L)), lit(0L)).as(s"p$k")): _*)
+    val docFlags = tal
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+        col("i"), col("u"))
+      .groupBy("doc_id")
+      .agg(max(when(col("i") * 10 >= col("u") * tiers.head, 1)
+        .otherwise(0)).as(s"m${tiers.head}"),
+        tiers.tail.map(k => max(when(col("i") * 10 >= col("u") * k, 1)
+          .otherwise(0)).as(s"m$k")): _*)
+    val docRow = docFlags.agg(
+      coalesce(sum(col(s"m${tiers.head}")), lit(0L)).as(s"d${tiers.head}"),
+      tiers.tail.map(k => coalesce(sum(col(s"m$k")), lit(0L)).as(s"d$k")): _*)
+    val stackArgs = tiers.map(k => s"${k / 10.0}d, p$k, d$k").mkString(", ")
+    pairRow.crossJoin(broadcast(docRow))
+      .select(expr(s"stack(${tiers.size}, $stackArgs) AS (threshold, n_pairs, n_docs)"))
+      .orderBy("threshold")
+  }
+
   /** End-to-end curation manifest — the composite the single-purpose
     * ops exist FOR, as one declarative plan: quality gate (length +
     * lexical-diversity, integer-arithmetic thresholds) → exact dedup
@@ -938,6 +979,7 @@ object DedupQueries {
     "q167_streaming_curation" -> q167StreamingCuration,
     "q170_curation_funnel" -> q170CurationFunnel,
     "q171_curation_restart" -> q171CurationRestart,
+    "q172_dedup_threshold_curve" -> q172DedupThresholdCurve,
     "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
@@ -1228,6 +1270,39 @@ object DedupQueries {
          JOIN sz sb ON sb.doc_id = db
          WHERE 5 * i >= 3 * (sa.n + sb.n - i)
          ORDER BY 1, 2""",
+    // q172 reuses q115's exact gram-key pair machinery at the lowest
+    // tier, then buckets with the same integer gates as the Spark side
+    "q172_dedup_threshold_curve" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, t ->
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+               FROM tok),
+         g0 AS (SELECT doc_id,
+                  CASE WHEN len(hs) >= 3
+                    THEN list_distinct([hs[i]*961 + hs[i+1]*31 + hs[i+2]
+                           for i in range(1, len(hs) - 1)])
+                    WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+                    ELSE [list_reduce(hs, (a, b) -> a*31 + b)] END AS gs
+                FROM h),
+         ts AS (SELECT doc_id, unnest(gs) AS token FROM g0),
+         sz AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY 1),
+         inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM ts a JOIN ts b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         tal AS (SELECT da, db, i, sa.n + sb.n - i AS u
+           FROM inter
+           JOIN sz sa ON sa.doc_id = da
+           JOIN sz sb ON sb.doc_id = db
+           WHERE 5 * i >= 3 * (sa.n + sb.n - i)),
+         tiers AS (SELECT unnest([6, 7, 8, 9]) AS k)
+         SELECT k / 10.0 AS threshold,
+           (SELECT count(*) FROM tal WHERE 10 * i >= k * u) AS n_pairs,
+           (SELECT count(DISTINCT doc) FROM
+              (SELECT unnest([da, db]) AS doc, i, u FROM tal) dd
+            WHERE 10 * i >= k * u) AS n_docs
+         FROM tiers ORDER BY 1""",
     // q147 = q59's semantics reached through streaming redelivery into
     // the idempotent sink, so the exactly-once EFFECT is checked against
     // the same ground truth: all pairs, orientation (batch, history)
