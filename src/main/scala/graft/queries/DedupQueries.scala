@@ -161,7 +161,8 @@ object DedupQueries {
     val agr = aggregate(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => when(x === y, lit(1)).otherwise(lit(0))), lit(0), (acc, v) => acc + v)
     val est = agr.cast("double") / nh
-    val inter = size(array_intersect(col("g_a"), col("g_b")))
+    val inter = graft.expressions.SetIntersectSize.set_intersect_size(
+      col("g_a"), col("g_b"))
     val exact = inter.cast("double") /
       (size(col("g_a")) + size(col("g_b")) - inter).cast("double")
     val dec = "decimal(28,12)"

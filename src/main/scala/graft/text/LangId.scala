@@ -64,7 +64,7 @@ object LangId {
       concat(lit(" "), lower(text), lit(" ")), 3)
     val profileHashes = array(trigrams.map(g =>
       lit(graft.expressions.NgramHashes.fnv1aOf(g))): _*)
-    size(array_intersect(docGrams, profileHashes))
+    graft.expressions.SetIntersectSize.set_intersect_size(docGrams, profileHashes)
   }
 
   /** Char-n-gram language prediction (Cavnar–Trenkle-shaped): argmax of
