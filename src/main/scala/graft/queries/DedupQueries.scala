@@ -445,10 +445,15 @@ object DedupQueries {
     }
     // right-size the per-batch jobs (gate/dedup/LSH probe/writes run as
     // BATCH jobs inside foreachBatch and read the LIVE session conf, so
-    // the setting must span awaitTermination, not just start())
+    // the setting must span awaitTermination, not just start()). Each
+    // micro-batch holds ~1/4 of the corpus, so a quarter of the session's
+    // corpus-sized setting fits it — NOT a hardcoded small constant,
+    // which measured fine at sf0.1 (32→8) but undersized the ×100
+    // rehearsal's batches (192→8 cost the sweep +33 s on this query).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(8, prevParts.toInt / 4).toString)
       lives.zipWithIndex.foreach { case (glob, i) =>
         if (i > 0) // the kill between lives must be a real one
           org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
@@ -780,9 +785,14 @@ object DedupQueries {
     val d = Tables(s, dir, "documents")
     val sh = graft.expressions.WordGramKeys.word_gram_keys(col("text"), 3)
     val tiers = Seq(6, 7, 8, 9)
+    // the tally set is pair-bounded (25.6k rows at ×100) but its lineage
+    // is the full PPJoin — localCheckpoint so the two aggregate consumers
+    // (pair counts, doc flags) don't run the similarity join twice
+    // (measured: 73 s vs q115's 41 s for the same join at ×100)
     val tal = PrefixFilterJoin.jaccardJoinTallies(d, "doc_id", sh, tNum = 3, tDen = 5)
       .select(col("doc_a"), col("doc_b"), col("i"),
         (col("na") + col("nb") - col("i")).as("u"))
+      .localCheckpoint()
     val pairRow = tal.agg(
       coalesce(sum(when(col("i") * 10 >= col("u") * tiers.head, 1L)
         .otherwise(0L)), lit(0L)).as(s"p${tiers.head}"),
