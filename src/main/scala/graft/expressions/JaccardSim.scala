@@ -94,7 +94,8 @@ object JaccardSim {
   }
 
   /** Static kernel shared by interpreted and generated paths. Returns a
-    * primitive double (NaN for empty∪empty, matching 0.0/0.0). */
+    * primitive double; empty∪empty → 1.0 per the class-level contract
+    * (two empty sets are identical), spec'd in JaccardSimSpec. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val (sa, ca, aNull) = fill(scratchA, a, a.numElements())
     val (sb, cb, bNull) = fill(scratchB, b, b.numElements())

@@ -244,7 +244,7 @@ object DedupQueries {
     // inside streamingCuration). q171 uses a SEPARATE keyed dir so the
     // two queries never race on shared kept/seen partitions when run
     // concurrently from different JVMs.
-    streamingCuration(s, dir, curationTmp("q167", dir))
+    streamingCuration(s, dir, curationTmp(s, "q167", dir))
   }
 
   /** KILL-AND-RESUME certification for the streaming curation pipeline —
@@ -264,7 +264,7 @@ object DedupQueries {
     * gated life-2 document must collide with a life-1 seen hash, so the
     * cross-batch keep-first gate demonstrably spans the kill. */
   val q171CurationRestart: Q = (s, dir) => {
-    val tmp = curationTmp("q171", dir)
+    val tmp = curationTmp(s, "q171", dir)
     val ckpt = s"$tmp/ckpt-${System.nanoTime()}"
     val res = streamingCurationLives(s, dir, tmp, ckpt,
       lives = Seq(Some("part-0000[0-3]*"), None))
@@ -338,14 +338,17 @@ object DedupQueries {
   }
 
   /** Keyed, reusable working dir for the curation harnesses (one per
-    * (tag, input dir)): staging is skip-if-present and the pipelines are
-    * certified idempotent under full redelivery, so repeated runs reuse
-    * one directory instead of accumulating copies. */
-  private def curationTmp(tag: String, dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
-  }
+    * (tag, documents-table content, layout version) — see
+    * [[KeyedWorkDir]] for why content, not just path): staging is
+    * skip-if-present and the pipelines are certified idempotent under
+    * full redelivery, so repeated runs reuse one directory instead of
+    * accumulating copies, while a REGENERATED corpus gets a fresh dir
+    * instead of silently mixing stale staged files / stale part=N
+    * partitions into the aggregate. Bump the layout tag when the gate
+    * predicate, files-per-trigger, staging repartition count, or sink
+    * partitioning changes. */
+  private def curationTmp(s: SparkSession, tag: String, dir: String): String =
+    KeyedWorkDir.keyed(s, tag, dir, "documents", layout = "L1")
 
   /** q167's engine, parameterized by working dir so the spec can run the
     * WHOLE stream a second time against the same kept/seen tables (a
@@ -373,7 +376,14 @@ object DedupQueries {
     val streamPath = s"$tmp/stream"
     val sp = new org.apache.hadoop.fs.Path(streamPath)
     val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(streamPath, "_SUCCESS"))) {
+    // reuse gates on the _GRAFT_STAGED marker, NOT _SUCCESS: the parquet
+    // commit writes _SUCCESS before the mtime-pinning loop below, so a
+    // crash in that window would leave a dir that looks complete but
+    // delivers files in unpinned (wrong) order — the marker is written
+    // only after pinning (same pattern as TemporalQueries.stageRangedSide)
+    val stagedMarker = new org.apache.hadoop.fs.Path(streamPath, "_GRAFT_STAGED")
+    if (!fs.exists(stagedMarker)) {
+      fs.delete(sp, true) // half-staged leftovers from a crashed run
       d.filter(col("source") =!= "src0")
         .repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(streamPath)
@@ -382,6 +392,7 @@ object DedupQueries {
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val mbase = System.currentTimeMillis() - parts.length * 1000L
       parts.zipWithIndex.foreach { case (f, i) => fs.setTimes(f, mbase + i * 1000L, -1) }
+      fs.create(stagedMarker, true).close()
     }
 
     val histHashed = d.filter(col("source") === "src0")
@@ -574,7 +585,7 @@ object DedupQueries {
     * cheap (2.5 s of the query at sf0.1), while persisting the exploded
     * gram strings would spill ~8× the corpus text to disk. The
     * survivor-hash set is boilerplate-sized by construction — that's
-    * the list being mined — and is persisted + counted so the broadcast
+    * the list being mined — and is localCheckpointed + counted so the broadcast
     * is guarded: past ~5M survivors (40 MB of longs) the semi-join
     * falls back to shuffle instead of OOMing the driver (the manual
     * remedy is still a higher df threshold, but the guard makes the
@@ -587,10 +598,12 @@ object DedupQueries {
       .groupBy("h").agg(count(lit(1)).as("dfh"))
       .filter(col("dfh") >= 2)
       .select("h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted survivor set: the count decides broadcast vs shuffle and
-    // the semi-join reuses the cached rows (released by the
-    // ContextCleaner once the returned plan is executed and dropped)
+      .localCheckpoint() // NOT persist: the CacheManager pins cached plans
+    // until explicit unpersist or session end, so per-input-dir survivor
+    // sets would accumulate across a long bench session; a localCheckpoint
+    // materializes the survivor hashes eagerly (the count + semi-join read
+    // the same blocks) and the ContextCleaner releases the RDD blocks once
+    // the returned plan is executed and dropped
     val candSide = if (cand.count() <= 5000000L) broadcast(cand) else cand
     grams
       .join(candSide, xxhash64(col("gram")) === cand("h"), "left_semi")
@@ -929,7 +942,7 @@ object DedupQueries {
     // overwrite keyed on a batch-stable column, so re-runs (= more
     // redeliveries) replace their own output — the very property this
     // query certifies; per-run checkpoints are deleted at the end
-    val tmp = curationTmp("q147", dir)
+    val tmp = curationTmp(s, "q147", dir)
     new java.io.File(tmp).mkdirs()
     val out = s"$tmp/sink"
     // history hashes depend only on history: computed once, reused by

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Reusable per-input working directories for the streaming harnesses,
+  * keyed by CONTENT, not just path.
+  *
+  * The harnesses (q151/q156/q158/q161 staging, q167/q171 kept/seen
+  * tables, q147/q86 sinks) reuse a keyed dir across runs: staging is
+  * skip-if-present and the pipelines are certified idempotent under full
+  * redelivery. Keying by the input-dir STRING alone is unsafe in two
+  * ways: (1) if the corpus at that path is regenerated, stale staged
+  * files and stale part=N partitions would be silently read into the
+  * final aggregate; (2) if a code change alters gating or batch layout
+  * so a run emits FEWER batch partitions than a prior run, the orphaned
+  * partitions would survive and pollute the result. The key therefore
+  * folds in:
+  *
+  *  - a fingerprint of the source table's files (name, length, mtime of
+  *    every data file) — corpus regeneration changes mtimes/sizes, so a
+  *    regenerated corpus gets a FRESH dir and the stale one is never
+  *    consulted (and ages out with the host tmpdir);
+  *  - a layout-version tag owned by the caller — BUMP IT whenever the
+  *    staging or batch layout changes (gate predicate, files-per-trigger,
+  *    repartition count, sink partitioning), so old dirs are orphaned
+  *    rather than mixed with.
+  */
+object KeyedWorkDir {
+
+  /** MD5-derived 12-hex key over (dir, table fingerprint, layout tag). */
+  def keyed(spark: SparkSession, tag: String, dir: String, table: String,
+            layout: String): String = {
+    val fp = fingerprint(spark, s"$dir/$table.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$fp|$layout".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
+    new java.io.File(p).mkdirs()
+    p
+  }
+
+  /** Stable fingerprint of a parquet table that may be a single file
+    * (driver testdata) or a directory of part files (ScaleUp output):
+    * every data file's (name, length, mtime), sorted by name. Listing a
+    * table is one NameNode round-trip — negligible next to the runs the
+    * key protects. */
+  private def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      else Array(st)
+    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
+  }
+}

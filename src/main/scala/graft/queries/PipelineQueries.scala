@@ -118,13 +118,13 @@ object PipelineQueries {
     * (SURVEY §7.4's "at-least-once + idempotent sink = exactly-once"). */
   val q86ExactlyOnce: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
-    // keyed + reused across runs: re-running IS more redelivery, which
-    // the idempotent sink is certified to absorb; per-run checkpoints
-    // are deleted at the end (the q167/q147 hygiene pattern)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-q86-$key"
-    new java.io.File(tmp).mkdirs()
+    // keyed by CONTENT + reused across runs: re-running IS more
+    // redelivery, which the idempotent sink is certified to absorb, but a
+    // REGENERATED corpus must get a fresh sink (stale part=N partitions
+    // from the old corpus would otherwise survive into the aggregate —
+    // see KeyedWorkDir); per-run checkpoints are deleted at the end (the
+    // q167/q147 hygiene pattern)
+    val tmp = KeyedWorkDir.keyed(s, "q86", dir, "documents", layout = "L1")
     val out = s"$tmp/sink"
     def deliverAll(run: String): Unit = {
       val q = Tables.stream(s, dir, "documents")

@@ -379,19 +379,17 @@ object TemporalQueries {
     * shared by the q151/q156 streaming certifications (see the q151
     * scaladoc for why range files + pinned order make stream ≡ batch). */
   /** Keyed, REUSABLE working dir for the streaming certification
-    * harnesses: one dir per (tag, input dir), so repeated bench/verify
-    * runs reuse the staged immutable input instead of re-writing it —
-    * and nothing accumulates across runs. Checkpoints/outputs go in a
+    * harnesses: one dir per (tag, events-table content, layout version) —
+    * see [[KeyedWorkDir]] for why content, not just path. Repeated
+    * bench/verify runs reuse the staged immutable input instead of
+    * re-writing it; a REGENERATED corpus gets a fresh dir instead of
+    * silently reading stale staged files. Checkpoints/outputs go in a
     * fresh per-run subdir (streaming commit logs must never be shared
     * across runs) that the caller deletes once the result is
-    * materialized. */
-  private def keyedTmp(tag: String, dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
-    new java.io.File(p).mkdirs()
-    p
-  }
+    * materialized. Bump the layout tag when the staging layout changes
+    * (range-file count, sentinel scheme, event filters). */
+  private def keyedTmp(s: SparkSession, tag: String, dir: String): String =
+    KeyedWorkDir.keyed(s, tag, dir, "events", layout = "L1")
 
   /** Marker written only after staging is FULLY complete (data files +
     * sentinels + pinned mtimes) — `_SUCCESS` alone is written mid-way by
@@ -444,7 +442,7 @@ object TemporalQueries {
 
   val q151StreamingIntervalJoin: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = keyedTmp("tempstage", dir)
+    val tmp = keyedTmp(s, "tempstage", dir)
     val run = s"$tmp/run-${System.nanoTime()}"
     val ev = Tables(s, dir, "events")
     val pPath = stageRangedSide(s, ev, tmp, "purchases", "purchase", "p_user", "p_ts")
@@ -462,12 +460,13 @@ object TemporalQueries {
       key = "p_user", rightKey = "c_user", leftTs = "p_ts", rightTs = "c_ts",
       lookback = "1 hour", lateness = "10 minutes")
     val sink = s"q151_pairs_${math.abs(run.hashCode)}"
-    // 8 state partitions for this stream only (fixed at first start via
+    // 4 state partitions for this stream only (fixed at first start via
     // the session conf, then restored): the stream-stream join keeps
-    // 2 state stores per partition per micro-batch, and the per-batch
-    // store overhead — not data volume — dominates this harness; the
-    // pair data itself is tiny. A real deployment sizes this to state
-    // volume exactly the same way.
+    // 2 state stores per partition per micro-batch, so each trigger pays
+    // ~partitions×2 store commits — at 4+ triggers that per-batch store
+    // overhead, not data volume, dominates this harness (the pair data
+    // itself is tiny, so halving 8→4 cut commit cost with zero skew
+    // risk). A real deployment sizes this to state volume the same way.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -512,7 +511,7 @@ object TemporalQueries {
   val q156CheckpointRestart: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.hadoop.fs.Path
-    val tmp = keyedTmp("tempstage", dir) // immutable staging, shared with q151
+    val tmp = keyedTmp(s, "tempstage", dir) // immutable staging, shared with q151
     val run = s"$tmp/run-${System.nanoTime()}"
     val ev = Tables(s, dir, "events")
     val pPath = stageRangedSide(s, ev, tmp, "purchases", "purchase", "p_user", "p_ts")
@@ -679,7 +678,7 @@ object TemporalQueries {
 
   val q158StreamingSessionize: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = keyedTmp("sessstage", dir)
+    val tmp = keyedTmp(s, "sessstage", dir)
     val run = s"$tmp/run-${System.nanoTime()}"
     val path = stageSessionizeInput(s, dir, tmp)
     val sink = s"q158_sessions_${math.abs(run.hashCode)}"
@@ -719,7 +718,7 @@ object TemporalQueries {
   val q161SessionizeRestart: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.hadoop.fs.Path
-    val tmp = keyedTmp("sessstage", dir) // immutable staging, shared with q158
+    val tmp = keyedTmp(s, "sessstage", dir) // immutable staging, shared with q158
     val run = s"$tmp/run-${System.nanoTime()}"
     val path = stageSessionizeInput(s, dir, tmp)
     val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
