@@ -100,5 +100,11 @@ object GraftExtensions {
     fn("set_intersect_size", "set_intersect_size(a, b) - |A∩B| of two bigint- or string-arrays (= size(array_intersect))", 2) {
       case Seq(a, b) => SetIntersectSize(a, b)
     },
+    fn("trunc_hashes", "trunc_hashes(a, bits) - elementwise low-bits truncation of a bigint-array to smallint (16) or int (32), preserving order and length", 2) {
+      case Seq(a, b) => TruncHashes(a, litInt(b, "trunc_hashes"))
+    },
+    fn("jaccard_upper", "jaccard_upper(a, b) - provable upper bound on the exact Jaccard of the pre-truncation sets, from two trunc_hashes arrays", 2) {
+      case Seq(a, b) => JaccardUpperBound(a, b)
+    },
   )
 }

@@ -40,9 +40,13 @@ object RouterProbe {
     val n = sh.count()
 
     var t0 = System.nanoTime()
-    val choice = MinHashLSH.chooseVerifyForm(sh, "doc_id", "sh", 64, 16, 4)
-    val routeSec = (System.nanoTime() - t0) / 1e9
-    println(f"ROUTER corpus=$dir gram=$gram docs=$n choice=$choice route_job=${routeSec}%.2f s")
+    // an explicit form list is a pure A/B — skip the routing job there
+    // (at x100 the candidate count alone is a minute per rep)
+    if (args.lift(2).forall(a => a == "stats" || a == "all")) {
+      val choice = MinHashLSH.chooseVerifyForm(sh, "doc_id", "sh", 64, 16, 4)
+      val routeSec = (System.nanoTime() - t0) / 1e9
+      println(f"ROUTER corpus=$dir gram=$gram docs=$n choice=$choice route_job=${routeSec}%.2f s")
+    }
 
     if (args.lift(2).contains("stats")) {
       // calibration quantities behind the cost model: per-band pair
@@ -63,7 +67,17 @@ object RouterProbe {
       println(s"ROUTERSTATS distinctC=$cDistinct inbandShip=${n * 16} " +
         s"fetchShip=${2 * cDistinct}")
     } else {
-      Seq(MinHashLSH.VerifyForm.Fetch, MinHashLSH.VerifyForm.InBand).foreach { form =>
+      // optional 3rd arg: comma-list of forms to time (default all three)
+      // so expensive corpora can A/B just the contenders min-of-N
+      val all = Seq(MinHashLSH.VerifyForm.Fetch, MinHashLSH.VerifyForm.InBand,
+        MinHashLSH.VerifyForm.InBandTwoTier)
+      val picked = args.lift(2) match {
+        case None | Some("all") => all
+        case Some(csv) => csv.split(",").toSeq.map(n =>
+          all.find(_.toString.equalsIgnoreCase(n)).getOrElse(
+            sys.error(s"unknown form $n (use ${all.mkString("/")})")))
+      }
+      picked.foreach { form =>
         System.gc()
         t0 = System.nanoTime()
         val obs = new org.apache.spark.sql.Observation()

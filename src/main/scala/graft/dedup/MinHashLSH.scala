@@ -226,6 +226,15 @@ object MinHashLSH {
     case object Auto extends VerifyForm
     case object Fetch extends VerifyForm
     case object InBand extends VerifyForm
+
+    /** In-band with TRUNCATED hashes riding the band exchange (tier 1:
+      * [[graft.expressions.JaccardUpperBound]] over 16-bit values — 4×
+      * fewer array bytes than InBand's full 8-byte hashes) and one
+      * skinny exact-re-verify fetch join over the pair-bounded tier-1
+      * survivors (tier 2). Identical output to InBand/Fetch: tier 1
+      * passes a provable superset. Only valid for `array<bigint>`
+      * shingle columns (the hashed pipelines). */
+    case object InBandTwoTier extends VerifyForm
   }
 
   /** In-band's measured per-shipped-array cost relative to fetch's: the
@@ -264,8 +273,29 @@ object MinHashLSH {
     val sigs = signaturesFromHashArray(hashed, idCol, hCol, numHashes)
     val c = candidatePairs(sigs, idCol, "__sig", numBands, rowsPerBand, maxBucket)
       .count()
-    if (inBandWins(c, n, numBands)) VerifyForm.InBand else VerifyForm.Fetch
+    if (inBandWins(c, n, numBands)) inBandFormFor(hashed, hCol)
+    else VerifyForm.Fetch
   }
+
+  /** Which member of the in-band FAMILY a routed decision runs: the
+    * two-tier truncated form for `array<bigint>` shingles (it dominated
+    * classic InBand at every measured point — ×30 c8 13.1 vs 18.9 s,
+    * ×100 c8 60.4 vs 91.0 s min-of-3, identical outputs — by shipping
+    * 2-byte truncated elements through the same fat exchange), classic
+    * InBand otherwise (TruncHashes requires long arrays). The
+    * fetch-vs-in-band BOUNDARY keeps κ = 2: both measured regimes stay
+    * correctly classified for the two-tier member (×30's 2C/nB = 1.46
+    * routes Fetch, where fetch 8.65 s beat two-tier 13.1 s; ×100's 4.34
+    * routes in-band, where two-tier 60.4 s beat fetch 276 s) — the
+    * two-tier form still pays the full windowed-cap + sort-merge
+    * structure, so its advantage over fetch appears in the same
+    * collision-amplified regime, just bigger. */
+  private def inBandFormFor(hashed: DataFrame, hCol: String): VerifyForm =
+    hashed.schema(hCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+             org.apache.spark.sql.types.LongType, _) => VerifyForm.InBandTwoTier
+      case _ => VerifyForm.InBand
+    }
 
   private def inBandWins(c: Long, n: Long, numBands: Int): Boolean =
     2.0 * c > InBandCostFactor * n * numBands
@@ -286,6 +316,9 @@ object MinHashLSH {
       idCol, "__sig", numBands, r, maxBucket)
     verify match {
       case VerifyForm.InBand => inBand()
+      case VerifyForm.InBandTwoTier =>
+        inBandTwoTierVerifyPairs(hashed, idCol, hCol, numHashes, numBands, r,
+          threshold, maxBucket)
       case VerifyForm.Fetch  => fetch(freshCands())
       case VerifyForm.Auto   =>
         // the routing count MATERIALIZES the ids-only candidate set; a
@@ -299,7 +332,12 @@ object MinHashLSH {
         val c = cands.count()
         if (inBandWins(c, n, numBands)) {
           cands.unpersist(blocking = false)
-          inBand()
+          inBandFormFor(hashed, hCol) match {
+            case VerifyForm.InBandTwoTier =>
+              inBandTwoTierVerifyPairs(hashed, idCol, hCol, numHashes,
+                numBands, r, threshold, maxBucket)
+            case _ => inBand()
+          }
         } else fetch(cands)
     }
   }
@@ -331,7 +369,15 @@ object MinHashLSH {
     *       saves.
     * Both reverted: the window's count slots into the exchange+sort the
     * SMJ needs anyway, and the shuffle (one fat exchange written once,
-    * read twice) plus the scan-side MinHash are the real floor. */
+    * read twice) plus the scan-side MinHash are the real floor.
+    *
+    * Round 11 attacked that floor's BYTES instead: for `array<bigint>`
+    * shingles the routed in-band decision now runs
+    * [[inBandTwoTierVerifyPairs]] (truncated 2-byte elements through the
+    * same exchange + exact re-verify of survivors — ×100 c8 60.4 s vs
+    * this form's 91.0 s, identical output). This classic form remains
+    * the in-band member for non-long shingle arrays and for explicit
+    * `VerifyForm.InBand` callers. */
   private def inBandVerifyPairs(hashed: DataFrame, idCol: String, hCol: String,
                                 numHashes: Int, numBands: Int, rowsPerBand: Int,
                                 threshold: Double, maxBucket: Int): DataFrame = {
@@ -353,6 +399,48 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .distinct()
+  }
+
+  /** Two-tier in-band verify — InBand's shape with the exchange BYTES
+    * attacked: at the ×100 rehearsal the in-band form's one fat exchange
+    * carries 8M band rows × ~2.4 KB full gram arrays = 29.9 GiB, and the
+    * round-10 kernel work proved per-pair CPU is no longer the bound
+    * (array movement is). Tier 1 ships each doc's 16-bit TRUNCATED
+    * multiset ([[graft.expressions.TruncHashes]] — 2 bytes/element, 4×
+    * fewer array bytes through the same windowed-cap + sort-merge join)
+    * and filters band collisions at `jaccard_upper >= threshold`, a
+    * PROVABLE upper bound on the exact Jaccard (see
+    * [[graft.expressions.JaccardUpperBound]] for the multiset-min
+    * argument), so survivors are a superset of the true pairs. Tier 2
+    * re-verifies survivors exactly via the skinny fetch join — survivor
+    * count ≈ true pairs + a small truncation-collision margin
+    * (E[spurious ΔJ] ≈ na·nb/2¹⁶/union, ~0.002 at 300-gram docs), so
+    * the fetch ships each array ~once per TRUE partner, not per band
+    * collision. Output identical to InBand/Fetch by construction.
+    * Requires `array<bigint>` shingles (TruncHashes' input type). */
+  private def inBandTwoTierVerifyPairs(hashed: DataFrame, idCol: String,
+                                       hCol: String, numHashes: Int,
+                                       numBands: Int, rowsPerBand: Int,
+                                       threshold: Double, maxBucket: Int): DataFrame = {
+    val rows = hashed.select(col(idCol),
+        graft.expressions.TruncHashes.trunc_hashes(col(hCol), 16).as("__tr"),
+        explode(bandKeys(
+          graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes),
+          numBands, rowsPerBand)).as("__bk"))
+      .select(col(idCol), col("__tr"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
+    val capped = capBuckets(rows, maxBucket)
+    val l = capped.select(col(idCol).as("a"), col("__tr").as("__tr_a"),
+      col("band"), col("key"))
+    val rr = capped.select(col(idCol).as("b"), col("__tr").as("__tr_b"),
+      col("band"), col("key"))
+    val survivors = l.join(rr, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .filter(graft.expressions.JaccardUpperBound.jaccard_upper(
+        col("__tr_a"), col("__tr_b")) >= threshold)
+      .select("a", "b")
+      .distinct()
+    verifyCandidates(hashed, idCol, hCol, survivors, threshold)
   }
 
   /** INCREMENTAL near-dup gate: candidates between a NEW batch and an

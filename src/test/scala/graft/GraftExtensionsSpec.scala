@@ -94,6 +94,10 @@ class GraftExtensionsSpec extends SparkSpec {
       // {1,2,3} vs {2,3,4}: 2 common of 4 total
       "jaccard_sim" -> "jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) = 0.5d",
       "set_intersect_size" -> "set_intersect_size(array('a', 'b', 'b'), array('b', 'c')) = 1",
+      // 65537 truncates to low 16 bits = 1
+      "trunc_hashes" -> "element_at(trunc_hashes(array(65537L), 16), 1) = 1S",
+      "jaccard_upper" ->
+        "jaccard_upper(trunc_hashes(array(1L, 2L, 3L), 16), trunc_hashes(array(2L, 3L, 4L), 16)) = 0.5d",
     )
     val registered = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(registered == calls.keySet,
@@ -114,6 +118,7 @@ class GraftExtensionsSpec extends SparkSpec {
       "simhash48(array('a'), k)",
       "word_gram_keys(s, k)",
       "word_gram_strings(s, k)",
+      "trunc_hashes(array(CAST(1 AS BIGINT)), k)",
     ).foreach { call =>
       val ex = intercept[Exception] {
         spark.sql(s"SELECT $call FROM ext_k2").collect()

@@ -136,9 +136,10 @@ class DedupSpec extends SparkSpec {
     // it InBand (2C = 198k > 2·n·B = 64k).
     val boiler = (1L to 2000L).map(i =>
       i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
+    // the in-band FAMILY; long-array shingles run the two-tier member
     assert(MinHashLSH.chooseVerifyForm(hashed(boiler), "doc_id", "sh",
       numHashes = 64, numBands = 16, rowsPerBand = 4)
-      == MinHashLSH.VerifyForm.InBand)
+      == MinHashLSH.VerifyForm.InBandTwoTier)
     // 300 all-distinct docs: buckets are singletons, zero expected
     // partners — Fetch.
     val sparse = (1L to 300L).map(i =>
@@ -163,7 +164,41 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
     val fetch = run(MinHashLSH.VerifyForm.Fetch)
     val inband = run(MinHashLSH.VerifyForm.InBand)
+    val twoTier = run(MinHashLSH.VerifyForm.InBandTwoTier)
     assert(fetch.nonEmpty && fetch.sameElements(inband))
+    assert(fetch.sameElements(twoTier))
+  }
+
+  test("two-tier verify keeps a true pair that NAIVE truncation would drop") {
+    // Adversarial construction: a J = 0.82 pair whose intersection holds
+    // 30 low-16-bit-colliding element PAIRS {k, k + 65536}, so the naive
+    // distinct-set Jaccard of the truncated arrays deflates to
+    // 52/70 ≈ 0.743 < 0.8 — a tier 1 built on naive truncated Jaccard
+    // would silently DROP a true near-dup. The multiset upper bound
+    // keeps both copies (i_up >= 82, J_up >= 0.82), tier 2 verifies it
+    // exactly, and the emitted pair set matches the fetch form.
+    val collide = (1L to 30L).flatMap(k => Seq(k, k + 65536L)) // 60 elems, 30 low16 values
+    val uniqueI = (1L to 22L).map(j => 200L + j)               // 22 more intersection elems
+    val inter = (collide ++ uniqueI).toArray                   // |I| = 82
+    val a = inter ++ (1L to 9L).map(j => 5000L + j)            // |A| = 91
+    val b = inter ++ (1L to 9L).map(j => 6000L + j)            // |B| = 91, u = 100
+    val d = Seq(1L -> a, 2L -> b).toDF("doc_id", "sh")
+    // sanity: the naive truncated distinct-set Jaccard is below threshold
+    val naive = d.agg(min(lit(1))).sparkSession.range(1).select(
+      graft.expressions.JaccardSim.jaccard_sim(
+        typedLit(a.map(x => x & 0xffffL).distinct.sorted.toSeq),
+        typedLit(b.map(x => x & 0xffffL).distinct.sorted.toSeq)).as("j"))
+      .as[Double].collect()(0)
+    assert(naive < 0.8, s"construction broken: naive truncated J $naive not < 0.8")
+    def run(form: MinHashLSH.VerifyForm) =
+      MinHashLSH.nearDupPairsHashed(d, "doc_id", "sh", 64, 16, 0.8, verify = form)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val fetch = run(MinHashLSH.VerifyForm.Fetch)
+    val twoTier = run(MinHashLSH.VerifyForm.InBandTwoTier)
+    assert(fetch.sameElements(twoTier))
+    assert(twoTier.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected the true near-dup pair to survive, got ${twoTier.mkString(",")}")
   }
 
   test("minhash signature is deterministic across evaluations") {
