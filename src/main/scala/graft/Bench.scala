@@ -42,29 +42,80 @@ object Bench {
     SparkEntry.queries("q21_cosine_topk")(spark, "/root/testdata/sf0.001").collect()
     SparkEntry.queries("q09_events_hourly")(spark, "/root/testdata/sf0.001").collect()
 
+    // Variance protocol (round-10 verdict #3): the bench is single-shot,
+    // so on a box with documented 1.5-3x session noise a round-over-round
+    // "regression" on an untouched sub-2s query is unfalsifiable. The
+    // previous round's BENCH.json is committed in the working directory —
+    // read it BEFORE overwriting, and any query whose ratio against it
+    // exceeds the run-pair's median ratio (the machine-noise baseline,
+    // same rule as tools/bench_diff.py) by >1.5x AND slowed by >0.5s gets
+    // ONE in-protocol re-run; the min is reported and the first-shot
+    // value recorded under "reruns" so the diff reader sees "reproduced"
+    // vs "noise" by protocol, not judgment.
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH.json")), "UTF-8")
+      val json = org.json4s.jackson.JsonMethods.parse(txt)
+      (json \ "queries") match {
+        case org.json4s.JObject(fields) => fields.collect {
+          case (k, org.json4s.JDouble(v)) => k -> v
+          case (k, org.json4s.JInt(v)) => k -> v.toDouble
+          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty }
+
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              recordFailure: Boolean): Double = {
       // settle the JVM between queries: the interpreted-HOF-heavy queries
       // allocate hard, and carryover GC debt otherwise bleeds one query's
       // cost into the next measurement
       System.gc()
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).collect(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          failed ::= name
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        if (recordFailure) failed ::= name
+        -1.0
+      }
+    }
+    val firstShot = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name, fn, recordFailure = true)
+    }
+    val ratios = firstShot.collect {
+      case (k, v) if v > 0 && prev.getOrElse(k, -1.0) > 0 => k -> v / prev(k)
+    }
+    val medianRatio =
+      if (ratios.isEmpty) 1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    val flagged = ratios.collect {
+      case (k, r) if r > medianRatio * 1.5 && firstShot.toMap.apply(k) - prev(k) > 0.5 => k
+    }.toSet
+    val reruns = flagged.toSeq.sorted.map { name =>
+      val again = timed(name, SparkEntry.queries(name), recordFailure = false)
+      System.err.println(f"[bench] rerun $name: first=${firstShot.toMap.apply(name)}%.2f s " +
+        f"rerun=$again%.2f s (median ratio $medianRatio%.2f)")
+      name -> again
+    }.toMap
+    val results = firstShot.map { case (k, v) =>
+      k -> (reruns.get(k) match {
+        case Some(r) if r > 0 => math.min(v, r) // min-of-2 by protocol
+        case _ => v
+      })
     }
     def ms(v: Double): String = // ms precision keeps the line compact
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rr = flagged.toSeq.sorted.map { k =>
+      "\"" + k + "\":{\"first\":" + ms(firstShot.toMap.apply(k)) +
+        ",\"rerun\":" + ms(reruns.getOrElse(k, -1.0)) + "}"
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}"""
     println(fullLine) // human logs; too long for the driver's 2000-char tail
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (fullLine + "\n").getBytes("UTF-8"))
