@@ -337,6 +337,55 @@ object DedupQueries {
     res
   }
 
+  /** MID-BATCH kill certification — the worker-death mode q171 leaves
+    * open: q171 kills BETWEEN batches (a glob hold-back at a file
+    * boundary, so every batch either fully commits or never starts).
+    * The reference's work-queue GC redelivers jobs that die MID-FLIGHT
+    * (`/root/reference/src/workqueue/rediswq.py:85-166` — lease expires,
+    * item returns to the main queue); the Spark analog is a crash AFTER
+    * the foreachBatch sink writes but BEFORE the checkpoint commit, which
+    * this harness forces with a poisoned batch (life 1's foreachBatch
+    * throws after batch 1's writes complete). Life 2 resumes from the
+    * same checkpoint: the offset log has batch 1 planned-but-uncommitted,
+    * so Spark REPLAYS it — same batch id, same files — and the
+    * idempotent per-batch partition overwrite must absorb the replay.
+    *
+    * Certified, not assumed: a driver-side delivery ledger proves
+    * (a) batch 1 was delivered exactly twice — once per life — and its
+    * pre-crash writes COMPLETED (the ledger records after the writes);
+    * (b) committed batch 0 was NOT redelivered (the kill landed in the
+    * write→commit window, not before the offset log);
+    * (c) both deliveries kept identical content (count/id-sum/word-sum
+    * fingerprint), and the final kept table's part=1 partition equals
+    * that single-delivery fingerprint — written ONCE despite two writes.
+    * The final aggregate must equal the same batch oracle as q167/q171
+    * (the crash is a physical event, not a semantic one). */
+  val q173MidBatchKill: Q = (s, dir) => {
+    val tmp = curationTmp(s, "q173", dir)
+    val ckpt = s"$tmp/ckpt-${System.nanoTime()}"
+    val ledger = scala.collection.mutable.Buffer.empty[(Int, Long, Long, Long, Long)]
+    val res = streamingCurationLives(s, dir, tmp, ckpt,
+      lives = Seq(None, None), poison = Some((0, 1L)), ledger = Some(ledger))
+    val deliveries = ledger.map(e => (e._1, e._2)).toList
+    require(deliveries.count(_ == (0, 1L)) == 1 && deliveries.count(_ == (1, 1L)) == 1,
+      s"mid-batch kill vacuous: poisoned batch not delivered once per life: $deliveries")
+    require(!deliveries.contains((1, 0L)),
+      s"committed batch 0 was redelivered — the kill landed before the " +
+        s"offset log, not in the write-commit window: $deliveries")
+    require(deliveries.toSet == Set((0, 0L), (0, 1L), (1, 1L), (1, 2L), (1, 3L)),
+      s"unexpected delivery pattern: $deliveries")
+    val fps = ledger.filter(_._2 == 1L).map(e => (e._3, e._4, e._5)).distinct
+    require(fps.size == 1,
+      s"replay wrote DIFFERENT content than the poisoned delivery: $fps")
+    val p1 = s.read.parquet(s"$tmp/kept").filter(col("part") === 1)
+      .agg(count(lit(1)), sum(col("doc_id")), sum(col("n_words").cast("long"))).head()
+    def nz(i: Int) = if (p1.isNullAt(i)) 0L else p1.getLong(i)
+    require((p1.getLong(0), nz(1), nz(2)) == fps.head,
+      s"kept part=1 ${(p1.getLong(0), nz(1), nz(2))} != single-delivery " +
+        s"fingerprint ${fps.head} — the replayed batch was not written-once")
+    res
+  }
+
   /** Keyed, reusable working dir for the curation harnesses (one per
     * (tag, documents-table content, layout version) — see
     * [[KeyedWorkDir]] for why content, not just path): staging is
@@ -367,10 +416,25 @@ object DedupQueries {
   /** The curation engine's full generality: run the SAME checkpoint
     * through `lives` successive query lifetimes, life i reading only the
     * staged files its glob admits (None = all). q167 runs one unfiltered
-    * life; q171 runs (earlier-half, all) — a mid-corpus kill + resume. */
+    * life; q171 runs (earlier-half, all) — a mid-corpus kill + resume;
+    * q173 runs (all, all) with a POISONED batch — a mid-BATCH kill.
+    *
+    * `poison` = (lifeIdx, batchId): that life's foreachBatch THROWS after
+    * completing that batch's sink writes — a crash in the window between
+    * the idempotent writes and the checkpoint commit, the exact failure
+    * the reference's work-queue GC redelivers
+    * (`/root/reference/src/workqueue/rediswq.py:85-166`); the next life
+    * must REPLAY the batch. `ledger` (driver-side — foreachBatch runs on
+    * the driver) records one (life, batchId, keptCount, keptIdSum,
+    * keptWordSum) row per delivery, the content fingerprint the
+    * written-once certification compares across deliveries. Both default
+    * to off and cost nothing for q167/q171. */
   private[graft] def streamingCurationLives(s: SparkSession, dir: String,
                                             tmp: String, ckpt: String,
-                                            lives: Seq[Option[String]]): DataFrame = {
+                                            lives: Seq[Option[String]],
+                                            poison: Option[(Int, Long)] = None,
+                                            ledger: Option[scala.collection.mutable.Buffer[
+                                              (Int, Long, Long, Long, Long)]] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val d = Tables(s, dir, "documents")
     val streamPath = s"$tmp/stream"
@@ -406,7 +470,7 @@ object DedupQueries {
     val out = s"$tmp/kept"
     val seen = s"$tmp/seen"
     val schema = s.read.parquet(streamPath).schema
-    def lifeWriter(glob: Option[String]) = {
+    def lifeWriter(glob: Option[String], lifeIdx: Int) = {
       val reader = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
       glob.foreach(g => reader.option("pathGlobFilter", g))
       reader.parquet(streamPath)
@@ -445,6 +509,20 @@ object DedupQueries {
         graft.sinks.Sinks.idempotentAppend(
           fresh.select(col("text_hash"), lit(batchId).as("batch_id")),
           seen, Seq("batch_id"))
+        // q173 instrumentation: fingerprint what THIS delivery kept (the
+        // written-once proof compares fingerprints across deliveries of
+        // the replayed batch), then crash in the write→commit window
+        ledger.foreach { buf =>
+          val fp = kept.agg(count(lit(1)),
+            sum(col("doc_id")), sum(col("n_words").cast("long"))).head()
+          def nz(i: Int) = if (fp.isNullAt(i)) 0L else fp.getLong(i)
+          buf.synchronized { buf += ((lifeIdx, batchId, fp.getLong(0), nz(1), nz(2))) }
+        }
+        poison.foreach { case (pl, pb) =>
+          if (pl == lifeIdx && pb == batchId)
+            throw new RuntimeException(
+              "GRAFT_POISON: deliberate crash after sink writes, before checkpoint commit")
+        }
       }
       // fresh checkpoint per INVOCATION, shared across this invocation's
       // lives: a re-run of the whole pipeline against the same kept/seen
@@ -468,7 +546,19 @@ object DedupQueries {
       lives.zipWithIndex.foreach { case (glob, i) =>
         if (i > 0) // the kill between lives must be a real one
           org.apache.spark.sql.GraftStreamingBridge.unloadAllStateStores()
-        lifeWriter(glob).start().awaitTermination()
+        try lifeWriter(glob, i).start().awaitTermination()
+        catch {
+          // the poisoned life dies by design; anything else propagates
+          case e: Throwable if poison.exists(_._1 == i) && {
+            var c: Throwable = e
+            var hit = false
+            while (c != null && !hit) {
+              hit = String.valueOf(c.getMessage).contains("GRAFT_POISON")
+              c = c.getCause
+            }
+            hit
+          } => ()
+        }
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
@@ -1004,6 +1094,7 @@ object DedupQueries {
     "q170_curation_funnel" -> q170CurationFunnel,
     "q171_curation_restart" -> q171CurationRestart,
     "q172_dedup_threshold_curve" -> q172DedupThresholdCurve,
+    "q173_midbatch_kill" -> q173MidBatchKill,
     "q164_boilerplate_ngrams" -> q164BoilerplateNgrams,
     "q19_simhash" -> q19Simhash,
     "q20_simhash_pairs" -> q20SimhashPairs,
@@ -1400,6 +1491,9 @@ object DedupQueries {
     // table must equal the identical batch oracle (the restart is a
     // physical event, not a semantic one)
     "q171_curation_restart" -> curationOracle,
+    // q173 kills mid-batch (after writes, before commit) — the replay
+    // must leave the same final table, so the same oracle again
+    "q173_midbatch_kill" -> curationOracle,
     "q170_curation_funnel" ->
       s"""WITH $shinglesCte, ${pairCtes("0.8")},
          t AS (SELECT doc_id, source, text,
