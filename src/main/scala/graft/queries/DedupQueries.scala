@@ -1035,14 +1035,22 @@ object DedupQueries {
     val tmp = curationTmp(s, "q147", dir)
     new java.io.File(tmp).mkdirs()
     val out = s"$tmp/sink"
-    // history hashes depend only on history: computed once, reused by
-    // every microbatch of both runs (the staged-index shape from the
-    // nearDupAgainstHashed scaladoc, materialized via localCheckpoint)
+    // history hashes AND the band index depend only on history: both
+    // computed once and probed by every microbatch of both runs — the
+    // staged-index shape from the historyBandRows scaladoc. Measured at
+    // ×100 deployment shape (475k-doc history, 4 batches, min-of-2,
+    // BandIndexBench): prebuilt in-memory index 30.1 s vs per-batch
+    // recompute 37.1 s vs (band,key)-bucketed catalog table 32.2 s —
+    // the bucketed table is the cross-JVM variant (its write amortizes
+    // across sessions, which a localCheckpoint cannot), but within one
+    // session the in-memory index wins and is the default here.
     val history = Tables(s, dir, "documents")
       .filter(col("source") === "src0")
       .select(col("doc_id"),
         graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
       .localCheckpoint()
+    val histBands = MinHashLSH.historyBandRows(history, "doc_id", "sh",
+      numHashes = 64, numBands = 16).localCheckpoint()
     def deliverAll(run: String): Unit = {
       val q = Tables.stream(s, dir, "documents")
         .writeStream
@@ -1050,8 +1058,8 @@ object DedupQueries {
           val b = batch.filter(col("source") =!= "src0")
             .select(col("doc_id"),
               graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
-          val flagged = MinHashLSH.nearDupAgainstHashed(b, history, "doc_id", "sh",
-            numHashes = 64, numBands = 16, threshold = 0.8)
+          val flagged = MinHashLSH.nearDupAgainstBandRows(b, histBands, history,
+            "doc_id", "sh", numHashes = 64, numBands = 16, threshold = 0.8)
           graft.sinks.Sinks.idempotentAppend(
             flagged.withColumn("part", pmod(col("batch_id"), lit(8))),
             out, Seq("part"))
