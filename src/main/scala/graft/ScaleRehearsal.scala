@@ -49,6 +49,8 @@ object ScaleRehearsal {
     // round-10 additions: kill-and-resume for the composed curation
     // stream; the exact-PPJoin threshold sensitivity curve
     "q171_curation_restart", "q172_dedup_threshold_curve",
+    // round-11 addition: mid-batch kill + replay certification
+    "q173_midbatch_kill",
   )
 
   /** One query's rehearsal measurements (bytes unless noted). */
