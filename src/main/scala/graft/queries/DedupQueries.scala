@@ -498,7 +498,13 @@ object DedupQueries {
             histHashed, "doc_id", "sh",
             numHashes = 64, numBands = 16, threshold = 0.8)
           .select(col("batch_id").as("doc_id")).distinct()
-        val kept = fresh.join(flagged, Seq("doc_id"), "left_anti")
+        val kept0 = fresh.join(flagged, Seq("doc_id"), "left_anti")
+        // with the q173 ledger on, kept feeds TWO consumers (the sink
+        // write and the fingerprint agg) — checkpoint once instead of
+        // re-running the gate+dedup+LSH lineage per consumer (the ×100
+        // sweep measured the re-run at ~25 s across q173's 5 deliveries);
+        // ledger-off paths (q167/q171) keep the single-consumer lineage
+        val kept = if (ledger.isDefined) kept0.localCheckpoint() else kept0
         graft.sinks.Sinks.idempotentAppend(
           kept.select(col("doc_id"), col("source"), col("n_words"))
             .withColumn("part", lit(batchId)),
