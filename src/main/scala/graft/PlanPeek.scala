@@ -11,7 +11,23 @@ object PlanPeek {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { name =>
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      // "lsh:<Fetch|InBand|InBandTwoTier>" explains the near-dup pair
+      // miner with a FORCED verify form (the registered q35 routes by
+      // corpus, so the big-corpus in-band plans are invisible at small
+      // SFs); anything else is a SparkEntry query name.
+      if (name.startsWith("lsh:")) {
+        import org.apache.spark.sql.functions._
+        val form = name.stripPrefix("lsh:") match {
+          case "Fetch" => graft.dedup.MinHashLSH.VerifyForm.Fetch
+          case "InBand" => graft.dedup.MinHashLSH.VerifyForm.InBand
+          case "InBandTwoTier" => graft.dedup.MinHashLSH.VerifyForm.InBandTwoTier
+          case other => sys.error(s"unknown form $other")
+        }
+        val sh = Tables(spark, dir, "documents").select(col("doc_id"),
+          graft.expressions.NgramHashes.char_ngram_hashes(col("text"), 8).as("sh"))
+        graft.dedup.MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+          64, 16, 0.7, verify = form).explain("formatted")
+      } else SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
