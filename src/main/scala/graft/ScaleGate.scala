@@ -62,13 +62,17 @@ object ScaleGate {
     val names = ScaleRehearsal.defaultNames
     SparkEntry.entry(spark).collect() // warmup
 
-    println(s"SCALEGATE baseline at $src")
-    val base = ScaleRehearsal.measure(spark, src, names).map(q => q.name -> q).toMap
+    // ×30 phase FIRST on the fresh JVM, baselines after — the ×100 tier's
+    // ordering (ScaleGate100): the big runs are the gate's signal and the
+    // baseline phase's page-cache/heap wear was measured inflating them
+    // ~2× there; baselines are noise-tolerant (MinBaseSec floors them).
     // a cluster scales shuffle partitions with the data; so does the gate
     spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
     println(s"SCALEGATE ×$copies at $dir")
     val big = ScaleRehearsal.measure(spark, dir, names)
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    println(s"SCALEGATE baseline at $src")
+    val base = ScaleRehearsal.measure(spark, src, names).map(q => q.name -> q).toMap
 
     def gb(b: Long): Double = b / 1024.0 / 1024 / 1024
     println(f"${"query"}%-26s ${"sf0.1 s"}%8s ${"x30 s"}%8s ${"ratio"}%7s ${"budget"}%8s ${"spill GiB"}%9s verdict")

@@ -29,7 +29,7 @@ object ScaleGate100 {
   val names: Seq[String] = Seq(
     "q35_char_ngram_pairs", "q115_prefix_jaccard", "q23_majority_sector",
     "q24_sector_rollup", "q104_pagerank", "q58_sketch_stats",
-    "q167_streaming_curation", "q171_curation_restart",
+    "q167_streaming_curation", "q171_curation_restart", "q173_midbatch_kill",
   )
 
   val SlackFactor = 1.5
@@ -49,6 +49,9 @@ object ScaleGate100 {
   val absoluteCapSec: Map[String, Double] = Map(
     "q167_streaming_curation" -> 75.0,
     "q171_curation_restart" -> 75.0,
+    // two lives + 5 deliveries + ledger fingerprints; 52.3 s measured
+    // post-localCheckpoint (round 11), ~1.6× headroom
+    "q173_midbatch_kill" -> 85.0,
   )
 
   def main(args: Array[String]): Unit = {
