@@ -240,19 +240,29 @@ object MinHashLSH {
   /** In-band's measured per-shipped-array cost relative to fetch's: the
     * in-band form drags each array through the capBuckets window and the
     * band join's sort, where fetch sorts skinny id rows and fetches
-    * arrays by hash join. RECALIBRATED (round 10) on the regenerated
-    * corpora AFTER the JaccardSim kernel landed — the kernel cut both
-    * forms' per-pair verify CPU ~equally (×30 char-8 fetch went
-    * 100 → 7.8 s), leaving the decision array-movement-bound, so κ
-    * survives unchanged. Post-kernel calibration points (32g heap):
-    *   ×100 char-8: 2C/(nB)=4.34, fetch 276 s / in-band 120 s —
-    *     predicted ratio 4.34/κ=2.17, measured 2.31;
-    *   ×30 char-8: 1.46, fetch 7.8 / in-band 13.5 — Fetch predicted ✓;
-    *   ×30 word-3: 0.02, fetch 4.4 / in-band 5.3 — Fetch predicted ✓
-    *     (fixed overheads dominate at tiny C);
-    *   plus the sf0.1 and router-spec corpora from the round-8 fit.
-    * Every measured winner is predicted with κ = 2. */
-  val InBandCostFactor = 2.0
+    * arrays by hash join. RECALIBRATED (round 11) after the two-tier
+    * member landed: the round-10 κ=2 fit had no point between
+    * 2C/nB = 1.46 and 4.34, and probing that gap with ×50/×70 corpora
+    * (min-of-2 alternating, 32g heap, 96 partitions) found the real
+    * crossover inside it. Calibration points, ρ = 2C/(n·numBands),
+    * times are per-form minima on the two-tier member unless noted:
+    *   ×30  char-8: ρ=1.46, fetch   8.65 s / two-tier 13.1 s — Fetch ✓
+    *   ×50  char-8: ρ=2.37, fetch  15.71 s / two-tier 18.5 s — Fetch ✓
+    *     (classic in-band 25.9 s — fetch beats both members here;
+    *      κ=2 called this in-band: the mis-route that forced the refit)
+    *   ×70  char-8: ρ=3.28, fetch  85.7 s / two-tier 33.9 s — in-band ✓
+    *     (classic in-band 48.2 s also beats fetch: both members cross
+    *      between ρ=2.37 and 3.28)
+    *   ×100 char-8: ρ=4.34, fetch 276 s   / two-tier 57.5 s — in-band ✓
+    *   ×30  word-3: ρ=0.02, fetch   4.4 s / in-band  5.3 s — Fetch ✓
+    * Ratio-interpolated crossover between the ×50 and ×70 points:
+    * ρ ≈ 2.45–2.51 (fetch/two-tier = 0.85 → 2.53); κ = 2.5 classifies
+    * every measured corpus correctly for BOTH in-band members. Fetch's
+    * blow-up past the boundary is superlinear in C (15.7 → 85.7 → 276 s
+    * for 1.9×/1.9× growth in C), so mis-routing dense corpora to Fetch
+    * is far costlier than the reverse — κ erring low is the safe side,
+    * and 2.5 sits at the measured boundary, not above it. */
+  val InBandCostFactor = 2.5
 
   /** Cost-based verify routing from the MEASURED candidate count. Fetch
     * ships ~2 arrays per DISTINCT candidate pair; InBand ships every
@@ -283,13 +293,11 @@ object MinHashLSH {
     * ×100 c8 60.4 vs 91.0 s min-of-3, identical outputs — by shipping
     * 2-byte truncated elements through the same fat exchange), classic
     * InBand otherwise (TruncHashes requires long arrays). The
-    * fetch-vs-in-band BOUNDARY keeps κ = 2: both measured regimes stay
-    * correctly classified for the two-tier member (×30's 2C/nB = 1.46
-    * routes Fetch, where fetch 8.65 s beat two-tier 13.1 s; ×100's 4.34
-    * routes in-band, where two-tier 60.4 s beat fetch 276 s) — the
-    * two-tier form still pays the full windowed-cap + sort-merge
-    * structure, so its advantage over fetch appears in the same
-    * collision-amplified regime, just bigger. */
+    * fetch-vs-in-band BOUNDARY is κ = 2.5 (see [[InBandCostFactor]] —
+    * the ×50/×70 gap probe found both members' crossover between
+    * 2C/nB = 2.37 and 3.28); the two-tier form still pays the full
+    * windowed-cap + sort-merge structure, so its advantage over fetch
+    * appears in the same collision-amplified regime, just bigger. */
   private def inBandFormFor(hashed: DataFrame, hCol: String): VerifyForm =
     hashed.schema(hCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
