@@ -35,8 +35,34 @@ object KeyedWorkDir {
     val key = md.digest(s"$dir|$fp|$layout".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
-    new java.io.File(p).mkdirs()
+    val f = new java.io.File(p)
+    f.mkdirs()
+    f.setLastModified(System.currentTimeMillis())
+    pruneStale(spark, tag, current = f.getName)
     p
+  }
+
+  /** Orphaned-key retention: a rekey (corpus regenerated, layout bumped)
+    * leaves the previous dir unreachable — nothing ever consults a stale
+    * fingerprint again — so without a bound they accumulate one full
+    * working set per regeneration. Keep the [[KeepPerTag]] most recently
+    * USED keys per tag (touch-on-use above; several SF corpora alternate
+    * within one session, so prune-on-rekey alone would defeat cross-SF
+    * reuse) and delete the rest. Only dirs matching this object's exact
+    * `graft-<tag>-<12 hex>` shape are candidates — foreign tmpdirs are
+    * never touched. */
+  private val KeepPerTag = 6
+  private def pruneStale(spark: SparkSession, tag: String, current: String): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val shape = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(s"graft-$tag-") + "[0-9a-f]{12}")
+    val keyedDirs = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && shape.matcher(d.getName).matches())
+      .sortBy(-_.lastModified())
+    keyedDirs.drop(KeepPerTag).filter(_.getName != current).foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
   }
 
   /** Stable fingerprint of a parquet table that may be a single file
