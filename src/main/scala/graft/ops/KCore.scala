@@ -50,24 +50,26 @@ object KCore {
 
   /** The same peeling as `rounds` unrolled SQL CTEs over a directed
     * edge CTE named `ke(src, dst)`; leaves the result in a CTE named
-    * `kcore_final(a, deg)`. Caller appends the SELECT. */
-  def oracleRounds(k: Int, rounds: Int): String = {
+    * `<prefix>kcore_final(a, deg)`. Caller appends the SELECT. The
+    * `prefix` namespaces every CTE so several peels (different k) can
+    * coexist in ONE oracle query (q134's core-size profile). */
+  def oracleRounds(k: Int, rounds: Int, prefix: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      """e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      s"""${prefix}e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
         |  SELECT src AS a, dst AS b FROM ke
         |  UNION ALL SELECT dst AS a, src AS b FROM ke) WHERE a <> b),
         |""".stripMargin)
     (1 to rounds).foreach { i =>
       sb.append(
-        s"""alive$i AS MATERIALIZED (SELECT a FROM (
-           |  SELECT a, count(*) AS deg FROM e${i - 1} GROUP BY 1) WHERE deg >= $k),
-           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
-           |  JOIN alive$i x ON e.a = x.a JOIN alive$i y ON e.b = y.a),
+        s"""${prefix}alive$i AS MATERIALIZED (SELECT a FROM (
+           |  SELECT a, count(*) AS deg FROM ${prefix}e${i - 1} GROUP BY 1) WHERE deg >= $k),
+           |${prefix}e$i AS MATERIALIZED (SELECT e.a, e.b FROM ${prefix}e${i - 1} e
+           |  JOIN ${prefix}alive$i x ON e.a = x.a JOIN ${prefix}alive$i y ON e.b = y.a),
            |""".stripMargin)
     }
     sb.append(
-      s"kcore_final AS (SELECT a, count(*) AS deg FROM e$rounds GROUP BY 1)")
+      s"${prefix}kcore_final AS (SELECT a, count(*) AS deg FROM ${prefix}e$rounds GROUP BY 1)")
     sb.toString
   }
 }

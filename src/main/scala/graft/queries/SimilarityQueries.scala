@@ -531,15 +531,27 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** 4-core of the kNN graph: dense semantic neighborhoods by iterative
-    * peeling (`ops/KCore`) — the global-density complement of q113's
-    * local clustering coefficient. 8 rounds, provably ≥ the peel depth
-    * here (KCoreSpec asserts a no-op extra round); the oracle unrolls
-    * the identical rounds over the shared q93 edge CTEs. */
+  /** Core-size profile of the kNN graph: nodes and degree mass surviving
+    * iterative k-core peeling (`ops/KCore`) at k = 2, 3, 4 — the
+    * global-density complement of q113's local clustering coefficient.
+    * 8 rounds, provably ≥ the peel depth here (KCoreSpec asserts a no-op
+    * extra round); the oracle unrolls the identical rounds per k over
+    * the shared q93 edge CTEs. The profile shape replaced the original
+    * "emit the 4-core's nodes" answer: this corpus's 4-core peels to
+    * EMPTY at every SF (top-3 kNN edges rarely sustain mutual degree-4
+    * neighborhoods), so that query was green-but-vacuous — rows 0 == 0.
+    * Reporting (k, core_nodes, core_degree_sum) keeps the same cascade
+    * under test, records the empty 4-core as an explicit (4, 0, 0) row,
+    * and makes the k = 2/3 regimes (partial peeling: singleton-bucket
+    * vectors emit < 3 edges) falsifiable too. */
   val q134Kcore: Q = (s, dir) => {
     val edges = knnEdges(s, dir).select("src", "dst")
-    KCore.kCore(edges, "src", "dst", k = 4, rounds = 8)
-      .orderBy("node")
+    Seq(2, 3, 4).map { k =>
+      KCore.kCore(edges, "src", "dst", k = k, rounds = 8)
+        .agg(count(lit(1)).as("core_nodes"),
+          coalesce(sum("deg"), lit(0L)).as("core_degree_sum"))
+        .select(lit(k).as("k"), col("core_nodes"), col("core_degree_sum"))
+    }.reduce(_.unionByName(_)).orderBy("k")
   }
 
   /** Metadata-FILTERED vector search (the vector-store "hybrid filter"
@@ -728,12 +740,28 @@ object SimilarityQueries {
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id, label,
            round(sim, 6) + 0 AS sim
          FROM ranked WHERE rank <= 5 ORDER BY 1, 2""",
-    // identical unrolled peeling rounds over the shared kNN edge CTEs
+    // identical unrolled peeling rounds over the shared kNN edge CTEs,
+    // one prefixed CTE chain per k; count(*) over an empty final CTE is
+    // the explicit (4, 0, 0) row. sum(BIGINT) is HUGEINT in DuckDB —
+    // cast back so the schema compare sees bigint on both sides.
     "q134_kcore" ->
       s"""WITH ${knnCtes("MATERIALIZED ")},
          ke AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
-         ${KCore.oracleRounds(k = 4, rounds = 8)}
-         SELECT a AS node, deg FROM kcore_final ORDER BY 1""",
+         ${KCore.oracleRounds(k = 2, rounds = 8, prefix = "c2")},
+         ${KCore.oracleRounds(k = 3, rounds = 8, prefix = "c3")},
+         ${KCore.oracleRounds(k = 4, rounds = 8, prefix = "c4")}
+         SELECT k, core_nodes, core_degree_sum FROM (
+           SELECT 2 AS k, count(*) AS core_nodes,
+             CAST(coalesce(sum(deg), 0) AS BIGINT) AS core_degree_sum
+           FROM c2kcore_final
+           UNION ALL
+           SELECT 3 AS k, count(*) AS core_nodes,
+             CAST(coalesce(sum(deg), 0) AS BIGINT) AS core_degree_sum
+           FROM c3kcore_final
+           UNION ALL
+           SELECT 4 AS k, count(*) AS core_nodes,
+             CAST(coalesce(sum(deg), 0) AS BIGINT) AS core_degree_sum
+           FROM c4kcore_final) ORDER BY k""",
     // identical per-dim bounds -> identical codes -> decimal-summed
     // asymmetric scores, bit-for-bit
     // recon list built with the kernel's pinned-association arithmetic,
