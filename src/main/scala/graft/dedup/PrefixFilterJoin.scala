@@ -95,6 +95,18 @@ object PrefixFilterJoin {
     // scratch) — size(array_intersect) built a boxed hash set and a
     // result array per pair whose contents the enclosing size discarded
     // (the JaccardSim lesson, applied to the count-only verify).
+    // A TWO-TIER variant of this verify (16-bit TruncHashes arrays +
+    // jaccard_upper gate riding the candidate joins, exact re-verify of
+    // survivors — the q35 in-band lesson) was built and MEASURED
+    // (round 11, min-of-2, identical pair sets): sf0.1 10.2 vs 3.6 s,
+    // ×30 26.9 vs 18.6 s, ×100 40.3 vs 28.7 s — the single-tier form
+    // below won at EVERY scale and the variant was reverted. Why the
+    // lesson doesn't transfer: LSH banding over-generates candidates
+    // (n·numBands rows regardless of collision rate), so cutting bytes
+    // per candidate pays; the prefix filter is already candidate-
+    // BOUNDED (rarest-token prefixes), so array movement never comes to
+    // dominate and the two extra pair-keyed joins cost more than the 4×
+    // byte saving on the one join they relieve.
     val docSets = ts.groupBy("id").agg(collect_list("token").as("toks"))
     val inter = cands
       .join(docSets.select(col("id").as("a"), col("toks").as("toks_a")), "a")
