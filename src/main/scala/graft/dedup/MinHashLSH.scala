@@ -250,19 +250,23 @@ object MinHashLSH {
     *   ×50  char-8: ρ=2.37, fetch  15.71 s / two-tier 18.5 s — Fetch ✓
     *     (classic in-band 25.9 s — fetch beats both members here;
     *      κ=2 called this in-band: the mis-route that forced the refit)
+    *   ×60  char-8: ρ=2.83, fetch  22.49 s / two-tier 28.2 s — Fetch ✓
+    *     (min-of-3: the two forms are within noise of each other here —
+    *      the crossover's left edge)
     *   ×70  char-8: ρ=3.28, fetch  85.7 s / two-tier 33.9 s — in-band ✓
     *     (classic in-band 48.2 s also beats fetch: both members cross
-    *      between ρ=2.37 and 3.28)
+    *      between ρ=2.83 and 3.28)
     *   ×100 char-8: ρ=4.34, fetch 276 s   / two-tier 57.5 s — in-band ✓
     *   ×30  word-3: ρ=0.02, fetch   4.4 s / in-band  5.3 s — Fetch ✓
-    * Ratio-interpolated crossover between the ×50 and ×70 points:
-    * ρ ≈ 2.45–2.51 (fetch/two-tier = 0.85 → 2.53); κ = 2.5 classifies
-    * every measured corpus correctly for BOTH in-band members. Fetch's
-    * blow-up past the boundary is superlinear in C (15.7 → 85.7 → 276 s
-    * for 1.9×/1.9× growth in C), so mis-routing dense corpora to Fetch
-    * is far costlier than the reverse — κ erring low is the safe side,
-    * and 2.5 sits at the measured boundary, not above it. */
-  val InBandCostFactor = 2.5
+    * The transition is SHARP — fetch/two-tier goes 0.80 → 2.53 between
+    * ρ=2.83 and 3.28 (fetch's cost is superlinear in C: 22.5 → 85.7 →
+    * 276 s for ~1.35×/1.9× growth in C) — so a single interpolated
+    * boundary is well-defined: log-ratio zero at ρ ≈ 2.9. κ = 2.9
+    * classifies every measured corpus correctly for BOTH in-band
+    * members, and because fetch blows up fast past the boundary while
+    * two-tier degrades gently below it, κ erring LOW remains the safe
+    * side. */
+  val InBandCostFactor = 2.9
 
   /** Cost-based verify routing from the MEASURED candidate count. Fetch
     * ships ~2 arrays per DISTINCT candidate pair; InBand ships every
@@ -293,9 +297,9 @@ object MinHashLSH {
     * ×100 c8 60.4 vs 91.0 s min-of-3, identical outputs — by shipping
     * 2-byte truncated elements through the same fat exchange), classic
     * InBand otherwise (TruncHashes requires long arrays). The
-    * fetch-vs-in-band BOUNDARY is κ = 2.5 (see [[InBandCostFactor]] —
-    * the ×50/×70 gap probe found both members' crossover between
-    * 2C/nB = 2.37 and 3.28); the two-tier form still pays the full
+    * fetch-vs-in-band BOUNDARY is κ = 2.9 (see [[InBandCostFactor]] —
+    * the ×50/×60/×70 gap probes bracket both members' crossover between
+    * 2C/nB = 2.83 and 3.28); the two-tier form still pays the full
     * windowed-cap + sort-merge structure, so its advantage over fetch
     * appears in the same collision-amplified regime, just bigger. */
   private def inBandFormFor(hashed: DataFrame, hCol: String): VerifyForm =

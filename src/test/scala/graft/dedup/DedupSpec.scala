@@ -133,7 +133,8 @@ class DedupSpec extends SparkSpec {
     // pairs, so the fetch form would ship each array ~99× where in-band
     // ships it numBands×. A fixed 100k-doc crossover (the old router)
     // would have called this Fetch; the measured candidate count calls
-    // it InBand (2C = 198k > 2·n·B = 64k).
+    // it InBand (2C/nB = 198k/64k = 3.09 > κ = 2.9 — above the ×60/×70
+    // measured crossover bracket's interpolated boundary).
     val boiler = (1L to 2000L).map(i =>
       i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
     // the in-band FAMILY; long-array shingles run the two-tier member
