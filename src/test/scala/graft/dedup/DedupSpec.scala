@@ -129,12 +129,13 @@ class DedupSpec extends SparkSpec {
     import graft.expressions.NgramHashes
     def hashed(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
       .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
-    // 2000 docs = 20 templates × 100 copies: ~99k distinct candidate
-    // pairs, so the fetch form would ship each array ~99× where in-band
-    // ships it numBands×. A fixed 100k-doc crossover (the old router)
-    // would have called this Fetch; the measured candidate count calls
-    // it InBand (2C/nB = 198k/64k = 3.09 > κ = 2.9 — above the ×60/×70
-    // measured crossover bracket's interpolated boundary).
+    // 2000 docs = 20 templates × 100 copies: identical copies collide in
+    // every band, so C = 20·C(100,2) ≈ 99k distinct candidate pairs and
+    // 2C/(n·B) = (copies−1)/16 ≈ 6.2 — the fetch form would ship each
+    // array ~99× where in-band ships it numBands×. A fixed 100k-doc
+    // crossover (the old router) would have called this Fetch; the
+    // measured candidate count calls it InBand (6.2 > κ = 2.9 with 2×
+    // margin).
     val boiler = (1L to 2000L).map(i =>
       i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
     // the in-band FAMILY; long-array shingles run the two-tier member
@@ -146,6 +147,16 @@ class DedupSpec extends SparkSpec {
     val sparse = (1L to 300L).map(i =>
       i -> (1 to 40).map(w => s"doc${i}_w$w").mkString(" "))
     assert(MinHashLSH.chooseVerifyForm(hashed(sparse), "doc_id", "sh",
+      numHashes = 64, numBands = 16, rowsPerBand = 4)
+      == MinHashLSH.VerifyForm.Fetch)
+    // BOUNDARY pin for the round-11 recalibration: 42 copies/template
+    // puts 2C/(n·B) = (42−1)/16 ≈ 2.56 INSIDE the old κ=2 in-band
+    // region but BELOW the measured crossover (×60 probe: fetch still
+    // wins at 2.83; κ = 2.9). This corpus must route Fetch — it
+    // regresses if κ ever drifts back under ~2.6.
+    val boundary = (1L to 840L).map(i =>
+      i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
+    assert(MinHashLSH.chooseVerifyForm(hashed(boundary), "doc_id", "sh",
       numHashes = 64, numBands = 16, rowsPerBand = 4)
       == MinHashLSH.VerifyForm.Fetch)
   }
