@@ -11,14 +11,20 @@ import org.apache.spark.sql.functions._
   * pick prototype-rich regions for subsampling (high-core) vs
   * outlier/noise sweeps (core-less).
   *
-  * Determinism contract: the loop runs EXACTLY `rounds` rounds with no
-  * early exit — after the fixpoint every further round is a no-op, so
-  * "enough rounds" equals "converged", and the oracle can mirror the
-  * algorithm as `rounds` unrolled CTEs with zero driver state
+  * Determinism contract: the result equals EXACTLY `rounds` unrolled
+  * peeling rounds — after the fixpoint every further round is a no-op,
+  * so "enough rounds" equals "converged", and the oracle can mirror
+  * the algorithm as `rounds` unrolled CTEs with zero driver state
   * ([[oracleRounds]], the `PageRank.oracleSql` pattern). Peeling is
   * monotone, so a round count ≥ the peel depth is exact (kNN graphs
   * peel in a handful of rounds — bounded out-degree); the spec asserts
-  * convergence.
+  * convergence. The LOOP may therefore stop at the fixpoint: a round
+  * that deletes no edge proves all remaining rounds identical (edges
+  * only shrink, and the next round's inputs equal this round's), so
+  * the early exit is result-invisible — it exists because q134 runs
+  * THREE peels whose k=2/3 members converge in a round or two, and
+  * 24 materialized no-op rounds at ×100 cost ~35 s of pure overhead.
+  * The per-round count() reads an already-materialized localCheckpoint.
   *
   * Scale per round: one map-side-combined degree agg + two semi-joins,
   * all keyed shuffles on node id; `localCheckpoint` truncates the
@@ -36,13 +42,20 @@ object KCore {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    var remaining = e.count()
+    var converged = false
     (1 to rounds).foreach { _ =>
-      val alive = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("a"))
-      e = e.join(alive, Seq("a"), "left_semi")
-        .join(alive.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint(true)
+      if (!converged) {
+        val alive = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("a"))
+        e = e.join(alive, Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint(true)
+        val now = e.count()
+        converged = now == remaining // fixpoint: every further round is a no-op
+        remaining = now
+      }
     }
     e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .select(col("a").as("node"), col("deg"))
