@@ -29,6 +29,37 @@ class KCoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("matches an in-memory reference peel on seeded random graphs, k = 2..4") {
+    // reference: symmetrize/dedup/de-loop, then delete sub-k nodes until
+    // a fixpoint — the definition, with none of the distributed machinery
+    def reference(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+      var e = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .filter { case (a, b) => a != b }.distinct.toSet
+      var done = false
+      while (!done) {
+        val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        val next = e.filter { case (a, b) => alive(a) && alive(b) }
+        done = next == e
+        e = next
+      }
+      e.groupBy(_._1).map { case (n, es) => n -> es.size }
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 12 + rnd.nextInt(10)
+      val edges = Seq.fill(30)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("src", "dst")
+      (2 to 4).foreach { k =>
+        val got = KCore.kCore(df, "src", "dst", k = k, rounds = 30)
+          .as[(Long, Long)].collect().map { case (a, d) => a -> d.toInt }.toMap
+        assert(got == reference(edges, k),
+          s"k=$k edges=$edges: got $got, want ${reference(edges, k)}")
+      }
+    }
+  }
+
   test("direction and duplicate edges do not matter") {
     val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
       .toDF("src", "dst")
