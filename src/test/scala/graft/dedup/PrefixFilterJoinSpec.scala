@@ -28,6 +28,31 @@ class PrefixFilterJoinSpec extends SparkSpec {
     assert(out.nonEmpty) // 1-2 (J=2/3) and 4-5 (J=1) must be present
   }
 
+  test("matches brute force on seeded random corpora across rational thresholds") {
+    // small vocab → heavy overlap → pairs cluster AROUND the thresholds,
+    // which is where the integer gates (prefix length, length filter,
+    // final verify) can misround if anything drifts to doubles
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      val docs = (1L to 14L).map { id =>
+        val len = 2 + rnd.nextInt(7)
+        id -> Seq.fill(len)(s"w${rnd.nextInt(10)}").mkString(" ")
+      }
+      val sets = docs.toMap.view.mapValues(_.split(" ").toSet).toMap
+      Seq((1, 2), (3, 5), (2, 3), (1, 1)).foreach { case (tn, td) =>
+        val out = join(docs, tn, td)
+        val brute = (for {
+          a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+          i = (sets(a) & sets(b)).size
+          u = (sets(a) | sets(b)).size
+          if i * td >= tn * u
+        } yield (a, b, math.rint(i.toDouble / u * 1e6) / 1e6))
+          .sortBy(p => (p._1, p._2))
+        assert(out.toSeq === brute, s"t=$tn/$td docs=$docs")
+      }
+    }
+  }
+
   test("keeps the exact-boundary pair a double gate would drop") {
     // |A|=3 ⊂ |B|=5 → J = 3/5 exactly; 0.6*5 in double is 3.0000000000000004
     val docs = Seq(1L -> "a b c", 2L -> "a b c d e")
