@@ -265,7 +265,11 @@ object MinHashLSH {
     * classifies every measured corpus correctly for BOTH in-band
     * members, and because fetch blows up fast past the boundary while
     * two-tier degrades gently below it, κ erring LOW remains the safe
-    * side. */
+    * side. The boundary transfers across gram FAMILIES to first order:
+    * both forms ship the same arrays (in-band n·B of them, fetch 2C),
+    * so per-array size cancels and κ is a ratio of per-array HANDLING
+    * costs (window+sort vs hash-join) — consistent with the word-3
+    * point and the spec's word-3 routing corpora. */
   val InBandCostFactor = 2.9
 
   /** Cost-based verify routing from the MEASURED candidate count. Fetch
