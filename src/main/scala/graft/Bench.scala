@@ -84,6 +84,7 @@ object Bench {
     val firstShot = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(name, fn, recordFailure = true)
     }
+    val firstByName = firstShot.toMap
     val ratios = firstShot.collect {
       case (k, v) if v > 0 && prev.getOrElse(k, -1.0) > 0 => k -> v / prev(k)
     }
@@ -91,11 +92,11 @@ object Bench {
       if (ratios.isEmpty) 1.0
       else ratios.map(_._2).sorted.apply(ratios.size / 2)
     val flagged = ratios.collect {
-      case (k, r) if r > medianRatio * 1.5 && firstShot.toMap.apply(k) - prev(k) > 0.5 => k
+      case (k, r) if r > medianRatio * 1.5 && firstByName(k) - prev(k) > 0.5 => k
     }.toSet
     val reruns = flagged.toSeq.sorted.map { name =>
       val again = timed(name, SparkEntry.queries(name), recordFailure = false)
-      System.err.println(f"[bench] rerun $name: first=${firstShot.toMap.apply(name)}%.2f s " +
+      System.err.println(f"[bench] rerun $name: first=${firstByName(name)}%.2f s " +
         f"rerun=$again%.2f s (median ratio $medianRatio%.2f)")
       name -> again
     }.toMap
@@ -111,7 +112,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rr = flagged.toSeq.sorted.map { k =>
-      "\"" + k + "\":{\"first\":" + ms(firstShot.toMap.apply(k)) +
+      "\"" + k + "\":{\"first\":" + ms(firstByName(k)) +
         ",\"rerun\":" + ms(reruns.getOrElse(k, -1.0)) + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -232,8 +232,10 @@ object MinHashLSH {
       * fewer array bytes than InBand's full 8-byte hashes) and one
       * skinny exact-re-verify fetch join over the pair-bounded tier-1
       * survivors (tier 2). Identical output to InBand/Fetch: tier 1
-      * passes a provable superset. Only valid for `array<bigint>`
-      * shingle columns (the hashed pipelines). */
+      * passes a provable superset — the bound's distinct-elements
+      * precondition is self-enforced (scan-side `array_distinct`), so
+      * multiset shingle arrays are safe too. Only valid for
+      * `array<bigint>` shingle columns (the hashed pipelines). */
     case object InBandTwoTier extends VerifyForm
   }
 
@@ -433,13 +435,25 @@ object MinHashLSH {
     * (E[spurious ΔJ] ≈ na·nb/2¹⁶/union, ~0.002 at 300-gram docs), so
     * the fetch ships each array ~once per TRUE partner, not per band
     * collision. Output identical to InBand/Fetch by construction.
-    * Requires `array<bigint>` shingles (TruncHashes' input type). */
+    * Requires `array<bigint>` shingles (TruncHashes' input type).
+    *
+    * The bound's DISTINCT-elements precondition (JaccardUpperBound uses
+    * physical lengths as set sizes) is self-enforced here with an
+    * `array_distinct` on the scan side, BEFORE the fat exchange: the
+    * gram kernels already emit distinct hashes so it's a no-op pass for
+    * every current caller, but a future multiset-hash pipeline routed
+    * here by element type alone (see [[inBandFormFor]]) would otherwise
+    * silently lose true pairs (A=[x,x] vs B=[x]: set J = 1.0 but the
+    * physical-length bound gives 0.5 < threshold). Tier 2's JaccardSim
+    * and MinHashSig are duplicate-insensitive already, so distinctness
+    * at tier 1 is the only place the guarantee was load-bearing. */
   private def inBandTwoTierVerifyPairs(hashed: DataFrame, idCol: String,
                                        hCol: String, numHashes: Int,
                                        numBands: Int, rowsPerBand: Int,
                                        threshold: Double, maxBucket: Int): DataFrame = {
     val rows = hashed.select(col(idCol),
-        graft.expressions.TruncHashes.trunc_hashes(col(hCol), 16).as("__tr"),
+        graft.expressions.TruncHashes.trunc_hashes(
+          array_distinct(col(hCol)), 16).as("__tr"),
         explode(bandKeys(
           graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes),
           numBands, rowsPerBand)).as("__bk"))

@@ -33,15 +33,30 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Nodes of the k-core of the (symmetrized, de-duplicated, loop-free)
-    * graph, with their within-core degree. */
-  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int): DataFrame = {
-    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+  /** Symmetrize + dedupe + drop self-loops — the k-INDEPENDENT first
+    * step of [[kCore]], split out and eagerly materialized so several
+    * peels over the same graph (q134's k = 2/3/4 core-size profile)
+    * share ONE distinct-shuffle + checkpoint instead of paying it per k.
+    * Returns columns (a, b). */
+  def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+
+  /** Nodes of the k-core of the (symmetrized, de-duplicated, loop-free)
+    * graph, with their within-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame =
+    kCoreOfSymmetrized(symmetrize(edges, srcCol, dstCol), k, rounds)
+
+  /** [[kCore]] over edges ALREADY passed through [[symmetrize]] (both
+    * directions present, deduped, loop-free, materialized, columns
+    * (a, b)) — the entry point for sharing the symmetrization across
+    * several k. */
+  def kCoreOfSymmetrized(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    var e = sym
     var remaining = e.count()
     var converged = false
     (1 to rounds).foreach { _ =>

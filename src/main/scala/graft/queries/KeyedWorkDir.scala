@@ -50,16 +50,30 @@ object KeyedWorkDir {
     * within one session, so prune-on-rekey alone would defeat cross-SF
     * reuse) and delete the rest. Only dirs matching this object's exact
     * `graft-<tag>-<12 hex>` shape are candidates — foreign tmpdirs are
-    * never touched. */
+    * never touched.
+    *
+    * Concurrency guard: a dir is only touched at keyed() time, but the
+    * run READING it lasts minutes — if 6+ fresh keys for the same tag
+    * appear meanwhile (several corpora × several JVMs), a purely
+    * positional LRU would delete a dir another live JVM is streaming
+    * from. So eviction additionally requires the dir's last touch to be
+    * older than [[GraceMs]]: no run lasts hours, so anything touched
+    * inside the grace window is potentially in use and kept, while the
+    * dirs the bound exists for (orphaned by regenerations days apart)
+    * age past it naturally. */
   private val KeepPerTag = 6
+  private val GraceMs = 6L * 3600 * 1000
   private def pruneStale(spark: SparkSession, tag: String, current: String): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val shape = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(s"graft-$tag-") + "[0-9a-f]{12}")
+    val cutoff = System.currentTimeMillis() - GraceMs
     val keyedDirs = Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && shape.matcher(d.getName).matches())
       .sortBy(-_.lastModified())
-    keyedDirs.drop(KeepPerTag).filter(_.getName != current).foreach { d =>
+    keyedDirs.drop(KeepPerTag)
+      .filter(d => d.getName != current && d.lastModified() < cutoff)
+      .foreach { d =>
       val hp = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }

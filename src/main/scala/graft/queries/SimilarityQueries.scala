@@ -545,9 +545,12 @@ object SimilarityQueries {
     * and makes the k = 2/3 regimes (partial peeling: singleton-bucket
     * vectors emit < 3 edges) falsifiable too. */
   val q134Kcore: Q = (s, dir) => {
-    val edges = knnEdges(s, dir).select("src", "dst")
+    // The symmetrize step is k-independent: share ONE distinct-shuffle +
+    // checkpoint across the three peels instead of rebuilding it per k.
+    val sym = KCore.symmetrize(knnEdges(s, dir).select("src", "dst"),
+      "src", "dst")
     Seq(2, 3, 4).map { k =>
-      KCore.kCore(edges, "src", "dst", k = k, rounds = 8)
+      KCore.kCoreOfSymmetrized(sym, k = k, rounds = 8)
         .agg(count(lit(1)).as("core_nodes"),
           coalesce(sum("deg"), lit(0L)).as("core_degree_sum"))
         .select(lit(k).as("k"), col("core_nodes"), col("core_degree_sum"))

@@ -213,6 +213,29 @@ class DedupSpec extends SparkSpec {
       s"expected the true near-dup pair to survive, got ${twoTier.mkString(",")}")
   }
 
+  test("two-tier verify is safe on MULTISET shingle arrays") {
+    // Auto-routing picks the two-tier member on element type alone, so a
+    // multiset array<bigint> pipeline (per-occurrence hashes, no
+    // distinct) can reach it. A and B here are the SAME 100-element set
+    // (exact set J = 1.0) but A carries every element twice: a
+    // physical-length bound would give i_up = Σ min(2, 1) = 100,
+    // J_up = 100/(200+100-100) = 0.5 < 0.8 and silently DROP the pair.
+    // The two-tier entry self-enforces the bound's distinct-elements
+    // precondition (scan-side array_distinct), so the pair survives and
+    // matches the duplicate-insensitive fetch form exactly.
+    val set = (1L to 100L).toArray
+    val d = Seq(1L -> (set ++ set), 2L -> set).toDF("doc_id", "sh")
+    def run(form: MinHashLSH.VerifyForm) =
+      MinHashLSH.nearDupPairsHashed(d, "doc_id", "sh", 64, 16, 0.8, verify = form)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val fetch = run(MinHashLSH.VerifyForm.Fetch)
+    val twoTier = run(MinHashLSH.VerifyForm.InBandTwoTier)
+    assert(fetch.sameElements(twoTier))
+    assert(twoTier.map(p => (p._1, p._2, p._3)).toSet == Set((1L, 2L, 1.0)),
+      s"expected the identical-set pair at J=1.0, got ${twoTier.mkString(",")}")
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val d = docs(1L -> "a b c d e f g h")
       .select(TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("sh"))

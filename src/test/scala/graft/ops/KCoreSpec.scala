@@ -67,4 +67,20 @@ class KCoreSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+  test("kCoreOfSymmetrized over one shared symmetrize equals kCore per k") {
+    // q134's shape: three peels over the same graph share ONE
+    // symmetrize/dedup/checkpoint; the split entry point must be
+    // result-identical to the self-contained kCore for every k.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(40)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .toDF("src", "dst")
+    val sym = KCore.symmetrize(edges, "src", "dst")
+    (2 to 4).foreach { k =>
+      val shared = KCore.kCoreOfSymmetrized(sym, k, rounds = 30)
+        .as[(Long, Long)].collect().toSet
+      val solo = KCore.kCore(edges, "src", "dst", k = k, rounds = 30)
+        .as[(Long, Long)].collect().toSet
+      assert(shared == solo, s"k=$k: shared $shared != solo $solo")
+    }
+  }
 }

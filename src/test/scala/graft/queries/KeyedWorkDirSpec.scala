@@ -26,25 +26,46 @@ class KeyedWorkDirSpec extends SparkSpec {
     assert(KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v2") != a)
   }
 
+  /** Shift a dir's mtime past the eviction grace window while keeping a
+    * deterministic LRU order (i higher = more recently used). */
+  private def agePastGrace(dir: String, i: Int): Unit =
+    new File(dir).setLastModified(
+      System.currentTimeMillis() - 7L * 3600 * 1000 + i * 60000L)
+
+  test("keys inside the grace window are NEVER pruned, even past the LRU cap") {
+    // The eviction guard for concurrent JVMs: a dir is touched once at
+    // keyed() time but read for minutes, so anything recently touched
+    // may be live in another process and must survive — positional LRU
+    // alone would delete it when 6+ fresh keys appear for the tag.
+    val tag = s"kwdgrace${System.nanoTime()}"
+    val dirs = (1 to 8).map(i =>
+      KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", s"v$i"))
+    assert(keyedDirs(tag).size == 8, "fresh keys must all survive pruning")
+    assert(dirs.forall(d => new File(d).exists()))
+  }
+
   test("stale keys beyond the per-tag LRU cap are pruned, oldest first") {
     val tag = s"kwdprune${System.nanoTime()}"
     val dirs = (1 to 8).map { i =>
       val d = KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", s"v$i")
       new File(d, "payload").createNewFile()
-      Thread.sleep(25) // distinct mtimes: the LRU order under test
       d
     }
+    // age all 8 past the grace window, preserving the v1..v8 LRU order
+    dirs.zipWithIndex.foreach { case (d, i) => agePastGrace(d, i) }
+    KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v9") // fires prune
     val live = keyedDirs(tag)
     assert(live.size == 6, s"expected 6 kept, got $live")
-    // the two oldest keys are gone, payload and all; the newest survive
-    assert(!new File(dirs(0)).exists() && !new File(dirs(1)).exists())
-    assert(dirs.drop(2).forall(d => new File(d, "payload").exists()))
-    // re-USING an old surviving key refreshes it: v3 is now newest, so
-    // creating one more key evicts v4 (the least recently used), not v3
-    KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v3")
-    Thread.sleep(25)
-    KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v9")
-    assert(new File(dirs(2)).exists() && !new File(dirs(3)).exists())
+    // the three oldest aged keys are gone, payload and all; the newest
+    // five aged ones plus fresh v9 survive
+    assert(dirs.take(3).forall(d => !new File(d).exists()))
+    assert(dirs.drop(3).forall(d => new File(d, "payload").exists()))
+    // re-USING an old surviving key refreshes it: v4 is now newest, so
+    // creating one more key evicts v5 (the least recently used aged
+    // key), not v4
+    KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v4")
+    KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v10")
+    assert(new File(dirs(3)).exists() && !new File(dirs(4)).exists())
   }
 
   test("dirs that don't match this tag's exact keyed shape are never touched") {
@@ -53,11 +74,16 @@ class KeyedWorkDirSpec extends SparkSpec {
     val foreignBadKey = new File(tmp, s"graft-$tag-NOTHEX")
     val foreignOtherTag = new File(tmp, s"graft-${tag}x-0123456789ab")
     Seq(foreignNoDash, foreignBadKey, foreignOtherTag).foreach(_.mkdirs())
+    // make the foreign dirs LOOK maximally stale so only the shape
+    // filter (not the grace window) protects them
+    Seq(foreignNoDash, foreignBadKey, foreignOtherTag)
+      .foreach(_.setLastModified(1000L))
     try {
-      (1 to 8).foreach { i =>
-        KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", s"v$i")
-        Thread.sleep(5)
-      }
+      val dirs = (1 to 8).map(i =>
+        KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", s"v$i"))
+      dirs.zipWithIndex.foreach { case (d, i) => agePastGrace(d, i) }
+      KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v9") // fires prune
+      assert(!new File(dirs(0)).exists(), "pruning must actually have fired")
       assert(foreignNoDash.exists() && foreignBadKey.exists()
         && foreignOtherTag.exists())
     } finally Seq(foreignNoDash, foreignBadKey, foreignOtherTag)
