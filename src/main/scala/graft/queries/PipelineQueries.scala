@@ -110,12 +110,20 @@ object PipelineQueries {
     * documents table through `foreachBatch` + `Sinks.idempotentAppend`,
     * then run the ENTIRE stream a second time from a fresh checkpoint —
     * the strongest at-least-once redelivery (every batch delivered
-    * twice). The sink is a dynamic-partition overwrite keyed by a
-    * batch-stable partition column, so the redelivery REPLACES its own
-    * earlier output instead of double-appending; reading the sink back
-    * and aggregating must therefore equal plain batch aggregation over
-    * the input — which is exactly what the DuckDB oracle checks
-    * (SURVEY §7.4's "at-least-once + idempotent sink = exactly-once"). */
+    * twice). The sink is a dynamic-partition overwrite keyed by the
+    * batch's PROVENANCE unit — the source file (`_metadata.file_name`)
+    * — which is simultaneously redelivery-stable (the same rows always
+    * land in the same partitions, so a redelivered batch replaces
+    * itself) and batch-DISJOINT (a file-source micro-batch is a set of
+    * whole files, so two different batches never write the same
+    * partition). A content key like pmod(doc_id, N) has the first
+    * property but NOT the second: the moment the stream splits into
+    * several micro-batches (maxFilesPerTrigger, a large corpus), each
+    * batch's dynamic overwrite would delete the previous batches' rows
+    * in the shared partitions. Reading the sink back and aggregating
+    * must equal plain batch aggregation over the input — which is
+    * exactly what the DuckDB oracle checks (SURVEY §7.4's
+    * "at-least-once + idempotent sink = exactly-once"). */
   val q86ExactlyOnce: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     // keyed by CONTENT + reused across runs: re-running IS more
@@ -124,15 +132,17 @@ object PipelineQueries {
     // from the old corpus would otherwise survive into the aggregate —
     // see KeyedWorkDir); per-run checkpoints are deleted at the end (the
     // q167/q147 hygiene pattern)
-    val tmp = KeyedWorkDir.keyed(s, "q86", dir, "documents", layout = "L1")
+    val tmp = KeyedWorkDir.keyed(s, "q86", dir, "documents", layout = "L2")
     val out = s"$tmp/sink"
     def deliverAll(run: String): Unit = {
       val q = Tables.stream(s, dir, "documents")
+        .select(col("*"),
+          // the provenance partition key — see the scaladoc; selected on
+          // the stream (metadata columns live on the file relation)
+          col("_metadata.file_name").as("part"))
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sinks.Sinks.idempotentAppend(
-            batch.withColumn("part", pmod(col("doc_id"), lit(8))),
-            out, Seq("part"))
+          graft.sinks.Sinks.idempotentAppend(batch, out, Seq("part"))
         }
         .option("checkpointLocation", s"$tmp/ckpt-$run-${System.nanoTime()}")
         .trigger(Trigger.AvailableNow())

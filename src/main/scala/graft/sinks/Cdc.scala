@@ -42,9 +42,13 @@ object Cdc {
     val n = newSnap.select(col(keyCol) +:
       attrCols.map(c => col(c).as(s"__n_$c")) :+
       lit(true).as("__in_new"): _*)
+    // Key-only tables (attrCols empty) are a legitimate pure-membership
+    // diff — the reference's update_universe loop is exactly this — so
+    // "attributes equal" degenerates to true (I/D only, never U) rather
+    // than crashing on an empty reduce.
     val same = attrCols
       .map(c => col(s"__o_$c") <=> col(s"__n_$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     o.join(n, Seq(keyCol), "full_outer")
       .withColumn("op",
         when(col("__in_old").isNull, lit("I"))

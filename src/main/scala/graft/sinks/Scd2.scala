@@ -31,15 +31,21 @@ object Scd2 {
     * @return the merged dimension, same schema as `dim` */
   def merge(dim: DataFrame, updates: DataFrame, keyCol: String,
             attrCols: Seq[String], effCol: String): DataFrame = {
+    // Row-presence detection uses EXPLICIT lit(true) markers (the Cdc
+    // snapshotDiff pattern), never isNotNull on a data column: a legit
+    // NULL valid_from or NULL effCol would otherwise misclassify the row
+    // (an update silently vanishing, or a second is_current version
+    // opening without closing the first).
     val open = dim.filter(col("is_current"))
+      .withColumn("__in_dim", lit(true))
     val closedHistory = dim.filter(!col("is_current"))
     val uRen = updates.select(
       (col(keyCol) +: attrCols.map(c => col(c).as(s"__u_$c"))) :+
-        col(effCol).as("__eff"): _*)
+        col(effCol).as("__eff") :+ lit(true).as("__in_upd"): _*)
     val j = open.join(uRen, Seq(keyCol), "full_outer")
 
-    val curExists = col("valid_from").isNotNull
-    val updExists = col("__eff").isNotNull
+    val curExists = col("__in_dim").isNotNull
+    val updExists = col("__in_upd").isNotNull
     val changed = !(struct(attrCols.map(col): _*) <=>
       struct(attrCols.map(c => col(s"__u_$c")): _*))
 

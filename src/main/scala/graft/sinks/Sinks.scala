@@ -22,8 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** The Hadoop FileSystem for a path — the ONLY correct way to probe or
+    * mutate table storage here (java.io.File is local-only: always-false
+    * existence on HDFS/S3 silently skips cleanup/anti-join guards). */
+  private def fsFor(spark: SparkSession,
+                    p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
   /** K1: write `df` partitioned by `partitionCols`; re-running the same
-    * logical job overwrites only the partitions it produces. */
+    * logical job overwrites only the partitions it produces.
+    *
+    * Contract: `partitionCols` must be BATCH-DISJOINT as well as
+    * redelivery-stable — the same input rows must always land in the
+    * same partitions (so a redelivered job replaces itself), and two
+    * DIFFERENT logical jobs/batches must never share a partition (a
+    * shared partition is dynamically OVERWRITTEN by whichever job runs
+    * last, deleting the other's rows). For micro-batch sinks key the
+    * partition by the batch's provenance unit (e.g. source file), never
+    * by a content hash mod N across the whole stream. */
   def idempotentAppend(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write
       .mode(SaveMode.Overwrite)
@@ -32,14 +48,23 @@ object Sinks {
       .parquet(path)
 
   /** K2: append only rows whose `keyCol` is absent from the existing
-    * table. Returns the number of rows appended. */
+    * table. Returns the number of rows appended.
+    *
+    * SINGLE-WRITER contract: the check-then-append is not atomic — two
+    * concurrent callers can both observe a key absent and both append
+    * it, breaking key uniqueness. Plain parquet has no transaction to
+    * hang a conditional append on (this is exactly what a lakehouse
+    * MERGE's optimistic-concurrency log provides), so serialization is
+    * the CALLER's job: one upsert job per table at a time (the
+    * reference's work-queue setup is likewise a single scheduled
+    * writer). */
   def mergeUpsert(spark: SparkSession, incoming: DataFrame, path: String,
                   keyCol: String): Long = {
     // Existence probe must go through the Hadoop FileSystem API: a
     // java.io.File check is local-only and would always be false on
     // HDFS/S3, silently skipping the anti-join and double-appending.
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsFor(spark, hPath)
     val newRows =
       if (!fs.exists(hPath)) incoming
       else {
@@ -116,13 +141,15 @@ object Sinks {
                   numBuckets: Int, sortCols: Seq[String] = Nil)
                  (build: => DataFrame): DataFrame = synchronized {
     if (!spark.catalog.tableExists(table)) {
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      if (loc.exists) rm(loc)
+      // Hadoop FS, not java.io.File: on a non-local warehouse
+      // (hdfs://, s3a://) a local-FS check is always false, the stale
+      // directory survives, and saveAsTable fails with
+      // LOCATION_ALREADY_EXISTS — the exact failure this cleanup exists
+      // to prevent (see the fsFor scaladoc).
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = fsFor(spark, loc)
+      if (fs.exists(loc)) fs.delete(loc, true)
       bucketedWrite(build, table, key, numBuckets, sortCols)
     }
     spark.table(table)
@@ -163,7 +190,20 @@ object Sinks {
   def compact(spark: SparkSession, path: String, targetFileBytes: Long,
               sortCol: Option[String] = None): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsFor(spark, hPath)
+    // A Hive-partitioned root must be compacted PER PARTITION DIRECTORY:
+    // reading the root folds `k=v` into data columns and a flat rewrite
+    // would destroy the directory layout (Retention's prefix matching,
+    // idempotentAppend's dynamic overwrite, and partition pruning all
+    // depend on it). Recurse into each k=v child (multi-level layouts
+    // recurse again) so every leaf keeps its own file-count target and
+    // the layout survives byte-for-byte.
+    val partitionDirs = fs.listStatus(hPath)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partitionDirs.nonEmpty)
+      return partitionDirs
+        .map(p => compact(spark, p.getPath.toString, targetFileBytes, sortCol))
+        .sum
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)

@@ -36,14 +36,30 @@ object StatefulDedup {
       state.remove() // TTL expired: forget the key → re-admitted next time
       Iterator.empty
     } else if (state.exists) {
-      // Duplicate within TTL: skip (keep-first). Re-arm with the
-      // REMAINING duration — the invocation cleared the timeout, and
-      // extending by a full ttlMs would silently switch to
-      // from-last-sighting semantics and never expire hot keys.
       val firstSeen = state.get
-      val remaining = firstSeen + ttlMs - state.getCurrentProcessingTimeMs()
-      state.setTimeoutDuration(math.max(remaining, 1L))
-      Iterator.empty
+      val now = state.getCurrentProcessingTimeMs()
+      val remaining = firstSeen + ttlMs - now
+      if (remaining <= 0L) {
+        // TTL already ELAPSED but the timer never fired: Spark only
+        // delivers timeouts to groups with NO data in a trigger, so a
+        // key whose next arrival lands after its TTL reaches this branch
+        // instead of hasTimedOut. Redis SETEX would have expired the key
+        // by now — treat the arrival as a fresh first sighting (emit,
+        // restart the TTL), exactly like TtlDedupProcessor's store-level
+        // expiry does. Swallowing it (the pre-fix behavior: clamp the
+        // timer to 1ms, emit nothing) silently extended the dedup window
+        // past the TTL for keys that keep arriving.
+        state.update(now)
+        state.setTimeoutDuration(ttlMs)
+        rows.take(1)
+      } else {
+        // Duplicate within TTL: skip (keep-first). Re-arm with the
+        // REMAINING duration — the invocation cleared the timeout, and
+        // extending by a full ttlMs would silently switch to
+        // from-last-sighting semantics and never expire hot keys.
+        state.setTimeoutDuration(remaining)
+        Iterator.empty
+      }
     } else {
       state.update(state.getCurrentProcessingTimeMs())
       state.setTimeoutDuration(ttlMs)

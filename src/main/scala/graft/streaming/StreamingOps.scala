@@ -76,9 +76,16 @@ object StreamingOps {
       .orderBy(col("n_events").desc, col(keyCol).asc)
       .limit(k)
 
-  /** J1 in streaming: stream-static broadcast enrichment. The static
-    * dimension is re-read per micro-batch (so a refreshed universe table
-    * is picked up) and broadcast — the join never shuffles the stream. */
+  /** J1 in streaming: stream-static broadcast enrichment — the join
+    * never shuffles the stream. Refresh caveat: each micro-batch
+    * re-executes the static side's PLAN, but a path-based parquet
+    * DataFrame snapshots its file LISTING at read time
+    * (InMemoryFileIndex), so files added or replaced under the path are
+    * never seen — an in-place overwrite makes later batches fail on the
+    * deleted files. For a dimension that refreshes mid-stream, re-create
+    * the DataFrame per batch inside foreachBatch, or read a catalog
+    * table and REFRESH TABLE it (a lakehouse table's log gives this for
+    * free). */
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 

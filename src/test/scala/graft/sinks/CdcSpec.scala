@@ -37,4 +37,15 @@ class CdcSpec extends SparkSpec {
     val old = snap((1L, "a", Some(1)))
     assert(Cdc.snapshotDiff(old, old, "id", Seq("name", "score")).isEmpty)
   }
+
+  test("key-only tables (empty attrCols) diff membership: I/D only, never U") {
+    // The reference's update_universe is exactly this — a pure id-set
+    // diff. Pre-fix this crashed on attrCols.map(...).reduce before any
+    // Spark job ran.
+    val old = Seq(1L, 2L, 3L).toDF("id")
+    val neu = Seq(2L, 3L, 4L).toDF("id")
+    val out = Cdc.snapshotDiff(old, neu, "id", Nil).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "D"), (4L, "I")))
+  }
 }

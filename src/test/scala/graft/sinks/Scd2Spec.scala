@@ -49,6 +49,36 @@ class Scd2Spec extends SparkSpec {
     assert(got.length == 2 && !got(0).getBoolean(4) && got(1).getBoolean(4))
   }
 
+  test("NULL effCol / NULL valid_from rows are still classified as present " +
+       "(presence via markers, not data-column sentinels)") {
+    // An update row with a NULL effective date must still close the
+    // current version (valid_to = NULL then, which is odd data but not a
+    // lost update), and an open row with NULL valid_from must still be
+    // SEEN as current (else a second is_current=true version opens
+    // without closing the first). Pre-fix, presence was detected via
+    // isNotNull on __eff/valid_from, so both rows silently vanished from
+    // their join cases.
+    val nullFrom = Seq((1L, "S1", Option.empty[String], Option.empty[String], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val upd1 = Seq((1L, "S2", Option("2024-01-01"))).toDF("k", "seg", "eff")
+    val got1 = Scd2.merge(nullFrom, upd1, "k", Seq("seg"), "eff")
+      .orderBy("is_current").collect()
+    // the NULL-valid_from current row was closed; exactly one open row
+    assert(got1.length == 2, got1.mkString("\n"))
+    assert(!got1(0).getBoolean(4) && Option(got1(0).getString(3)) == Some("2024-01-01"))
+    assert(got1(1).getBoolean(4) && got1(1).getString(1) == "S2")
+
+    val d = Seq((1L, "S1", "2023-01-01", Option.empty[String], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val nullEff = Seq((1L, "S2", Option.empty[String])).toDF("k", "seg", "eff")
+    val got2 = Scd2.merge(d, nullEff, "k", Seq("seg"), "eff")
+      .orderBy("is_current").collect()
+    // the update is NOT lost: old version closed, S2 opened
+    assert(got2.length == 2, got2.mkString("\n"))
+    assert(!got2(0).getBoolean(4) && got2(0).getString(1) == "S1")
+    assert(got2(1).getBoolean(4) && got2(1).getString(1) == "S2")
+  }
+
   test("merge is idempotent: re-applying the same batch changes nothing") {
     val once = Scd2.merge(dim, upd, "k", Seq("seg"), "eff")
     val twice = Scd2.merge(once, upd, "k", Seq("seg"), "eff")

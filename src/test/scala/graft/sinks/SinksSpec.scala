@@ -26,6 +26,42 @@ class SinksSpec extends SparkSpec {
     assert(got == Set(1L, 9L))
   }
 
+  test("idempotentAppend in a MULTI-micro-batch stream: provenance partitions " +
+       "are batch-disjoint AND redelivery-stable (K1/Q8)") {
+    // A content key like pmod(id, N) is redelivery-stable but NOT
+    // batch-disjoint: with maxFilesPerTrigger, each batch's dynamic
+    // overwrite would delete the earlier batches' rows in the shared
+    // partitions. Partitioning by the batch's provenance unit (the
+    // source file) is both — a file-source micro-batch is a set of whole
+    // files, so batches never share a partition, and a redelivered batch
+    // replaces exactly itself.
+    val base = Files.createTempDirectory("graft-mbatch").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    (1 to 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def deliver(run: Int): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .select(col("*"), col("_metadata.file_name").as("part"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Sinks.idempotentAppend(batch, out, Seq("part"))
+        }
+        .option("checkpointLocation", s"$base/ckpt$run")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    deliver(1) // four micro-batches, one per source file
+    val first = spark.read.parquet(out)
+    assert(first.count() == 400, "a later batch must never overwrite an earlier one")
+    assert(first.select("id").distinct().count() == 400)
+    deliver(2) // full redelivery from a fresh checkpoint
+    val redelivered = spark.read.parquet(out)
+    assert(redelivered.count() == 400, "redelivery must replace itself, not double-append")
+  }
+
   test("mergeUpsert inserts only absent keys (K2, workqueue_setup.py:34-46)") {
     val path = tmp()
     val n1 = Sinks.mergeUpsert(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "v"), path, "k")
@@ -93,6 +129,33 @@ class SinksSpec extends SparkSpec {
       case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
       case _ =>
     }
+  }
+
+  test("compact on a Hive-partitioned root preserves the partition layout") {
+    // A flat rewrite of a partitioned root would fold date=... into data
+    // columns and destroy the directory layout (breaking Retention's
+    // prefix matching and idempotentAppend's dynamic overwrite); compact
+    // must recurse per partition directory instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactp").toString + "/t"
+    (1 to 900).map(i => (i.toLong, s"d${i % 3}", s"v$i")).toDF("id", "date", "v")
+      .repartition(8).write.partitionBy("date").parquet(dir)
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def partDirs() = fs.listStatus(fsPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map(_.getPath.getName).sorted
+    assert(partDirs().sameElements(Array("date=d0", "date=d1", "date=d2")))
+    val n = Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(n == 3, "one compacted file per partition directory")
+    assert(partDirs().sameElements(Array("date=d0", "date=d1", "date=d2")),
+      "partition directories must survive compaction")
+    partDirs().foreach { d =>
+      val leaf = new org.apache.hadoop.fs.Path(fsPath, d)
+      assert(fs.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet")) == 1)
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 900 && back.columns.contains("date"))
+    assert(back.groupBy("date").count().count() == 3)
   }
 
   test("Retention: delete phase drops only expired date partitions (K5 ILM delete)") {

@@ -137,10 +137,31 @@ class StatefulDedupSpec extends SparkSpec {
     assert(s.getTimeoutTimestampMs.get() == 100L + ttl)
   }
 
-  test("transition: duplicate arriving just at the deadline re-arms minimally, never negative") {
-    val s = st(Some(100L), nowMs = 100L + ttl + 500L)
-    StatefulDedup.transition(Iterator(Keyed("k", "late-dup")), s, ttl)
-    assert(s.getTimeoutTimestampMs.get() == 100L + ttl + 500L + 1L)
+  test("transition: arrival AFTER the TTL elapsed (timer not yet fired) is a fresh " +
+       "first sighting — emitted, state reset (Redis SETEX expiry without the timeout)") {
+    // Spark only fires ProcessingTimeTimeout for groups with NO data in
+    // a trigger, so a key whose next arrival lands past its TTL reaches
+    // the state.exists branch, not hasTimedOut. SETEX semantics: the key
+    // expired at firstSeen + ttl, so this arrival must be re-admitted
+    // and restart the TTL — the pre-fix code swallowed it and clamped
+    // the timer to 1ms, silently extending the dedup window for keys
+    // that keep arriving.
+    val now = 100L + ttl + 500L
+    val s = st(Some(100L), nowMs = now)
+    val out = StatefulDedup.transition(Iterator(Keyed("k", "second-life")), s, ttl).toList
+    assert(out.map(_.value) == List("second-life"))
+    assert(s.get == now) // fresh first sighting recorded
+    assert(s.getTimeoutTimestampMs.get() == now + ttl) // full TTL re-armed
+  }
+
+  test("transition: arrival exactly AT the deadline counts as expired (re-admitted)") {
+    // remaining == 0 is the boundary: SETEX expires the key AT the
+    // deadline, and a 0ms re-arm would be rejected by Spark anyway.
+    val now = 100L + ttl
+    val s = st(Some(100L), nowMs = now)
+    val out = StatefulDedup.transition(Iterator(Keyed("k", "at-deadline")), s, ttl).toList
+    assert(out.map(_.value) == List("at-deadline"))
+    assert(s.get == now && s.getTimeoutTimestampMs.get() == now + ttl)
   }
 
   test("transition: timeout removes state so the key is re-admitted (Redis SETEX expiry)") {
