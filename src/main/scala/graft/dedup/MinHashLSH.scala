@@ -233,9 +233,10 @@ object MinHashLSH {
       * skinny exact-re-verify fetch join over the pair-bounded tier-1
       * survivors (tier 2). Identical output to InBand/Fetch: tier 1
       * passes a provable superset — the bound's distinct-elements
-      * precondition is self-enforced (scan-side `array_distinct`), so
-      * multiset shingle arrays are safe too. Only valid for
-      * `array<bigint>` shingle columns (the hashed pipelines). */
+      * precondition is self-enforced (the kernel's fused dedup mode,
+      * `trunc_hashes_distinct`), so multiset shingle arrays are safe
+      * too. Only valid for `array<bigint>` shingle columns (the hashed
+      * pipelines). */
     case object InBandTwoTier extends VerifyForm
   }
 
@@ -438,22 +439,28 @@ object MinHashLSH {
     * Requires `array<bigint>` shingles (TruncHashes' input type).
     *
     * The bound's DISTINCT-elements precondition (JaccardUpperBound uses
-    * physical lengths as set sizes) is self-enforced here with an
-    * `array_distinct` on the scan side, BEFORE the fat exchange: the
-    * gram kernels already emit distinct hashes so it's a no-op pass for
-    * every current caller, but a future multiset-hash pipeline routed
+    * physical lengths as set sizes) is self-enforced here by the
+    * kernel's dedup mode ([[graft.expressions.TruncHashes]]
+    * `trunc_hashes_distinct` — duplicate ORIGINAL longs collapsed by a
+    * fused primitive sort, scan-side, BEFORE the fat exchange): the
+    * gram kernels already emit distinct hashes so it collapses nothing
+    * for current callers, but a future multiset-hash pipeline routed
     * here by element type alone (see [[inBandFormFor]]) would otherwise
     * silently lose true pairs (A=[x,x] vs B=[x]: set J = 1.0 but the
-    * physical-length bound gives 0.5 < threshold). Tier 2's JaccardSim
-    * and MinHashSig are duplicate-insensitive already, so distinctness
-    * at tier 1 is the only place the guarantee was load-bearing. */
+    * physical-length bound gives 0.5 < threshold). An `array_distinct`
+    * wrapper was tried first and REVERTED: its boxed per-element
+    * hashing cost ~10-20% of q35's ×100 wall (5-run medians 85.8 vs
+    * 78.4 s, identical shuffle/spill) where the fused sort is
+    * noise-level. Tier 2's JaccardSim and MinHashSig are
+    * duplicate-insensitive already, so distinctness at tier 1 is the
+    * only place the guarantee was load-bearing. */
   private def inBandTwoTierVerifyPairs(hashed: DataFrame, idCol: String,
                                        hCol: String, numHashes: Int,
                                        numBands: Int, rowsPerBand: Int,
                                        threshold: Double, maxBucket: Int): DataFrame = {
     val rows = hashed.select(col(idCol),
-        graft.expressions.TruncHashes.trunc_hashes(
-          array_distinct(col(hCol)), 16).as("__tr"),
+        graft.expressions.TruncHashes.trunc_hashes_distinct(col(hCol), 16)
+          .as("__tr"),
         explode(bandKeys(
           graft.expressions.MinHashSig.minhash_sig(col(hCol), numHashes),
           numBands, rowsPerBand)).as("__bk"))

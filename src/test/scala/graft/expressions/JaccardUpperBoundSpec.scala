@@ -120,6 +120,46 @@ class JaccardUpperBoundSpec extends SparkSpec {
     assert(sqlRow.getDouble(0) == 1.0)
   }
 
+  test("trunc_hashes_distinct: dedups ORIGINAL longs (not truncations), " +
+       "handles multisets, nulls, and already-distinct inputs") {
+    import TruncHashes.trunc_hashes_distinct
+    // dedup happens on the 8-byte values BEFORE truncation: 1 and 65537
+    // both truncate to short 1 but are distinct longs, so BOTH survive —
+    // collapsing them would shrink i_up below what the multiset-min
+    // bound requires. The duplicate 1L collapses.
+    val m = Seq(Seq(1L, 65537L, 1L)).toDF("a")
+    val got = m.select(trunc_hashes_distinct(col("a"), 16).as("t"))
+      .head().getSeq[Short](0)
+    assert(got == Seq[Short](1, 1), s"got $got")
+    // already-distinct input: BIT-IDENTICAL to the plain kernel —
+    // first-occurrence order is part of the contract (shuffle-bytes
+    // parity, see the kernel scaladoc)
+    val d = Seq(Seq(-1L, 65537L, 0L, 32768L)).toDF("a")
+    val plain = d.select(trunc_hashes(col("a"), 16).as("t")).head().getSeq[Short](0)
+    val dedup = d.select(trunc_hashes_distinct(col("a"), 16).as("t")).head().getSeq[Short](0)
+    assert(dedup == plain)
+    // 32-bit width, same first-occurrence order
+    val g32 = m.select(trunc_hashes_distinct(col("a"), 32).as("t")).head().getSeq[Int](0)
+    assert(g32 == Seq(1, 65537))
+    // probe stress: many duplicates + many distincts in one array,
+    // exercising table growth and epoch reuse across rows
+    val big = (1 to 3).map(r => (0 until 2000).map(i => (i % 700).toLong * 7919 + r))
+    val gotBig = big.toDF("a").select(trunc_hashes_distinct(col("a"), 16).as("t"))
+      .collect().map(_.getSeq[Short](0))
+    big.zip(gotBig).foreach { case (in, out) =>
+      val expect = in.distinct.map(v => v.toShort)
+      assert(out == expect, s"row dedup mismatch: ${out.take(5)} vs ${expect.take(5)}")
+    }
+    // cold path: null elements dedup to one (the JaccardSim null contract)
+    val n = Seq(Seq(Some(1L), None, Some(1L), None)).toDF("a")
+    val gn = n.select(trunc_hashes_distinct(col("a"), 16).as("t"))
+      .head().getSeq[java.lang.Short](0)
+    assert(gn.length == 2 && gn.count(_ == null) == 1, s"got $gn")
+    // empty stays empty
+    assert(Seq(Seq.empty[Long]).toDF("a")
+      .select(trunc_hashes_distinct(col("a"), 16).as("t")).head().getSeq[Short](0).isEmpty)
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(NgramHashes.char_ngram_hashes(col("text"), 8).as("sh"))
