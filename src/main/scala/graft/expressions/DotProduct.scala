@@ -75,9 +75,14 @@ object VecKernels {
 
 object DotProduct {
   /** Static kernel shared by interpreted and generated code paths.
-    * Sequential fold; null element → null (HOF parity). */
+    * Sequential fold; null element → null, LENGTH MISMATCH → null (both
+    * are HOF parity: `zip_with` pads the shorter side with nulls, so the
+    * aggregate fold poisons to null — silently truncating to the shorter
+    * length would instead mask a dimension-mismatch bug upstream as a
+    * plausible score). */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -127,8 +132,11 @@ case class L2Squared(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object L2Squared {
+  /** Null element or length mismatch → null (HOF parity — see
+    * [[DotProduct.dot]]). */
   def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -155,6 +163,11 @@ object L2Squared {
   * null element → null array (HOF parity). */
 case class L2Normalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // a null ELEMENT in a non-null array makes the result null, so this
+  // must be nullable even over a non-nullable child (its siblings above
+  // declare the same; omitting it lets Catalyst fold IsNotNull to true
+  // and elide null checks in consuming projections)
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_normalize"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -46,6 +46,12 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
 object PolyFingerprint {
   private final val Mod = 2147483647L // 2^31 - 1
 
+  /** Per-thread digest (the SimHash48 pattern): getInstance per ROW pays
+    * a JCA provider lookup + allocation on the hot scan. */
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   // Java-regex \s, byte-level (every member is ASCII)
   private def isWs(b: Byte): Boolean =
     b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
@@ -57,7 +63,7 @@ object PolyFingerprint {
   def compute(u: UTF8String): Long = {
     val bytes = u.getBytes
     val n = bytes.length
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest.get()
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -48,6 +48,12 @@ case class WordGramKeys(child: Expression, n: Int) extends UnaryExpression {
 
 object WordGramKeys {
 
+  /** Per-thread digest (the SimHash48 pattern): getInstance per ROW pays
+    * a JCA provider lookup + allocation on the hot scan. */
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   private def isWs(b: Byte): Boolean =
     b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
       b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
@@ -57,7 +63,7 @@ object WordGramKeys {
   def compute(u: UTF8String, n: Int): ArrayData = {
     val bytes = u.getBytes
     val len = bytes.length
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest.get()
     // per-token md5Int32 values
     val hs = new scala.collection.mutable.ArrayBuffer[Long]()
     var i = 0
@@ -81,7 +87,21 @@ object WordGramKeys {
       while (j < m) { acc = acc * 31 + hs(j); j += 1 }
       return new GenericArrayData(Array(acc))
     }
-    val weights = Array.tabulate(n)(j => math.pow(31, n - 1 - j).toLong)
+    // EXACT wrapping powers of 31, built by integer multiplication:
+    // math.pow goes through double and is inexact from 31^11 (> 2^53)
+    // and saturates at 31^13 — the weighted sum below only equals the
+    // wrapping fold `acc*31 + h` (the m < n branch above, and the
+    // declarative spec/oracle form) when each weight is the exact
+    // mod-2^64 power. Note the DECLARATIVE mirror (TextAnalysis
+    // .gramKeys, and any ANSI SQL oracle) is only defined while
+    // h·31^(n-1) fits in a long — under ANSI, Spark raises
+    // ARITHMETIC_OVERFLOW from roughly n = 8 with 32-bit hashes — so
+    // beyond that range THIS kernel's wrapping semantics are the
+    // definition (AnalysisSpec pins n = 12 against an in-JVM fold).
+    val weights = new Array[Long](n)
+    weights(n - 1) = 1L
+    var wj = n - 2
+    while (wj >= 0) { weights(wj) = weights(wj + 1) * 31L; wj -= 1 }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var w0 = 0
     val lastW = m - n

@@ -229,9 +229,17 @@ object AsOfJoin {
       .withColumn("__carry", last(col("__pb"), ignoreNulls = true).over(wCarry))
       .select(col("__k"), col("__b"), col("__carry"))
 
-    // 3. Attach carry and resolve.
+    // 3. Attach carry and resolve. The join must be NULL-SAFE on both
+    // keys: a left row with a null key (or null time → null bucket) IS
+    // retained by the plain `backward` window form (partitionBy groups
+    // nulls), and backwardAuto's contract is that routing never changes
+    // results — a plain equi-join here would silently drop those rows
+    // (null never equals null). EqualNullSafe keys still plan as a
+    // hash/sort-merge equi-join.
+    val carryR = carry.select(col("__k").as("__ck"), col("__b").as("__cb"),
+      col("__carry"))
     within
-      .join(carry, Seq("__k", "__b"))
+      .join(carryR, col("__k") <=> col("__ck") && col("__b") <=> col("__cb"))
       .filter(col("__tag") === 1)
       .withColumn("__last", coalesce(col("__lastin"), col("__carry")))
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++

@@ -30,10 +30,18 @@ object RangeJoin {
                       pointCol: String, startCol: String, endCol: String,
                       bucketWidthSec: Long): DataFrame = {
     val b = lit(bucketWidthSec)
-    // Interval → one row per overlapped bucket (sequence is empty-safe:
-    // end exclusive means an interval ending on a bucket boundary does
-    // not claim the next bucket).
+    // EMPTY/INVERTED intervals (end <= start) are filtered BEFORE the
+    // explode: containment `point >= start && point < end` is
+    // unsatisfiable for them, but Spark's two-arg sequence(start, stop)
+    // defaults to step -1 when start > stop, so one corrupt interval
+    // (end = 0 sentinel against an epoch-seconds start) would otherwise
+    // explode into ~start/bucketWidth DESCENDING bucket rows — a
+    // single-row OOM/straggler bomb the residual filter only cleans up
+    // AFTER the blow-up. With the filter, sequence's stop >= start holds
+    // (end exclusive: an interval ending on a bucket boundary does not
+    // claim the next bucket).
     val ivExploded = intervals
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
         floor(col(startCol) / b),
         floor((col(endCol) - 1) / b))))

@@ -34,12 +34,25 @@ object RobustStats {
   def madOutlierStats(df: DataFrame, groupCols: Seq[String], x: Column,
                       k: Double = 3.0, scale: Int = 6): DataFrame = {
     val g = groupCols.map(col)
+    // The joins back onto the rows must be NULL-SAFE on the group keys:
+    // groupBy puts null-keyed rows in their own group (so meds/mads have
+    // a null-group row), but a plain equi-join never matches it back —
+    // the null group would silently vanish from the output instead of
+    // being reported the way a plain groupBy reports it.
+    def joinBack(rows: DataFrame, agg: DataFrame, aggCol: String): DataFrame = {
+      val renamed = agg.select(
+        groupCols.map(c => col(c).as(s"__g_$c")) :+ col(aggCol): _*)
+      rows.join(broadcast(renamed),
+          groupCols.map(c => col(c) <=> col(s"__g_$c"))
+            .foldLeft(lit(true))(_ && _))
+        .drop(groupCols.map(c => s"__g_$c"): _*)
+    }
     val meds = df.groupBy(g: _*)
       .agg(percentile(x, lit(0.5)).as("__med"))
-    val withMed = df.join(broadcast(meds), groupCols)
+    val withMed = joinBack(df, meds, "__med")
     val mads = withMed.groupBy(g: _*)
       .agg(percentile(abs(x - col("__med")), lit(0.5)).as("__mad"))
-    withMed.join(broadcast(mads), groupCols)
+    joinBack(withMed, mads, "__mad")
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("n"),

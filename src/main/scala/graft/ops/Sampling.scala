@@ -35,10 +35,17 @@ object Sampling {
       roundTo)
 
   /** Deterministic weighted sample WITHOUT replacement of size k.
-    * Returns the input columns plus `sample_key`. */
+    * Returns the input columns plus `sample_key`.
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED (A-ES is defined
+    * for w > 0): unfiltered, a null weight yields a null race key and a
+    * negative weight a negative one, and both sort BEFORE every valid
+    * key — a handful of bad-weight rows would deterministically occupy
+    * sample slots, silently biasing the shipped sample. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
     TopK.perGroup(
-      df.withColumn("sample_key", raceKey(col(idCol), weight)),
+      df.filter(weight.isNotNull && weight > lit(0))
+        .withColumn("sample_key", raceKey(col(idCol), weight)),
       groupCols = Nil,
       order = Seq(col("sample_key").asc, col(idCol).asc),
       k = k,

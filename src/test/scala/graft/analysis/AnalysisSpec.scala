@@ -107,6 +107,35 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("WordGramKeys kernel at n = 12 equals the WRAPPING fold (weights beyond " +
+       "double precision; declarative form overflows under ANSI here)") {
+    // Two traps meet at large n: (1) 31^11 > 2^53, so a math.pow-derived
+    // weight table is inexact from n = 12 — the kernel now builds
+    // weights by integer multiplication, keeping its weighted sum equal
+    // to its own wrapping whole-doc fold at ANY n; (2) the declarative
+    // gramKeys mirror can't even express this regime — under ANSI
+    // (Spark 4 default) its h * 31^(n-1) products raise
+    // ARITHMETIC_OVERFLOW from roughly n = 8 with 32-bit hashes — so
+    // the reference here is an in-JVM wrapping fold over the same
+    // md5Int32 token hashes, not the Column form.
+    import graft.text.TextOps
+    val n = 12
+    val inputs = Seq(
+      (1 to 20).map(i => s"tok$i").mkString(" "), // > n windows
+      (1 to 12).map(i => s"w$i").mkString(" "),   // exactly n
+      "short doc")                                // < n → whole-doc fold
+    val rows = inputs.toDF("s").select(
+      graft.expressions.WordGramKeys.word_gram_keys(col("s"), n).as("k"),
+      transform(TextOps.tokens(col("s")), t => TextOps.md5Int32(t)).as("h"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    def foldKeys(hs: Seq[Long]): Seq[Long] =
+      if (hs.length < n) Seq(hs.foldLeft(0L)((acc, h) => acc * 31 + h))
+      else hs.sliding(n).map(_.foldLeft(0L)((acc, h) => acc * 31 + h)).toSeq.distinct
+    rows.zip(inputs).foreach { case ((k, h), in) =>
+      assert(k == foldKeys(h), s"kernel $k != wrapping fold ${foldKeys(h)} for '$in'")
+    }
+  }
+
   test("WordGramStrings kernel ≡ declarative split/transform/concat_ws chain") {
     val inputs = Seq(
       "a b c d e f g h i j",

@@ -43,6 +43,31 @@ class DotProductSpec extends SparkSpec {
     assert(got(2).isEmpty)
   }
 
+  test("length mismatch → null, matching the zip_with pad-with-null fold") {
+    // zip_with pads the shorter side with nulls → x*y null → aggregate
+    // poisons to null; truncating to the shorter length would instead
+    // mask a dimension-mismatch bug as a plausible score.
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val got = df.select(
+      dot_product(col("a"), col("b")).as("d"),
+      l2_squared(col("a"), col("b")).as("l"),
+      hofDot(col("a"), col("b")).as("hd"),
+      hofL2(col("a"), col("b")).as("hl")).collect()(0)
+    assert(got.isNullAt(0) && got.isNullAt(1), s"kernel must null on mismatch: $got")
+    assert(got.isNullAt(2) && got.isNullAt(3), "HOF parity reference broken")
+  }
+
+  test("l2_normalize declares nullable (null element → null result survives filters)") {
+    // Without nullable=true, Catalyst may fold IsNotNull to true and the
+    // null row would pass a filter it must not.
+    val df = Seq(Tuple1(Seq(Some(1.0), None)), Tuple1(Seq(Some(3.0), Some(4.0))))
+      .toDF("a")
+    val norm = df.select(L2Normalize.l2_normalize(col("a")).as("v"))
+    assert(norm.schema("v").nullable, "l2_normalize must be nullable")
+    assert(norm.filter(col("v").isNotNull).count() == 1)
+    assert(norm.filter(col("v").isNull).count() == 1)
+  }
+
   test("participates in whole-stage codegen, reading array<float> directly") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(dot_product(col("embedding"), col("embedding")).as("d"))

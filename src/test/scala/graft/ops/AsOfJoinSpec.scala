@@ -94,6 +94,23 @@ class AsOfJoinSpec extends SparkSpec {
     val bucketed = AsOfJoin.backwardBucketed(bigLeft, bigRight, "uid", "t", "ts",
       Seq("eid", "etype"), bucketWidth = 100L, rightTieBreak = Some("eid"))
     assert(canon(bucketed) == canon(plain))
+
+    // NULL key / NULL time left rows: the plain window form retains them
+    // (partitionBy groups nulls), so the bucketed form must too — its
+    // carry join is null-safe on (key, bucket). Routing never changes
+    // results, including for these rows.
+    val nullLeft = (Seq(("Ln1", Option.empty[String], Some(950L)),
+      ("Ln2", Some("hot"), Option.empty[Long]),
+      ("Ln3", Some("cold"), Some(950L))))
+      .toDF("order_id", "uid", "t")
+    val optRight = bigRight.select(col("uid"), col("ts"), col("eid"), col("etype"))
+    val p2 = AsOfJoin.backward(nullLeft, optRight, "uid", "t", "ts",
+      Seq("eid", "etype"), rightTieBreak = Some("eid"))
+    val b2 = AsOfJoin.backwardBucketed(nullLeft, optRight, "uid", "t", "ts",
+      Seq("eid", "etype"), bucketWidth = 100L, rightTieBreak = Some("eid"))
+    assert(canon(b2) == canon(p2),
+      s"null key/time rows diverge: ${canon(b2)} vs ${canon(p2)}")
+    assert(p2.count() == 3, "plain form must retain null key/time left rows")
     // heavy window is (key, bucket)-partitioned in the bucketed plan
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(plan.contains("__b"), s"expected bucket column in plan:\n$plan")

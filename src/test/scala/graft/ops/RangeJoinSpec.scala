@@ -15,6 +15,22 @@ class RangeJoinSpec extends SparkSpec {
       (3L, "w2"), (4L, "w2")))
   }
 
+  test("inverted/empty intervals match nothing and never explode") {
+    // end <= start is unsatisfiable containment, but Spark's two-arg
+    // sequence() steps -1 when start > stop: pre-fix, one corrupt
+    // interval with an epoch-seconds start and end = 0 exploded into
+    // ~start/bucketWidth DESCENDING bucket rows before the residual
+    // filter discarded them. The interval side now filters end > start
+    // BEFORE the explode, so this completes instantly and empty.
+    val pts = Seq((1L, 5.0), (2L, 1.7e9)).toDF("pid", "pt")
+    val ivs = Seq(
+      ("corrupt", 1.7e9, 0.0),  // inverted: would be ~472k bucket rows
+      ("empty", 10.0, 10.0)     // zero-length: end exclusive → no bucket
+    ).toDF("w", "s", "e")
+    val out = RangeJoin.pointInInterval(pts, ivs, "pt", "s", "e", bucketWidthSec = 3600L)
+    assert(out.count() == 0)
+  }
+
   test("interval spanning many buckets still matches once per point") {
     val pts = Seq((1L, 55.0)).toDF("pid", "pt")
     val ivs = Seq(("big", 0.0, 100.0)).toDF("w", "s", "e")

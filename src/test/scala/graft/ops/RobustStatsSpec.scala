@@ -30,6 +30,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(math.abs(dirty.getAs[Double]("mad") - 25.5) < 1e-9)
   }
 
+  test("a NULL group key is reported like any other group (null-safe join-back)") {
+    // groupBy puts null keys in their own group; the medians/MAD tables
+    // have that row, and the join back onto the rows must be null-safe
+    // or the whole null group silently vanishes from the output.
+    val df = (Seq.tabulate(20)(i => (Some("a"), i * 1.0)) ++
+      Seq.tabulate(20)(i => (Option.empty[String], 100.0 + i))).toDF("g", "v")
+    val out = RobustStats.madOutlierStats(df, Seq("g"), col("v"))
+      .collect().map(r => (Option(r.getString(0)), r.getAs[Long]("n"))).toMap
+    assert(out == Map(Some("a") -> 20L, None -> 20L), s"got $out")
+  }
+
   test("groups are independent") {
     val df = (Seq.tabulate(50)(i => ("a", i * 1.0)) ++
       Seq.tabulate(50)(i => ("b", 1000.0 + i))).toDF("g", "v")

@@ -27,6 +27,20 @@ class SamplingSpec extends SparkSpec {
     assert(heavy >= 15, s"only $heavy of 20 picks were heavy-weighted")
   }
 
+  test("null / zero / negative weights are EXCLUDED, never auto-selected") {
+    // A-ES is defined for w > 0. Unfiltered, a null weight yields a null
+    // race key and a negative weight a negative key — both sort before
+    // every valid key under asc and would deterministically occupy
+    // sample slots.
+    val bad = Seq((900L, Option.empty[Double]), (901L, Some(-5.0)), (902L, Some(0.0)))
+    val mixed = (rows.map { case (i, w) => (i, Some(w)) } ++ bad).toDF("id", "w")
+    val picked = Sampling.weightedSample(mixed, "id", col("w"), 20)
+      .select("id").as[Long].collect().toSet
+    assert(picked.intersect(Set(900L, 901L, 902L)).isEmpty,
+      s"bad-weight rows leaked into the sample: $picked")
+    assert(picked.size == 20)
+  }
+
   test("race keys are reproducible values, not rand()") {
     val k1 = df.select(Sampling.raceKey(col("id"), col("w")).as("k"))
       .as[Double].collect().toSeq
