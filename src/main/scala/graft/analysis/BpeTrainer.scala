@@ -77,7 +77,7 @@ object BpeTrainer {
       .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => WordSyms(w.map(_.toString), f) }
+      .map { case (w, f) => WordSyms(toSymbols(w), f) }
       .localCheckpoint(true)
 
     // (total symbol occurrences, total character mass), freq-weighted;
@@ -85,7 +85,7 @@ object BpeTrainer {
     def totals(ws: Dataset[WordSyms]): (Long, Long) = {
       if (!measure) return (0L, 0L)
       val r = ws.map(w => (w.syms.length.toLong * w.freq,
-          w.syms.iterator.map(_.length.toLong).sum * w.freq))
+          w.syms.iterator.map(cpLen).sum * w.freq))
         .toDF("s", "c").agg(sum("s"), sum("c")).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -121,8 +121,29 @@ object BpeTrainer {
 
   /** Encode a word with a trained merge list (applied in order) —
     * the tokenizer's inference half. */
+  /** Split a word into CODE-POINT symbols. `w.map(_.toString)` would
+    * split on UTF-16 code units, turning any supplementary character
+    * (emoji, rare CJK) into two invalid lone-surrogate "symbols" — and
+    * the resulting Java code-unit counts would break the character-
+    * conservation invariant (n_token_chars = n_word_chars) against
+    * Spark's `length()`, which counts code points. */
+  private def toSymbols(w: String): Seq[String] = {
+    val out = new scala.collection.immutable.VectorBuilder[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Code-POINT length of a symbol (symbols are concatenations of
+    * [[toSymbols]] output, so this equals Spark's `length()`). */
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
   def encode(word: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(word.map(_.toString): Seq[String]) {
+    merges.foldLeft(toSymbols(word)) {
       case (syms, (a, b)) => mergeOnce(syms, a, b)
     }
 
@@ -151,7 +172,7 @@ object BpeTrainer {
       .as[String]
       .map { w =>
         val toks = encode(w, merges)
-        (w, toks.length.toLong, toks.iterator.map(_.length.toLong).sum)
+        (w, toks.length.toLong, toks.iterator.map(cpLen).sum)
       }
       .toDF("w", "toks", "tok_chars")
     wordCounts.join(broadcast(tokensPerWord), "w")

@@ -157,12 +157,25 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3_occ"),
         sum(col("c")).as("tot3"))
+    // LEFT joins: a doc with < 2 tokens has no bigram row and < 3 tokens
+    // no trigram row — inner joins silently DROPPED exactly the short/
+    // degenerate docs a quality gate most needs to see. Such docs report
+    // zero counts and zero fractions. (Note on top2_frac: overlapping
+    // occurrences of the modal bigram each count, so the ratio can
+    // exceed 1 for degenerate docs like "a a a" — it is occurrence MASS
+    // relative to token count, not a [0,1] coverage fraction; gate on it
+    // as a monotone repetitiveness ratio.)
     base.select(col(idCol), col("n"))
-      .join(top2, idCol).join(dup3, idCol)
-      .select(col(idCol), col("n").as("n_tokens"), col("top2_cnt"),
-        round(col("top2_cnt") * lit(2.0) / col("n"), 4).as("top2_frac"),
-        col("dup3_occ"),
-        round(col("dup3_occ") * lit(1.0) / col("tot3"), 4).as("dup3_frac"))
+      .join(top2, Seq(idCol), "left").join(dup3, Seq(idCol), "left")
+      .select(col(idCol), col("n").as("n_tokens"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        when(col("n") > 0,
+          round(coalesce(col("top2_cnt"), lit(0L)) * lit(2.0) / col("n"), 4))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        coalesce(col("dup3_occ"), lit(0L)).as("dup3_occ"),
+        when(col("tot3") > 0,
+          round(col("dup3_occ") * lit(1.0) / col("tot3"), 4))
+          .otherwise(lit(0.0)).as("dup3_frac"))
   }
 
   /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) with

@@ -51,7 +51,11 @@ object NlpFunctions {
     val df = documentFrequencies(docs, idCol, toksCol)
     val tf = docs.select(col(idCol), explode(toksCol).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val scored = tf.join(broadcast(df), "term")
+    // shuffle_hash, NOT broadcast: the DF table is vocabulary-sized —
+    // Zipf-unbounded at 100 TB — the exact shape Dsir.topImportance
+    // measured failing in the ×30 rehearsal (0.84 GiB peak task,
+    // growing linearly) and fixed the same way.
+    val scored = tf.join(df.hint("shuffle_hash"), "term")
       .withColumn("score", col("tf") * log(lit(corpusSize.toDouble) / col("df")))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -61,19 +65,10 @@ object NlpFunctions {
   // ---- N4: topic classification -------------------------------------------
   /** Keyword-profile topic scoring: argmax lexicon-hit count with fixed
     * tie order (profiles order), "other" when nothing hits. */
-  def topic(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val scores = profiles.map { case (t, ws) =>
+  def topic(toks: Column, profiles: Seq[(String, Seq[String])]): Column =
+    graft.text.LangId.argmaxCascade(profiles.map { case (t, ws) =>
       t -> size(filter(toks, x => x.isin(ws: _*)))
-    }
-    val allZero = scores.map(_._2 === 0).reduce(_ && _)
-    val cascade = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
-      case (((t, s), i), rest) =>
-        val later = scores.drop(i + 1).map(_._2)
-        if (later.isEmpty) rest
-        else when(later.map(s >= _).reduce(_ && _), lit(t)).otherwise(rest)
-    }
-    when(allZero, lit("other")).otherwise(cascade)
-  }
+    }, "other")
 
   // ---- N5: extractive summary ---------------------------------------------
   /** Leading-window extractive summary: first `maxWords` tokens. The

@@ -746,11 +746,16 @@ object CurationQueries {
                      AS dup3_occ,
                    CAST(sum(c) AS BIGINT) AS tot3
                  FROM tgc GROUP BY 1)
-         SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens, bga.top2_cnt,
-           round(bga.top2_cnt * 2.0 / b.n, 4) AS top2_frac,
-           tga.dup3_occ,
-           round(tga.dup3_occ * 1.0 / tga.tot3, 4) AS dup3_frac
-         FROM base b JOIN bga USING (doc_id) JOIN tga USING (doc_id)
+         SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
+           CAST(COALESCE(bga.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+           CASE WHEN b.n > 0
+                THEN round(COALESCE(bga.top2_cnt, 0) * 2.0 / b.n, 4)
+                ELSE 0.0 END AS top2_frac,
+           CAST(COALESCE(tga.dup3_occ, 0) AS BIGINT) AS dup3_occ,
+           CASE WHEN tga.tot3 > 0
+                THEN round(tga.dup3_occ * 1.0 / tga.tot3, 4)
+                ELSE 0.0 END AS dup3_frac
+         FROM base b LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
          ORDER BY b.doc_id""",
     "q126_rag_chunks" ->
       s"""WITH $tokCte,

@@ -330,7 +330,7 @@ object PipelineQueries {
     "q27_jsonp_parse" ->
       """WITH p AS (SELECT event_type,
              CAST(json_extract_string(
-               regexp_extract('cb(' || props || ');', '^[^(]*\((.*)\)[\s;]*$', 1),
+               regexp_extract('cb(' || props || ');', '(?s)^[^(]*\((.*)\)[\s;]*$', 1),
                '$.k') AS INTEGER) AS k
            FROM events)
          SELECT event_type, count(*) AS cnt,

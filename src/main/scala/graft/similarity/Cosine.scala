@@ -27,7 +27,17 @@ object Cosine {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity with a ZERO-NORM guard: a zero vector (which
+    * `hashEmbeddingDF` legitimately emits for token-less docs) has no
+    * direction, and the raw 0/0 would be NaN — which Spark orders and
+    * compares as LARGER than every number, so one zero vector in a
+    * dedup cell would "near-duplicate" everything (`sim >= tau` is true
+    * for NaN) and rank first in every sim-desc top-k. Zero-norm pairs
+    * score 0.0 instead: similar to nothing, ranked last. */
+  def cosine(a: Column, b: Column): Column = {
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(dot(a, b) / nn)
+  }
 
   /** Squared L2 distance (for IVF-style assignment). */
   def l2sq(a: Column, b: Column): Column =

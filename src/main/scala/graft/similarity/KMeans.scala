@@ -90,7 +90,16 @@ object KMeans {
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             seed: Seq[(Long, Array[Double])], rounds: Int): Seq[(Long, Array[Double])] = {
     var cens = seed
-    for (_ <- 0 until rounds) {
+    // Collapse guard: a round can starve cells (all vectors assigned to
+    // one centroid, or an empty/all-null corpus yielding none). Stopping
+    // with the SURVIVING centroids is strictly better than the
+    // alternative — letting the next round's assignCells throw its
+    // >= 2-centroids require and forfeit the whole training run. The
+    // unrolled oracle (q149) assumes no collapse, which holds for any
+    // corpus whose seeds attract at least one vector each; the guard is
+    // for deployment-scale degenerate inputs.
+    var round = 0
+    while (round < rounds && cens.size >= 2) {
       val dims = cens.head._2.length
       val cells = assignCells(corpus, idCol, vecCol, cens)
       val means = dimMeansExact(cells, corpus, idCol, vecCol).collect()
@@ -99,6 +108,7 @@ object KMeans {
         rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
         cell -> arr
       }.sortBy(_._1)
+      round += 1
     }
     cens
   }

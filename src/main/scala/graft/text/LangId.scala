@@ -29,20 +29,34 @@ object LangId {
   def score(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords: _*)))
 
-  /** Predicted language for a token array: argmax score, ties resolved in
-    * `profiles` order, `und` when every score is 0. */
-  def predict(toks: Column): Column = {
-    val scores = profiles.map { case (lang, words) => lang -> score(toks, words) }
-    val allZero = scores.map(_._2 === 0).reduce(_ && _)
-    // cascade: first language whose score is >= all later ones
-    val cascade = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
-      case (((lang, s), i), rest) =>
-        val laterMax = scores.drop(i + 1).map(_._2)
-        if (laterMax.isEmpty) rest
-        else when(laterMax.map(s >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+  /** Argmax over (label, score) columns: the first label whose score is
+    * >= every later score (ties resolve in list order); `zeroLabel` when
+    * every score is 0. Shared by [[predict]], [[predictCharNgram]] and
+    * `NlpFunctions.topic` — it was copy-pasted three times and all three
+    * copies had the same null bug. NULL scores count as 0: a null
+    * input column makes size(filter(null, …)) null, every when()
+    * condition null, and the cascade would fall through to the LAST
+    * label — confidently classifying every null doc as the final
+    * profile instead of `zeroLabel`. */
+  private[graft] def argmaxCascade(scores: Seq[(String, Column)],
+                                   zeroLabel: String): Column = {
+    val safe = scores.map { case (l, s) => l -> coalesce(s, lit(0)) }
+    val allZero = safe.map(_._2 === 0).reduce(_ && _)
+    val cascade = safe.zipWithIndex.foldRight(lit(safe.last._1)) {
+      case (((label, s), i), rest) =>
+        val later = safe.drop(i + 1).map(_._2)
+        if (later.isEmpty) rest
+        else when(later.map(s >= _).reduce(_ && _), lit(label)).otherwise(rest)
     }
-    when(allZero, lit("und")).otherwise(cascade)
+    when(allZero, lit(zeroLabel)).otherwise(cascade)
   }
+
+  /** Predicted language for a token array: argmax score, ties resolved in
+    * `profiles` order, `und` when every score is 0 — including for a
+    * NULL token array (null scores count as zero hits). */
+  def predict(toks: Column): Column =
+    argmaxCascade(profiles.map { case (lang, words) =>
+      lang -> score(toks, words) }, "und")
 
   /** Character-n-gram profiles: the most characteristic trigrams (with
     * word-boundary marks, Cavnar–Trenkle style) per language. As with
@@ -70,15 +84,7 @@ object LangId {
   /** Char-n-gram language prediction (Cavnar–Trenkle-shaped): argmax of
     * profile-trigram hits, ties in `charProfiles` order, `und` when no
     * profile trigram occurs at all. */
-  def predictCharNgram(text: Column): Column = {
-    val scores = charProfiles.map { case (lang, gs) => lang -> charScore(text, gs) }
-    val allZero = scores.map(_._2 === 0).reduce(_ && _)
-    val cascade = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
-      case (((lang, s), i), rest) =>
-        val later = scores.drop(i + 1).map(_._2)
-        if (later.isEmpty) rest
-        else when(later.map(s >= _).reduce(_ && _), lit(lang)).otherwise(rest)
-    }
-    when(allZero, lit("und")).otherwise(cascade)
-  }
+  def predictCharNgram(text: Column): Column =
+    argmaxCascade(charProfiles.map { case (lang, gs) =>
+      lang -> charScore(text, gs) }, "und")
 }

@@ -175,9 +175,13 @@ object TextOps {
 
   // ---- O15: JSONP strip ----------------------------------------------------
   /** `cb({...})` → `{...}`: strip the callback wrapper, keep the payload.
-    * Pair with `from_json(schema)` for the typed parse. */
+    * Pair with `from_json(schema)` for the typed parse. (?s) so the
+    * payload may span lines — without it a pretty-printed JSONP response
+    * extracts to "" (the `.` can't cross a newline) and every such row
+    * silently parses to null downstream. Both Java regex and RE2 (the
+    * DuckDB oracle) support the inline flag, so the mirror stays exact. */
   def jsonpStrip(c: Column): Column =
-    regexp_extract(c, "^[^(]*\\((.*)\\)[\\s;]*$", 1)
+    regexp_extract(c, "(?s)^[^(]*\\((.*)\\)[\\s;]*$", 1)
 
   // ---- O16: EN ticker extraction ------------------------------------------
   /** `$tsla`-style cashtags (uppercased) ∪ bare ALL-CAPS words. */

@@ -20,6 +20,18 @@ class AnalysisSpec extends SparkSpec {
     assert(got.sameElements(Array("en", "de", "es", "fr", "und")))
   }
 
+  test("LangId: NULL text classifies as 'und', never the last profile") {
+    // Pre-fix, size(filter(null, …)) made every cascade condition null
+    // and the fold fell through to its innermost seed — the LAST profile
+    // ('fr') — so null docs were confidently labeled French.
+    val df = Seq(Option.empty[String], Some("the cat and the hat")).toDF("s")
+    val word = df.select(LangId.predict(toks).as("r")).as[String].collect()
+    assert(word.sameElements(Array("und", "en")), word.mkString(","))
+    val char = df.select(LangId.predictCharNgram(col("s")).as("r"))
+      .as[String].collect()
+    assert(char(0) == "und", s"null text char-ngram: ${char(0)}")
+  }
+
   test("ngramNovelty: copies score 0, fresh docs 1, partial overlap in between") {
     val d = Seq(
       (1L, "a b c d e f"),       // 6 tokens → grams "a b c d e", "b c d e f"

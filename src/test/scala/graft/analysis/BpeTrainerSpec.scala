@@ -84,6 +84,24 @@ class BpeTrainerSpec extends SparkSpec {
       }
   }
 
+  test("supplementary characters stay whole symbols (code points, not UTF-16 units)") {
+    // "😀" (one emoji code point) must be ONE symbol: a
+    // code-unit split would produce two invalid lone surrogates, and the
+    // code-unit char counts would break conservation against Spark's
+    // code-point length().
+    val emoji = new String(Character.toChars(0x1F600))
+    val syms = BpeTrainer.encode(emoji + "x", Nil)
+    assert(syms == Seq(emoji, "x"), s"got ${syms.map(_.length)}-unit symbols $syms")
+    assert(syms.forall(s => !s.exists(Character.isSurrogate) || s.codePointCount(0, s.length) == 1))
+    val docs = Seq((1L, s"${emoji}x ${emoji}x plain")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", numMerges = 2)
+    BpeTrainer.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_token_chars") == r.getAs[Long]("n_word_chars"),
+          s"conservation broke on astral text: $r")
+      }
+  }
+
   test("encodeCorpus ≡ per-doc reference encode (distinct-word tier is invisible)") {
     val docs = Seq(
       (1L, "newest newest lower"),

@@ -24,6 +24,24 @@ class RepetitionSpec extends SparkSpec {
     assert(f2 == 0.4 && df2 == 0.0)
   }
 
+  test("docs with 0/1/2 tokens are REPORTED with zero stats, not dropped") {
+    // Pre-fix, the inner joins onto the bigram/trigram aggregates
+    // silently removed exactly the short docs a quality gate most needs
+    // to see.
+    val df = Seq(
+      ("empty", ""), ("one", "solo"), ("two", "a b"), ("big", "x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .as[(String, Int, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("empty", "one", "two", "big"),
+      s"short docs must not vanish: ${got.keySet}")
+    assert(got("empty") == (("empty", 0, 0L, 0.0, 0L, 0.0)))
+    assert(got("one") == (("one", 1, 0L, 0.0, 0L, 0.0)))
+    val (_, n2, t2, f2, d2, df2) = got("two") // one bigram, no trigram
+    assert(n2 == 2 && t2 == 1L && f2 == 1.0 && d2 == 0L && df2 == 0.0)
+  }
+
   test("a fully degenerate doc maxes both fractions") {
     val df = Seq(("deg", "z z z z z z")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionStats(df, "doc_id", "text")

@@ -49,6 +49,24 @@ class NlpFunctionsSpec extends SparkSpec {
     assert(got.sameElements(Array("a", "b", "other", "a"))) // tie → first profile
   }
 
+  test("topic: NULL tokens classify as 'other', never the last profile") {
+    val profiles = Seq("a" -> Seq("x"), "b" -> Seq("y"))
+    val got = Seq(Option.empty[String], Some("y")).toDF("s")
+      .select(NlpFunctions.topic(toks, profiles).as("r")).as[String].collect()
+    assert(got.sameElements(Array("other", "b")), got.mkString(","))
+  }
+
+  test("tfidfKeywords never broadcasts the vocabulary-sized DF table") {
+    // The DF side is Zipf-unbounded at corpus scale — the exact shape
+    // Dsir.topImportance measured failing at ×30 (peak task memory
+    // growing linearly); the join must be shuffle_hash, not broadcast.
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("id", "s")
+    val plan = NlpFunctions.tfidfKeywords(docs, "id", toks, 2, 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"plan broadcasts the DF table:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle_hash join:\n$plan")
+  }
+
   test("summary truncates to maxWords") {
     val got = Seq("one two three four five").toDF("s")
       .select(NlpFunctions.summary(toks, 3).as("r")).as[String].collect()(0)

@@ -66,6 +66,21 @@ class KMeansSpec extends SparkSpec {
     assert(cens.map(_._1) == Seq(0L, 1L, 2L))
   }
 
+  test("collapse below 2 live cells ends training with the survivors (no mid-loop crash)") {
+    // Seed one real centroid and one far-away ghost: round 1 assigns
+    // every vector to the real one, the ghost starves, and k collapses
+    // to 1. Remaining rounds must STOP (assignCells requires >= 2
+    // centroids — pre-guard, round 2 threw and forfeited the training
+    // run) and return the surviving centroid.
+    val df = corpus(30)
+    val far = 999L -> Array(1e6, 1e6, 1e6, 1e6)
+    val cens = KMeans.train(df, "vec_id", "vec",
+      seedOf(df, 0L) :+ far, rounds = 3)
+    assert(cens.map(_._1) == Seq(0L), s"expected the lone survivor, got $cens")
+    // an empty seed short-circuits to itself instead of cens.head crashing
+    assert(KMeans.train(df, "vec_id", "vec", Nil, rounds = 2).isEmpty)
+  }
+
   test("probeCells: nprobe ranked cells per query; rank-1 equals assignCells") {
     val df = corpus(60)
     val cens = KMeans.train(df, "vec_id", "vec", seedOf(df, 0L, 1L, 2L), rounds = 2)

@@ -26,6 +26,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("cosine with a ZERO vector is 0.0, never NaN (NaN sorts/compares greatest)") {
+    // hashEmbeddingDF emits a zero vector for token-less docs; raw 0/0
+    // would be NaN, which Spark evaluates as >= any tau and ranks first
+    // in sim-desc top-k — a zero vector would 'near-duplicate' its whole
+    // dedup cell and win every rerank. The guard scores it 0.0.
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("z", "v")
+      .select(Cosine.toDouble(col("z")).as("z"), Cosine.toDouble(col("v")).as("v"))
+    val r = df.select(
+      Cosine.cosine(col("z"), col("v")).as("zv"),
+      Cosine.cosine(col("z"), col("z")).as("zz")).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0, s"got $r")
+    assert(df.filter(Cosine.cosine(col("z"), col("v")) >= 0.5).count() == 0)
+  }
+
   test("planeWeight is deterministic and in [-1, 1)") {
     val w1 = RandomHyperplaneLSH.planeWeight(3, 2, 17)
     val w2 = RandomHyperplaneLSH.planeWeight(3, 2, 17)

@@ -151,6 +151,9 @@ class TextOpsSpec extends SparkSpec {
   test("jsonpStrip unwraps callback payloads (ref eastmoney.py:72-75)") {
     assert(one(TextOps.jsonpStrip(col("s")), """datatable1234({"a":[1,2]});""") == """{"a":[1,2]}""")
     assert(one(TextOps.jsonpStrip(col("s")), """cb({"nested":"(x)"})""") == """{"nested":"(x)"}""")
+    // multiline payload (pretty-printed JSONP): without (?s) the capture
+    // can't cross a newline and the extract silently returns ""
+    assert(one(TextOps.jsonpStrip(col("s")), "cb({\n \"a\": 1\n});") == "{\n \"a\": 1\n}")
   }
 
   // ---- O16/O17 ticker extraction ----
