@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * ICB majority exists, trim two digits (8→6→4→2) and retry — a rollup
   * along the ICB hierarchy. One base aggregation produces per-(doc, code)
   * counts; each coarser level re-aggregates that already-tiny result, and
-  * winner selection is a window over doc_id — high-cardinality partitions,
-  * scale-safe (never a window over raw rows).
+  * winner selection is an argmax HASH aggregation (max/min over a
+  * (count, code) struct — map-side partials, no per-partition sort; the
+  * earlier row_number-window form measured ~15% slower at sf0.1 and was
+  * replaced everywhere).
   */
 object SectorVote {
 
@@ -210,44 +212,20 @@ object SectorVote {
     }
   }
 
-  /** Pure codegen'd-hash-agg cascade: like `hierarchical` but winner
-    * selection is `min(struct(-cnt, code))` per (doc, level) — no
-    * row_number window (no per-partition sort), no typed encoders, every
-    * stage a map-side-partial hash aggregation. Measured 3.4s at sf0.1
-    * on the q24 shape: faster than the windowed (4.7s) and compact-HOF
-    * (4.5s) forms, slower than the hybrid Aggregator (2.4s) because the
-    * 4× level explode pushes ~2M rows through two exchanges. Kept as
-    * the preferred form when typed encoders are unavailable (pure-SQL
-    * deployments). */
+  /** Historical alias for [[hierarchical]]. This USED to be a separate
+    * hash-agg implementation "like hierarchical but without the
+    * row_number window" (measured 3.4 vs 4.7 s at sf0.1 on the q24
+    * shape) — then `hierarchical` itself was rewritten to the same
+    * hash-agg cascade, leaving two near-line-for-line duplicates whose
+    * only difference was an equivalent argmax encoding
+    * (max(struct(lcnt, -code)) vs min(struct(-lcnt, code))). One body
+    * now serves both names; the SectorVoteSpec equivalence test that
+    * guarded the duplicate pins the delegation. */
   def hierarchicalHashAgg(pairs: DataFrame, docCol: String, codeCol: String,
                           divisors: Seq[Long] = Seq(1L, 100L, 10000L, 1000000L),
                           levelLabels: Seq[String] = Seq("8", "6", "4", "2"),
-                          num: Int = 1, denom: Int = 2): DataFrame = {
-    require(divisors.length == levelLabels.length)
-    val base = pairs.groupBy(col(docCol), col(codeCol).cast("long").as("code"))
-      .agg(count(lit(1)).as("cnt"))
-    val lvls = array(divisors.zipWithIndex.map { case (d, i) =>
-      struct(lit(i).as("lvl"), lit(d).as("div"))
-    }: _*)
-    val lvlCounts = base
-      .select(col(docCol), col("code"), col("cnt"), explode(lvls).as("ld"))
-      .select(col(docCol), col("ld.lvl").as("lvl"),
-        (col("code") / col("ld.div")).cast("long").as("lvl_code"), col("cnt"))
-      .groupBy(docCol, "lvl", "lvl_code").agg(sum("cnt").as("lcnt"))
-    val winners = lvlCounts.groupBy(col(docCol), col("lvl")).agg(
-        min(struct((-col("lcnt")).as("nc"), col("lvl_code").as("code"))).as("best"),
-        sum("lcnt").as("total"))
-      .select(col(docCol), col("lvl"),
-        when((-col("best.nc")) * denom > col("total") * num, col("best.code")).as("win"))
-    val pivoted = winners.groupBy(docCol).agg(
-      max(when(col("lvl") === 0, col("win"))).as("w0"),
-      divisors.indices.drop(1).map(i =>
-        max(when(col("lvl") === i, col("win"))).as(s"w$i")): _*)
-    val sector = coalesce(divisors.indices.map(i => col(s"w$i")): _*)
-    val level = coalesce(divisors.indices.map(i =>
-      when(col(s"w$i").isNotNull, lit(levelLabels(i)))): _*)
-    pivoted.select(col(docCol), sector.as("sector"), level.as("level"))
-  }
+                          num: Int = 1, denom: Int = 2): DataFrame =
+    hierarchical(pairs, docCol, codeCol, divisors, levelLabels, num, denom)
 
   /** `hierarchical` with two shuffles instead of four: aggregate
     * (doc, code) counts, collect each doc's count list (bounded by the

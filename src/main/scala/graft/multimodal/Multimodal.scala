@@ -27,10 +27,16 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int, digest: Long,
       width: Int, height: Int, duration_ms: Long, feature: Array[Float])
 
+  /** Deterministic polynomial digest of a payload (the stand-in for a
+    * content hash — ONE definition so decode() and sampleFrames() can
+    * never silently diverge; it appeared inline six times before). */
+  private def payloadDigest(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+
   /** STAND-IN decoder: derives deterministic pseudo-features from the
     * payload bytes (xxhash-seeded). Replace with a real codec. */
   def fakeDecode(r: MediaRow): MediaFeatures = {
-    val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+    val h = payloadDigest(r.payload)
     // Mask instead of math.abs: abs(Long.MinValue) is negative, which
     // would yield width 0/negative and a negative duration for that
     // one-in-2^64 payload.
@@ -65,7 +71,7 @@ object Multimodal {
       catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) fakeDecode(r)
     else {
-      val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      val h = payloadDigest(r.payload)
       MediaFeatures(r.media_id, r.kind, r.payload.length, h,
         width = img.getWidth, height = img.getHeight, duration_ms = 0L,
         feature = lumaHistogram(img))
@@ -134,7 +140,7 @@ object Multimodal {
           cnt(seg) += 1
           i += 1
         }
-        val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+        val h = payloadDigest(r.payload)
         val feat = Array.tabulate(8)(j =>
           if (cnt(j) == 0) 0f
           else (math.sqrt(rms(j) / cnt(j)) / Short.MaxValue).toFloat)
@@ -160,7 +166,7 @@ object Multimodal {
           catch { case _: Exception => null }
         if (img == null) fakeDecode(r)
         else {
-          val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+          val h = payloadDigest(r.payload)
           MediaFeatures(r.media_id, r.kind, r.payload.length, h,
             width = avi.width, height = avi.height,
             duration_ms = avi.totalFrames * avi.usPerFrame / 1000L,
@@ -266,12 +272,11 @@ object Multimodal {
           val take = math.min(n, a.frames.length)
           (0 until take).map { i =>
             val idx = (i.toLong * a.frames.length / math.max(take, 1)).toInt
-            val fh = a.frames(idx)
-              .foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+            val fh = payloadDigest(a.frames(idx))
             Frame(r.media_id, i, idx * a.usPerFrame / 1000L, fh)
           }
         case None =>
-          val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+          val h = payloadDigest(r.payload)
           (0 until n).map { i =>
             Frame(r.media_id, i, i.toLong * durationMs / math.max(n, 1), h * 31 + i)
           }

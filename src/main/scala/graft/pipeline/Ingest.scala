@@ -63,7 +63,8 @@ object Ingest {
         id = col("id"), source = col("source"), title = col("title"),
         text = col("selftext"), tickers = col("tickers"),
         time = timestamp_seconds(col("created_utc")),
-        sourceLink = col("url"), retrievalTime = retrievalTime).as("doc"))
+        sourceLink = col("url"), retrievalTime = retrievalTime,
+        textHash = col("text_hash")).as("doc"))
       .select(col("doc.*"))
       .as[Doc]
   }
@@ -82,10 +83,13 @@ object Ingest {
   /** Streaming twin of [[ingest]] (the reference worker loop IS a stream
     * consumer): same gates, re-shaped for unbounded input —
     *
-    *  - ticker resolution is PER-ROW (`array_intersect` against the
-    *    bounded universe symbol set, exactly the reference's broadcast
-    *    set `reddit.py:89`) instead of explode+groupBy, so the hot path
-    *    needs no stateful aggregation;
+    *  - ticker resolution is PER-ROW (an `isin` membership filter over
+    *    the extracted tickers — Catalyst's OptimizeIn rule turns the
+    *    literal list into one static `InSet` hash set, so each element
+    *    is an O(1) probe; the earlier `array_intersect` against a
+    *    literal array re-built an O(universe) set PER ROW) — exactly the
+    *    reference's broadcast set `reddit.py:89`, and no explode+groupBy
+    *    stateful aggregation on the hot path;
     *  - the dedup gate is `dropDuplicatesWithinWatermark` on the content
     *    hash with a 7-day horizon (F8/W4) — state bounded by watermark;
     *  - pair the output with `Sinks.idempotentAppend` in `foreachBatch`
@@ -97,12 +101,11 @@ object Ingest {
                    horizon: String = "7 days"): Dataset[Doc] = {
     val valid = filterValidPosts(posts)
       .withColumn("__text", TextOps.getText(col("title"), col("selftext")))
-    val universeArr = array(universeSymbols.map(lit): _*)
     val withTickers = valid
-      .withColumn("tickers", array_sort(array_intersect(
+      .withColumn("tickers", array_sort(filter(
         array_except(TextOps.extractTickersEn(col("__text")),
           array(stopTickers.map(lit): _*)),
-        universeArr)))
+        t => t.isin(universeSymbols: _*))))
       .filter(size(col("tickers")) > 0) // F4
       .withColumn("text_hash", TextOps.textHashHex(col("__text")))
       .withColumn("__ts", timestamp_seconds(col("created_utc")))
@@ -114,7 +117,8 @@ object Ingest {
         id = col("id"), source = col("source"), title = col("title"),
         text = col("selftext"), tickers = col("tickers"),
         time = col("__ts"),
-        sourceLink = col("url"), retrievalTime = retrievalTime).as("doc"))
+        sourceLink = col("url"), retrievalTime = retrievalTime,
+        textHash = col("text_hash")).as("doc"))
       .select(col("doc.*"))
       .as[Doc]
   }

@@ -30,7 +30,11 @@ object Migrate {
     val acked = staged
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          try { write(batch); batch.iterator.map(_.getLong(idIdx)) }
+          // Materialize the ack ids INSIDE the try: a lazy iterator over
+          // batch would evaluate getLong after the catch exits, so a bad
+          // id row (null, wrong type) would escape the per-batch failure
+          // policy and abort the task instead of just failing the batch.
+          try { val ids = batch.map(_.getLong(idIdx)); write(batch); ids.iterator }
           catch { case _: Exception => Iterator.empty }
         }
       }(Encoders.scalaLong)

@@ -41,15 +41,25 @@ object Doc {
   /** O18 doc assembly: build the typed struct from extracted columns with
     * the reference's defaults (`datamodels.py:43-46`) — except the clock,
     * which is injected for determinism (`datetime.now()` defaults are one
-    * of the reference's reproducibility bugs, SURVEY §7.4). */
+    * of the reference's reproducibility bugs, SURVEY §7.4).
+    *
+    * `textHash` is the PRECOMPUTED content hash (TextOps.textHashHex over
+    * the same get_text rendering the dedup gates keyed on) — threading it
+    * through instead of re-hashing here both saves a second md5 per doc
+    * and makes it structurally impossible for the stored hash to drift
+    * from the hash dedup ran against. Note the hash is deliberately over
+    * the RENDERED text (title and body joined by get_text, nulls
+    * skipped): that is the reference's dedup identity — two posts whose
+    * rendered text coincides ARE duplicates under its contract, even if
+    * the title/body split differs. */
   def assemble(
       id: Column, source: Column, title: Column, text: Column,
       tickers: Column, time: Column, sourceLink: Column,
-      retrievalTime: Column): Column =
+      retrievalTime: Column, textHash: Column): Column =
     struct(
       id.cast("string").as("unique_identifier"),
       id.cast("string").as("source_id"),
-      md5(concat_ws(" ", title, text)).as("text_hash"),
+      textHash.as("text_hash"),
       source.as("source"),
       title.as("title"),
       text.as("text"),

@@ -27,8 +27,14 @@ object FixtureSource {
     * spread pages over workers. */
   def pagePlan(spark: SparkSession, totalRows: Long, pageSize: Int,
                maxPages: Int = Int.MaxValue): DataFrame = {
-    // A7 ceil-div total-pages derivation; L2 `max_page` cap (etnet.py:52)
-    val numPages = math.min(((totalRows + pageSize - 1) / pageSize).toInt, maxPages)
+    // A7 ceil-div total-pages derivation; L2 `max_page` cap (etnet.py:52).
+    // The ceil-div stays in LONG until after the maxPages min: a .toInt
+    // on the raw page count wraps once totalRows/pageSize exceeds
+    // Int.MaxValue and silently plans a fraction of the pages (or zero,
+    // if the wrap lands negative) — data loss at exactly the scale this
+    // planner exists for. After min(—, maxPages) the value provably fits.
+    val numPages = math.min((totalRows + pageSize - 1) / pageSize,
+      maxPages.toLong).toInt
     spark.range(numPages)
       .select(col("id").cast("int").as("page"),
         (col("id") * pageSize).cast("long").as("offset"),
@@ -81,7 +87,11 @@ object FixtureSource {
     val tools = regexp_extract_all(serpHtml,
       lit("(?is)<span[^>]*class=\"c-tools[^\"]*\"[^>]*data-tools=\"([^\"]*)\""), lit(1))
     val baike = filter(tools, t => t.contains("百度百科"))
-    get(transform(baike,
-      t => regexp_extract(t, "title:'(.*?)[_ -]*百度百科", 1)), lit(0))
+    // nullif: regexp_extract returns "" (not null) when the tool span
+    // matched the contains-filter but its title is not in the expected
+    // shape — the documented contract is NULL for "no baike name", and
+    // "" would survive isNotNull filters and join on an empty entity.
+    nullif(get(transform(baike,
+      t => regexp_extract(t, "title:'(.*?)[_ -]*百度百科", 1)), lit(0)), lit(""))
   }
 }

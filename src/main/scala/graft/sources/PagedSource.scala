@@ -51,11 +51,15 @@ object PagedSource {
     StructField("title", StringType, nullable = true)))
 
   /** Minimal JSONL field extraction for the fixture format
-    * {"id":N,"title":"..."} — not a general JSON parser. */
-  private[sources] def parseLine(line: String, page: Int): (Long, Int, String) = {
+    * {"id":N,"title":"..."} — not a general JSON parser. None for a line
+    * with no parseable id: the id column is declared non-nullable, and a
+    * fabricated sentinel (the old id = -1) would pass pushed predicates
+    * like LessThan(id, 10) and pollute results — malformed lines are
+    * DROPPED, not invented. */
+  private[sources] def parseLine(line: String, page: Int): Option[(Long, Int, String)] = {
     val idM = "\"id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(line)
     val tM = "\"title\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(line)
-    (idM.map(_.group(1).toLong).getOrElse(-1L), page, tM.map(_.group(1)).orNull)
+    idM.map(m => (m.group(1).toLong, page, tM.map(_.group(1)).orNull))
   }
 }
 
@@ -108,9 +112,13 @@ class PagedScan(path: String, filters: Array[Filter], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     // page listing happens on the driver (like reading total pages, A7);
     // the page CONTENTS are read inside the partitions
+    require(path != null, "PagedSource requires a 'path' option")
     val dir = new java.io.File(path)
-    dir.listFiles((_, n) => n.startsWith("page-") && n.endsWith(".jsonl"))
-      .sortBy(_.getName)
+    // listFiles returns NULL (not empty) for a missing or non-directory
+    // path — surface a clear planning error instead of an NPE in sortBy
+    val files = dir.listFiles((_, n) => n.startsWith("page-") && n.endsWith(".jsonl"))
+    require(files != null, s"PagedSource path is not a readable directory: $path")
+    files.sortBy(_.getName)
       .zipWithIndex
       .map { case (f, i) => PagePartition(f.getAbsolutePath, i): InputPartition }
   }
@@ -134,7 +142,7 @@ class PagedReader(p: PagePartition, filters: Array[Filter], required: StructType
     val src = scala.io.Source.fromFile(p.file, "UTF-8")
     val parsed = new ArrayBuffer[(Long, Int, String)]
     try src.getLines().filter(_.trim.nonEmpty)
-      .foreach(l => parsed += PagedSource.parseLine(l, p.page))
+      .foreach(l => PagedSource.parseLine(l, p.page).foreach(parsed += _))
     finally src.close()
     parsed.iterator.filter(r => passes(r._1))
   }

@@ -14,6 +14,29 @@ class FixtureSourceSpec extends SparkSpec {
     assert(plan.map(_._3.toLong).sum == 230)
   }
 
+  test("baikeNameFromSerp: baike mention without the title shape is NULL, not \"\"") {
+    // regexp_extract returns "" (not null) on no-match; the documented
+    // contract is null for "no baike name", and an empty string would
+    // survive isNotNull and join on an empty entity.
+    val html = """<span class="c-tools" data-tools="{url:'x',note:'百度百科'}"></span>"""
+    val got = Seq(html).toDF("html")
+      .select(FixtureSource.baikeNameFromSerp(col("html")).as("n"))
+      .collect()(0)
+    assert(got.isNullAt(0), s"expected null, got '${got.getString(0)}'")
+  }
+
+  test("pagePlan survives page counts beyond Int.MaxValue (ceil-div stays long)") {
+    // Pre-fix, ((totalRows+pageSize-1)/pageSize).toInt wrapped NEGATIVE
+    // for 2^31+9 pages, min(negative, cap) stayed negative, and
+    // spark.range(negative) planned ZERO pages — silent total data loss.
+    val plan = FixtureSource.pagePlan(spark,
+      totalRows = Int.MaxValue.toLong + 10, pageSize = 1, maxPages = 3)
+    val rows = plan.select("page", "offset", "limit")
+      .as[(Int, Long, Int)].collect().sortBy(_._1)
+    assert(rows.length == 3, s"expected the 3 capped pages, got ${rows.length}")
+    assert(rows.map(_._2).sameElements(Array(0L, 1L, 2L)))
+  }
+
   test("pagePlan honors the max_page cap (L2, etnet.py:52)") {
     val plan = FixtureSource.pagePlan(spark, totalRows = 1000, pageSize = 100, maxPages = 5)
     assert(plan.count() == 5)

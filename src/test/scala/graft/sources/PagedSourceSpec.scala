@@ -34,6 +34,32 @@ class PagedSourceSpec extends SparkSpec {
     assert(rows(4) == (5L, 1, "epsilon"))
   }
 
+  test("malformed lines (no id) are dropped, never fabricated as id = -1") {
+    // Pre-fix a line without an id produced a live (id = -1) row in a
+    // non-nullable column, passing pushed predicates like id < 10.
+    val d = Files.createTempDirectory("graft-badpages")
+    Files.writeString(d.resolve("page-000.jsonl"),
+      """{"id":7,"title":"ok"}
+        |{"title":"no id here"}
+        |not json at all
+        |""".stripMargin)
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("path", d.toString).load()
+    val ids = df.select("id").as[Long].collect().toSeq
+    assert(ids == Seq(7L), s"malformed lines leaked: $ids")
+    assert(df.filter(col("id") < 10).count() == 1)
+  }
+
+  test("a missing or non-directory path fails planning with a clear error") {
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("path", "/no/such/dir").load()
+    val e = intercept[Exception](df.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not a readable directory")),
+      s"expected the readable-directory message, got: ${msgs(e)}")
+  }
+
   test("id filters push into the source (SupportsPushDownFilters)") {
     val df = read().filter(col("id") >= 3L)
     val scan = df.queryExecution.executedPlan.toString
