@@ -341,16 +341,19 @@ object MinHashLSH {
       case VerifyForm.Fetch  => fetch(freshCands())
       case VerifyForm.Auto   =>
         // the routing count MATERIALIZES the ids-only candidate set; a
-        // Fetch decision then reuses it from cache, so Auto costs ~one
-        // count over the fetch form it would have run anyway (the cached
-        // pair set is released by the ContextCleaner once the returned
-        // plan is executed and dropped)
+        // Fetch decision then reuses the materialization, so Auto costs
+        // ~one count over the fetch form it would have run anyway.
+        // localCheckpoint, NOT persist: a persisted plan is held by the
+        // CacheManager until explicit unpersist or session end, and the
+        // Fetch branch returns a plan still reading the cache — the
+        // candidate set (GBs at ×100) would outlive the query and
+        // accumulate across a long session (the q164 lesson, round-10
+        // advice). The eager checkpoint is ContextCleaner-released once
+        // the returned plan is executed and dropped.
         val n = hashed.select(col(idCol)).count()
-        val cands = freshCands()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = freshCands().localCheckpoint(true)
         val c = cands.count()
         if (inBandWins(c, n, numBands)) {
-          cands.unpersist(blocking = false)
           inBandFormFor(hashed, hCol) match {
             case VerifyForm.InBandTwoTier =>
               inBandTwoTierVerifyPairs(hashed, idCol, hCol, numHashes,
