@@ -37,10 +37,17 @@ object Bench {
     // warmup (sf0.001, untimed): JVM/codegen + one query per table family
     // (TPC-H star, documents, embeddings, events) so the first timed query
     // of each family doesn't absorb parquet-reader/codegen init
-    SparkEntry.entry(spark).collect()
-    SparkEntry.queries("q12_token_stats")(spark, "/root/testdata/sf0.001").collect()
-    SparkEntry.queries("q21_cosine_topk")(spark, "/root/testdata/sf0.001").collect()
-    SparkEntry.queries("q09_events_hourly")(spark, "/root/testdata/sf0.001").collect()
+    // Best-effort: a missing warmup path or renamed query key must cost
+    // only the warmup, never kill the bench before BENCH.json is written
+    // (timed-query failures are recorded as -1; the warmup gets the same
+    // tolerance).
+    Seq(() => SparkEntry.entry(spark).collect(): Unit) ++ Seq(
+      "q12_token_stats", "q21_cosine_topk", "q09_events_hourly").map(n =>
+      () => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").collect(): Unit)
+    match { case warmups => warmups.foreach { w =>
+      try w() catch { case e: Exception =>
+        System.err.println(s"[bench] warmup skipped: $e") }
+    } }
 
     // Variance protocol (round-10 verdict #3): the bench is single-shot,
     // so on a box with documented 1.5-3x session noise a round-over-round

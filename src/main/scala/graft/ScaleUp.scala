@@ -56,7 +56,10 @@ object ScaleUp {
     // stride per keyed table: strictly greater than the observed max key,
     // rounded to a power of ten so remapped ids stay human-readable.
     def stride(df: DataFrame, key: String): Long = {
-      val mx = df.agg(max(col(key).cast("long"))).head.getLong(0)
+      val row = df.agg(max(col(key).cast("long"))).head
+      require(!row.isNullAt(0),
+        s"ScaleUp: '$key' has no non-null values (empty source table?) — cannot derive a stride")
+      val mx = row.getLong(0)
       var s = 1L
       while (s <= mx) s *= 10
       s
@@ -78,8 +81,15 @@ object ScaleUp {
     val oS = stride(t("orders"), "o_orderkey")
     val eS = stride(t("events"), "event_id")
     val uS = stride(t("events"), "user_id")
-    val dS = stride(t("documents"), "doc_id")
-    val vS = stride(t("embeddings"), "vec_id")
+    // doc_id and vec_id are a CROSS-MODAL join key (q65/q87 join
+    // documents to embeddings on it), so both tables must remap with the
+    // SAME stride — independent strides only agree today because both
+    // maxima round to the same power of ten; maxima straddling a power
+    // of ten would silently mispair copies (vector copy 1 joining doc
+    // copy 0).
+    val dS = math.max(stride(t("documents"), "doc_id"),
+      stride(t("embeddings"), "vec_id"))
+    val vS = dS
 
     val scaled: Seq[(String, DataFrame, Int)] = Seq(
       ("region", t("region"), 1),

@@ -22,12 +22,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (wanted(name))
+      if (wanted(name)) {
+        // Delete any PREVIOUS run's output for this query up front: the
+        // overwrite only happens on success, so a query that now throws
+        // would otherwise leave the stale parquet in place and the
+        // driver's compare would score a broken query as passing.
+        val outPath = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        if (outPath.exists) rm(outPath)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

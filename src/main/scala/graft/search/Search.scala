@@ -24,6 +24,16 @@ import graft.text.TextOps
   *    groupBy-sum whose float association depends on partitioning —
   *    this keeps scores bit-deterministic across cluster layouts (and
   *    hash-comparable against a DuckDB oracle).
+  *
+  * KNOWN SEMANTIC SPLIT with [[PhraseSearch]]: BM25 tokenizes on raw
+  * case-sensitive whitespace tokens (punctuation attached — the same
+  * token stream the corpus-stats operators use), while the phrase
+  * operator uses lower-cased `[a-z0-9]+` runs (the standard-analyzer
+  * shape its positional oracle mirrors). Each operator is certified
+  * against its own oracle; callers fusing the two (q87's RRF) should
+  * pre-normalize query terms to the stream they target. Unifying the
+  * analyzers would change both operators' certified outputs and is a
+  * deliberate non-goal for now.
   */
 object Bm25 {
 
@@ -45,7 +55,13 @@ object Bm25 {
            queryTerms: Seq[String], k: Int,
            k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val tf = termFreqs(docs, idCol, textCol).filter(col("term").isin(queryTerms: _*))
+    // Dedupe + non-empty guard: duplicate query terms would alias two
+    // identical per-term columns (ambiguous reference), an empty list
+    // would crash on termAggs.head, and scoring a term twice is not BM25
+    // (query-term frequency weighting is a different feature).
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "Bm25.topK needs at least one query term")
+    val tf = termFreqs(docs, idCol, textCol).filter(col("term").isin(terms: _*))
 
     // Corpus stats: N and avgdl in one pass over doc lengths (map-side
     // combine; the result is a single row, crossJoin'd as a literal-like
@@ -67,10 +83,15 @@ object Bm25 {
 
     // Fixed-order sum: one conditional-max column per query term, added
     // left-to-right — float-association-stable regardless of row order.
-    val termAggs = queryTerms.map(t => max(when(col("term") === t, col("w"))).as(s"w_$t"))
+    // Aliases are POSITIONAL (w_0, w_1, …), never term-derived: a term
+    // containing '.' (which the whitespace tokenizer legitimately emits,
+    // e.g. "hash.") would make col("w_hash.") parse as a field access and
+    // fail resolution.
+    val termAggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("w"))).as(s"w_$i") }
     val perTerm = scored.groupBy(col(idCol)).agg(termAggs.head, termAggs.tail: _*)
     val summed = perTerm.withColumn("score",
-      round(queryTerms.map(t => coalesce(col(s"w_$t"), lit(0.0))).reduceLeft(_ + _), roundTo))
+      round(terms.indices.map(i => coalesce(col(s"w_$i"), lit(0.0))).reduceLeft(_ + _), roundTo))
 
     graft.ops.TopK.perGroup(summed.select(col(idCol), col("score")),
       groupCols = Nil, order = Seq(col("score").desc, col(idCol).asc), k = k,

@@ -28,6 +28,21 @@ class SearchSpec extends SparkSpec {
     assert(top.head == 2L)
   }
 
+  test("bm25 handles dotted terms, duplicate terms, and rejects empty queries") {
+    // Term-derived column aliases would make col("w_table.") parse as a
+    // field access (AnalysisException) and duplicate terms an ambiguous
+    // reference; aliases are positional now. Duplicate terms dedupe
+    // (scoring a term twice is not BM25), empty queries fail fast.
+    val dotted = Seq((1L, "hash table. lookup"), (2L, "other text")).toDF("id", "text")
+    val top = Bm25.topK(dotted, "id", "text", Seq("table."), k = 2)
+      .select("id").as[Long].collect()
+    assert(top.headOption.contains(1L), s"dotted term must score doc 1: ${top.toSeq}")
+    val dup = Bm25.topK(docs, "id", "text", Seq("spark", "spark"), k = 3)
+    val single = Bm25.topK(docs, "id", "text", Seq("spark"), k = 3)
+    assert(dup.collect().map(_.toSeq).toSeq == single.collect().map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException](Bm25.topK(docs, "id", "text", Nil, k = 1))
+  }
+
   test("doc with no query terms never appears; tf saturation bounds repeat gain") {
     val res = Bm25.topK(docs, "id", "text", Seq("spark", "merge", "window"), k = 5)
     val ids = res.select("id").as[Long].collect().toSet
