@@ -275,6 +275,29 @@ object MinHashLSH {
     * point and the spec's word-3 routing corpora. */
   val InBandCostFactor = 2.9
 
+  /** Auto-route short-circuit: corpora at or below this many docs go
+    * straight to the Fetch form without materializing the candidate set
+    * for a routing count. Chosen an order of magnitude under the ×100
+    * rehearsal corpus (500k docs — routed normally) and above every
+    * sf0.1 bench corpus (≤ ~60k), so the short-circuit removes the
+    * fixed q18 materialization cost without touching any measured
+    * routed regime. All verify forms emit identical pair sets, so this
+    * is purely a latency decision. */
+  val AutoSmallCorpusN: Long = 100000L
+
+  /** Explicitly free an eager `localCheckpoint(true)`'s storage when the
+    * checkpointed plan will never be read. Checkpoint blocks are
+    * otherwise held until the driver GCs the RDD reference AND the
+    * ContextCleaner runs — unbounded in a long-lived session. The RDD
+    * lives behind the checkpointed Dataset's [[LogicalRDD]] leaf;
+    * non-blocking unpersist is safe because nothing reads the plan. */
+  private def releaseCheckpoint(checkpointed: DataFrame): Unit =
+    checkpointed.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Cost-based verify routing from the MEASURED candidate count. Fetch
     * ships ~2 arrays per DISTINCT candidate pair; InBand ships every
     * doc's array once per band but pays ~[[InBandCostFactor]]× per array
@@ -340,27 +363,44 @@ object MinHashLSH {
           threshold, maxBucket)
       case VerifyForm.Fetch  => fetch(freshCands())
       case VerifyForm.Auto   =>
-        // the routing count MATERIALIZES the ids-only candidate set; a
-        // Fetch decision then reuses the materialization, so Auto costs
-        // ~one count over the fetch form it would have run anyway.
-        // localCheckpoint, NOT persist: a persisted plan is held by the
-        // CacheManager until explicit unpersist or session end, and the
-        // Fetch branch returns a plan still reading the cache — the
-        // candidate set (GBs at ×100) would outlive the query and
-        // accumulate across a long session (the q164 lesson, round-10
-        // advice). The eager checkpoint is ContextCleaner-released once
-        // the returned plan is executed and dropped.
         val n = hashed.select(col(idCol)).count()
-        val cands = freshCands().localCheckpoint(true)
-        val c = cands.count()
-        if (inBandWins(c, n, numBands)) {
-          inBandFormFor(hashed, hCol) match {
-            case VerifyForm.InBandTwoTier =>
-              inBandTwoTierVerifyPairs(hashed, idCol, hCol, numHashes,
-                numBands, r, threshold, maxBucket)
-            case _ => inBand()
-          }
-        } else fetch(cands)
+        // Small corpora skip the routing machinery entirely: in-band's
+        // whole advantage is avoiding fat-array re-shipment at scale,
+        // which is noise below [[AutoSmallCorpusN]] docs, while the
+        // eager materialization the routing count needs is a FIXED cost
+        // that roughly doubled q18 at sf0.1 (0.63→1.40 s, round-11
+        // verdict). ×100 corpora (500k docs) are far above the
+        // threshold, so routed behavior there is untouched — measured
+        // q18 sf0.1 restored with q35 ×100 routing identical.
+        if (n <= AutoSmallCorpusN) fetch(freshCands())
+        else {
+          // the routing count MATERIALIZES the ids-only candidate set; a
+          // Fetch decision then reuses the materialization, so Auto costs
+          // ~one count over the fetch form it would have run anyway.
+          // localCheckpoint, NOT persist: a persisted plan is held by the
+          // CacheManager until explicit unpersist or session end, and the
+          // Fetch branch returns a plan still reading the cache — the
+          // candidate set (GBs at ×100) would outlive the query and
+          // accumulate across a long session (the q164 lesson, round-10
+          // advice). The Fetch branch's checkpoint blocks are
+          // ContextCleaner-released once the returned plan is executed
+          // and dropped; the in-band branch RETURNS A PLAN THAT NEVER
+          // READS the checkpoint, so it releases the blocks explicitly —
+          // otherwise repeated Auto calls in a long session accumulate
+          // GB-scale executor storage until a driver GC happens to run
+          // (round-11 ADVICE).
+          val cands = freshCands().localCheckpoint(true)
+          val c = cands.count()
+          if (inBandWins(c, n, numBands)) {
+            releaseCheckpoint(cands)
+            inBandFormFor(hashed, hCol) match {
+              case VerifyForm.InBandTwoTier =>
+                inBandTwoTierVerifyPairs(hashed, idCol, hCol, numHashes,
+                  numBands, r, threshold, maxBucket)
+              case _ => inBand()
+            }
+          } else fetch(cands)
+        }
     }
   }
 

@@ -175,6 +175,28 @@ object Sinks {
     obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
   }
 
+  /** Strict Hive partition-dir shape: exactly one `=` splitting a
+    * non-empty key from a (possibly empty) value. `contains("=")` was
+    * too loose — it also matched our own crash-left `_old_k=v` backups
+    * and arbitrary dirs that merely contain `=`. */
+  private val PartitionDirShape = "^[^=]+=[^=]*$".r
+
+  /** Names Hadoop's hiddenFileFilter / Spark partition discovery skip. */
+  private def hiddenName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".")
+
+  /** A hidden-named sibling of `p` (same parent, `.`-prefixed), so scans
+    * and partition discovery over the parent never see scratch state.
+    * DOT prefix, not underscore: Spark's `shouldFilterOutPathName`
+    * exempts `_`-prefixed names that CONTAIN '=' (so escaped partition
+    * dirs for `_`-named columns survive discovery), which means
+    * `_old_date=d0` would be inferred as a partition column `_old_date`
+    * and fail the scan with CONFLICTING_PARTITION_COLUMN_NAMES; names
+    * starting with '.' are filtered unconditionally. */
+  private def hiddenSibling(p: org.apache.hadoop.fs.Path,
+                            prefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.getParent, prefix + p.getName)
+
   /** Small-file compaction (K5's maintenance sibling): rewrite a parquet
     * table into ~`targetFileBytes` files. A streaming/micro-batch sink
     * leaves thousands of tiny files per day; at 100 TB the scan's task
@@ -185,8 +207,14 @@ object Sinks {
     * re-sorts while rewriting (range exchange) so compaction can also
     * restore clustering (e.g. `ops/ZOrder.morton` codes) — otherwise it
     * is a plain `repartition` round-robin, one total shuffle either way.
-    * Writes to a sibling temp dir then swaps, so a failed compaction
-    * never destroys the table. Returns the output file count. */
+    * Writes to a HIDDEN sibling temp dir (`.compacting_<name>`) then
+    * swaps, so a failed compaction never destroys the table — and
+    * because the scratch/backup names start with `_`, Hadoop's hidden
+    * filter and Spark partition discovery ignore them even when they sit
+    * inside a partitioned root: a crash between the rename-aside and the
+    * final delete leaves `.old_<k=v>` behind as an inert hidden dir, not
+    * a phantom partition that would silently duplicate rows on every
+    * subsequent read. Returns the output file count. */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long,
               sortCol: Option[String] = None): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -195,15 +223,30 @@ object Sinks {
     // reading the root folds `k=v` into data columns and a flat rewrite
     // would destroy the directory layout (Retention's prefix matching,
     // idempotentAppend's dynamic overwrite, and partition pruning all
-    // depend on it). Recurse into each k=v child (multi-level layouts
-    // recurse again) so every leaf keeps its own file-count target and
-    // the layout survives byte-for-byte.
-    val partitionDirs = fs.listStatus(hPath)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    if (partitionDirs.nonEmpty)
+    // depend on it). Recurse into each strict `k=v` child (multi-level
+    // layouts recurse again) so every leaf keeps its own file-count
+    // target and the layout survives byte-for-byte. Children are split
+    // three ways — hidden (`_`/`.` prefix: _SUCCESS, our own scratch and
+    // crash-left backups — skipped), strict-shape partition dirs, and
+    // everything else; a MIXED layout (partition dirs alongside loose
+    // data files or odd dirs) fails loudly rather than silently
+    // compacting only the partition half.
+    val children = fs.listStatus(hPath)
+      .filterNot(s => hiddenName(s.getPath.getName))
+    val partitionDirs = children
+      .filter(s => s.isDirectory && PartitionDirShape.matches(s.getPath.getName))
+    if (partitionDirs.nonEmpty) {
+      val strays = children.filterNot(s =>
+        s.isDirectory && PartitionDirShape.matches(s.getPath.getName))
+      require(strays.isEmpty,
+        s"compact: mixed layout under $hPath — partition dirs " +
+          s"(${partitionDirs.head.getPath.getName}, ...) coexist with " +
+          s"non-partition entries (${strays.map(_.getPath.getName).mkString(", ")}); " +
+          "compact the leaves individually or clean the root first")
       return partitionDirs
         .map(p => compact(spark, p.getPath.toString, targetFileBytes, sortCol))
         .sum
+    }
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
@@ -211,9 +254,9 @@ object Sinks {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None    => df.repartition(nFiles)
     }
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val tmp = hiddenSibling(hPath, ".compacting_")
     laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val old = hiddenSibling(hPath, ".old_")
     if (fs.exists(old)) fs.delete(old, true)
     // The swap is two renames; each can fail (dest-exists race, S3 rename
     // semantics), so every return value is checked and a failed second

@@ -161,6 +161,53 @@ class DedupSpec extends SparkSpec {
       == MinHashLSH.VerifyForm.Fetch)
   }
 
+  test("Auto on a small corpus short-circuits to Fetch: no candidate-set " +
+       "materialization, identical pairs") {
+    import graft.expressions.NgramHashes
+    // In-band-WINNING density (same 20-template × 100-copy shape the
+    // router test proves routes InBand by cost model) but n = 2000 ≤
+    // AutoSmallCorpusN: Auto must skip the routing count entirely — the
+    // eager localCheckpoint is a fixed cost that roughly doubled q18 at
+    // sf0.1 (round-11 verdict #7) and is noise-level savings at small n.
+    val boiler = (1L to 2000L).map(i =>
+      i -> (1 to 40).map(w => s"tpl${i % 20}_w$w").mkString(" "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val auto = MinHashLSH.nearDupPairsHashed(boiler, "doc_id", "sh", 64, 16, 0.8,
+      verify = MinHashLSH.VerifyForm.Auto)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+      "small-corpus Auto must not materialize (localCheckpoint) the candidate set")
+    val fetch = MinHashLSH.nearDupPairsHashed(boiler, "doc_id", "sh", 64, 16, 0.8,
+      verify = MinHashLSH.VerifyForm.Fetch)
+    assert(auto.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ==
+      fetch.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+  }
+
+  test("Auto in-band decision releases the routing checkpoint eagerly " +
+       "(round-11 ADVICE: no GB-scale accumulation across a long session)") {
+    import graft.expressions.NgramHashes
+    // Above AutoSmallCorpusN with heavy clone density so the routing
+    // count decides in-band: 110k docs = 20 templates × 5.5k copies.
+    // inBandWins needs 2C > 2.9·n·16 ≈ 5.1M; C = 20·C(5500,2) ≈ 302M
+    // DISTINCT pairs would be enormous — but candidatePairs caps hot
+    // buckets at maxBucket, so use a lowered cap corpus: 1100 templates
+    // × 100 copies = 110k docs, C = 1100·C(100,2) ≈ 5.45M > 2.55M ✓.
+    // The in-band branch RETURNS AN UNEXECUTED PLAN; the routing
+    // checkpoint must already be unpersisted when the call returns —
+    // ContextCleaner release would wait for a driver GC.
+    val big = (1L to 110000L).map(i =>
+      i -> (1 to 12).map(w => s"tpl${i % 1100}_w$w").mkString(" "))
+      .toDF("doc_id", "text").repartition(32)
+      .select(col("doc_id"), NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val plan = MinHashLSH.nearDupPairsHashed(big, "doc_id", "sh", 64, 16, 0.8,
+      verify = MinHashLSH.VerifyForm.Auto)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+      "in-band-winning Auto must unpersist the routing checkpoint before returning")
+    assert(plan.columns.contains("jaccard")) // plan built, never executed here
+  }
+
   test("explicit verify forms produce the identical pair set (no routing job)") {
     import graft.expressions.NgramHashes
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")

@@ -158,6 +158,60 @@ class SinksSpec extends SparkSpec {
     assert(back.groupBy("date").count().count() == 3)
   }
 
+  test("compact scratch/backup dirs are hidden: a crash-left backup is not " +
+       "a phantom partition and later compacts skip it") {
+    // Round-11 ADVICE (medium): the old path+"__old" backup sat INSIDE a
+    // partitioned root where Spark partition discovery read `date=d0__old`
+    // as a real partition value, silently duplicating that partition's
+    // rows on every read. Hidden `.old_<k=v>` names are skipped by both
+    // discovery and compact's own recursion.
+    val dir = java.nio.file.Files.createTempDirectory("graft-compacth").toString + "/t"
+    (1 to 300).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "date")
+      .write.partitionBy("date").parquet(dir)
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash between rename-aside and final delete: a stale
+    // backup of date=d0 left behind with real data inside
+    val crashLeft = new org.apache.hadoop.fs.Path(dir, ".old_date=d0")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "date=d0"), crashLeft))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "date=d0"))
+    (1 to 300).filter(_ % 3 == 0).map(i => (i.toLong, "d0")).toDF("id", "date")
+      .write.mode("append").partitionBy("date").parquet(dir + "_fresh")
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "date=d0"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "_fresh", "date=d0"),
+      new org.apache.hadoop.fs.Path(dir, "date=d0")))
+    // the hidden backup is invisible to reads: no duplicated d0 rows,
+    // no phantom "d0__old"-style partition value
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    assert(back.select("date").distinct().as[String].collect().toSet ==
+      Set("d0", "d1", "d2"))
+    // and compact recurses the real partitions only; the stale backup is
+    // invisible to its partition-dir filter and RECLAIMED when the same
+    // leaf's backup slot is reused (crash debris must not leak forever)
+    val n = Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(n == 3 && !fs.exists(crashLeft),
+      "compact must reuse/clean the stale hidden backup slot")
+    assert(spark.read.parquet(dir).count() == 300)
+  }
+
+  test("compact fails loudly on a mixed layout instead of silently " +
+       "compacting only the partition half") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactm").toString + "/t"
+    (1 to 90).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "date")
+      .write.partitionBy("date").parquet(dir)
+    // a loose data file at the partitioned root
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val loose = new org.apache.hadoop.fs.Path(dir, "stray.parquet")
+    val out = fs.create(loose); out.writeBytes("not really parquet"); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("mixed layout"))
+    assert(e.getMessage.contains("stray.parquet"))
+  }
+
   test("Retention: delete phase drops only expired date partitions (K5 ILM delete)") {
     import java.time.LocalDate
     val path = tmp()
