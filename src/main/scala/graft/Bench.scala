@@ -49,19 +49,27 @@ object Bench {
         System.err.println(s"[bench] warmup skipped: $e") }
     } }
 
-    // Variance protocol (round-10 verdict #3): the bench is single-shot,
-    // so on a box with documented 1.5-3x session noise a round-over-round
-    // "regression" on an untouched sub-2s query is unfalsifiable. The
-    // previous round's BENCH.json is committed in the working directory —
-    // read it BEFORE overwriting, and any query whose ratio against it
-    // exceeds the run-pair's median ratio (the machine-noise baseline,
-    // same rule as tools/bench_diff.py) by >1.5x AND slowed by >0.5s gets
-    // ONE in-protocol re-run; the min is reported and the first-shot
-    // value recorded under "reruns" so the diff reader sees "reproduced"
-    // vs "noise" by protocol, not judgment.
-    val prev: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH.json")), "UTF-8")
+    // Variance protocol (round-10 verdict #3, sticky baseline round-12
+    // verdict #2): the bench is single-shot, so on a box with documented
+    // 1.5-3x session noise a round-over-round "regression" on an
+    // untouched sub-2s query is unfalsifiable. Two baselines, flag on
+    // EITHER:
+    //  - "run":   BENCH.json as last written (intra-round, walks forward
+    //             with every run — catches step regressions);
+    //  - "round": BENCH_base_r{N}.json, a snapshot of the BENCH.json this
+    //             round INHERITED, taken by the first Bench run after the
+    //             driver drops BENCH_r{N}.json (N = highest such file).
+    //             The run baseline alone let cross-round drift walk past
+    //             unflagged (r10->r11: q44 2.24x, q18 2.21x) because by
+    //             round end it equals the same round's latest run.
+    // A query whose ratio against a baseline exceeds that baseline
+    // run-pair's median ratio (the machine-noise normalizer, same rule as
+    // tools/bench_diff.py) by >1.5x AND slowed by >0.5s gets ONE
+    // in-protocol re-run; the min is reported and the first-shot value
+    // recorded under "reruns" (with which baseline tripped) so the diff
+    // reader sees "reproduced" vs "noise" by protocol, not judgment.
+    def readBench(path: java.nio.file.Path): Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       val json = org.json4s.jackson.JsonMethods.parse(txt)
       (json \ "queries") match {
         case org.json4s.JObject(fields) => fields.collect {
@@ -72,6 +80,26 @@ object Bench {
         case _ => Map.empty[String, Double]
       }
     } catch { case _: Throwable => Map.empty }
+    val benchPath = java.nio.file.Paths.get("BENCH.json")
+    val roundBase: Option[java.nio.file.Path] = {
+      val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+      if (rs.isEmpty) None
+      else {
+        val n = rs.map(_.stripPrefix("BENCH_r").stripSuffix(".json").toInt).max
+        val p = java.nio.file.Paths.get(f"BENCH_base_r$n%02d.json")
+        // first Bench run of round N+1: BENCH.json is still last round's
+        // final value (only Bench overwrites it) — snapshot it as the
+        // sticky baseline for the whole round
+        if (!java.nio.file.Files.exists(p) &&
+            java.nio.file.Files.exists(benchPath))
+          java.nio.file.Files.copy(benchPath, p)
+        if (java.nio.file.Files.exists(p)) Some(p) else None
+      }
+    }
+    val prev: Map[String, Double] = readBench(benchPath)
+    val prevRound: Map[String, Double] =
+      roundBase.map(readBench).getOrElse(Map.empty)
 
     var failed = List.empty[String]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -92,19 +120,28 @@ object Bench {
       name -> timed(name, fn, recordFailure = true)
     }
     val firstByName = firstShot.toMap
-    val ratios = firstShot.collect {
-      case (k, v) if v > 0 && prev.getOrElse(k, -1.0) > 0 => k -> v / prev(k)
+    def flaggedVs(base: Map[String, Double]): Set[String] = {
+      val ratios = firstShot.collect {
+        case (k, v) if v > 0 && base.getOrElse(k, -1.0) > 0 => k -> v / base(k)
+      }
+      if (ratios.isEmpty) Set.empty
+      else {
+        val medianRatio = ratios.map(_._2).sorted.apply(ratios.size / 2)
+        ratios.collect {
+          case (k, r) if r > medianRatio * 1.5 && firstByName(k) - base(k) > 0.5 => k
+        }.toSet
+      }
     }
-    val medianRatio =
-      if (ratios.isEmpty) 1.0
-      else ratios.map(_._2).sorted.apply(ratios.size / 2)
-    val flagged = ratios.collect {
-      case (k, r) if r > medianRatio * 1.5 && firstByName(k) - prev(k) > 0.5 => k
-    }.toSet
+    val flaggedRun = flaggedVs(prev)
+    val flaggedRound = flaggedVs(prevRound)
+    val flagged = flaggedRun ++ flaggedRound
+    def vsLabel(k: String): String =
+      if (flaggedRun(k) && flaggedRound(k)) "both"
+      else if (flaggedRound(k)) "round" else "run"
     val reruns = flagged.toSeq.sorted.map { name =>
       val again = timed(name, SparkEntry.queries(name), recordFailure = false)
-      System.err.println(f"[bench] rerun $name: first=${firstByName(name)}%.2f s " +
-        f"rerun=$again%.2f s (median ratio $medianRatio%.2f)")
+      System.err.println(f"[bench] rerun $name (vs ${vsLabel(name)}): " +
+        f"first=${firstByName(name)}%.2f s rerun=$again%.2f s")
       name -> again
     }.toMap
     val results = firstShot.map { case (k, v) =>
@@ -120,7 +157,8 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rr = flagged.toSeq.sorted.map { k =>
       "\"" + k + "\":{\"first\":" + ms(firstByName(k)) +
-        ",\"rerun\":" + ms(reruns.getOrElse(k, -1.0)) + "}"
+        ",\"rerun\":" + ms(reruns.getOrElse(k, -1.0)) +
+        ",\"vs\":\"" + vsLabel(k) + "\"}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}"""

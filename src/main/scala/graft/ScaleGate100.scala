@@ -30,6 +30,10 @@ object ScaleGate100 {
     "q35_char_ngram_pairs", "q115_prefix_jaccard", "q23_majority_sector",
     "q24_sector_rollup", "q104_pagerank", "q58_sketch_stats",
     "q167_streaming_curation", "q171_curation_restart", "q173_midbatch_kill",
+    // round-12 verdict #6: the streaming DEDUP family was outside the
+    // gate (the three in-gate streaming queries are curation harnesses);
+    // q147 puts StatefulDedup's TTL path under ×100 watch
+    "q147_streaming_neardup",
   )
 
   val SlackFactor = 1.5
@@ -52,7 +56,32 @@ object ScaleGate100 {
     // two lives + 5 deliveries + ledger fingerprints; 52.3 s measured
     // post-localCheckpoint (round 11), ~1.6× headroom
     "q173_midbatch_kill" -> 85.0,
+    // prebuilt band index + streaming batch dedup; 24.0 s measured
+    // (round 11), ~1.6× headroom
+    "q147_streaming_neardup" -> 40.0,
   )
+
+  /** Variance floor under the absolute caps (round-12 verdict #5): the
+    * caps are ~1.6× measured-good walls on a box with documented ±25%
+    * single-shot noise, so a pure noise spike can false-fail (and a
+    * noise-assisted real regression false-pass — that risk is inherent
+    * to single-shot caps and accepted). A capped query whose FIRST shot
+    * exceeds its cap gets exactly one in-gate re-run while the ×100
+    * corpus is still hot; the min of the two full measurements is
+    * scored, and both shots are logged so a reproduced breach reads as
+    * "confirmed by protocol", not judgment. */
+  private def rerunCapBreaches(spark: SparkSession, dir: String,
+                               big: Seq[ScaleRehearsal.QM]): Seq[ScaleRehearsal.QM] =
+    big.map { q =>
+      absoluteCapSec.get(q.name) match {
+        case Some(cap) if q.error.isEmpty && q.sec > cap =>
+          val again = ScaleRehearsal.measure(spark, dir, Seq(q.name)).head
+          println(f"SCALEGATE100 rerun ${q.name}: first=${q.sec}%.1f s " +
+            f"rerun=${again.sec}%.1f s (cap $cap%.1f s) -> min scored")
+          if (again.error.isEmpty && again.sec < q.sec) again else q
+        case _ => q
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -91,7 +120,8 @@ object ScaleGate100 {
     // keeps per-task shuffle blocks at the ×30 tier's per-task size
     spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 6).toString)
     println(s"SCALEGATE100 ×$copies at $dir")
-    val big = ScaleRehearsal.measure(spark, dir, names)
+    val big = rerunCapBreaches(spark, dir,
+      ScaleRehearsal.measure(spark, dir, names))
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     println(s"SCALEGATE100 baseline at $src")
     val base = ScaleRehearsal.measure(spark, src, names).map(q => q.name -> q).toMap
