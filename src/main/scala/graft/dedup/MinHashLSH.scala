@@ -286,17 +286,10 @@ object MinHashLSH {
   val AutoSmallCorpusN: Long = 100000L
 
   /** Explicitly free an eager `localCheckpoint(true)`'s storage when the
-    * checkpointed plan will never be read. Checkpoint blocks are
-    * otherwise held until the driver GCs the RDD reference AND the
-    * ContextCleaner runs — unbounded in a long-lived session. The RDD
-    * lives behind the checkpointed Dataset's [[LogicalRDD]] leaf;
-    * non-blocking unpersist is safe because nothing reads the plan. */
+    * checkpointed plan will never be read — see
+    * [[graft.ops.Checkpoints.release]]. */
   private def releaseCheckpoint(checkpointed: DataFrame): Unit =
-    checkpointed.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.ops.Checkpoints.release(checkpointed)
 
   /** Cost-based verify routing from the MEASURED candidate count. Fetch
     * ships ~2 arrays per DISTINCT candidate pair; InBand ships every

@@ -396,8 +396,9 @@ object DedupQueries {
     * partitions into the aggregate. Bump the layout tag when the gate
     * predicate, files-per-trigger, staging repartition count, or sink
     * partitioning changes. */
-  private def curationTmp(s: SparkSession, tag: String, dir: String): String =
-    KeyedWorkDir.keyed(s, tag, dir, "documents", layout = "L1")
+  private def curationTmp(s: SparkSession, tag: String, dir: String,
+                          layout: String = "L1"): String =
+    KeyedWorkDir.keyed(s, tag, dir, "documents", layout)
 
   /** q167's engine, parameterized by working dir so the spec can run the
     * WHOLE stream a second time against the same kept/seen tables (a
@@ -567,6 +568,11 @@ object DedupQueries {
         }
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // the history checkpoints are read only inside the (now finished)
+    // stream lifetimes; the returned plan reads the kept table — release
+    // the blocks instead of waiting for a driver GC + ContextCleaner
+    graft.ops.Checkpoints.release(histHashed)
+    graft.ops.Checkpoints.release(histBands)
     fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
       .filter(_.getName.startsWith("ckpt-"))
       .foreach(p => fs.delete(p, true))
@@ -785,8 +791,11 @@ object DedupQueries {
   /** The DEDUPED CORPUS: near-dup pairs → clusters → drop every
     * non-representative member via a left-anti join, report per-source
     * survival — the end product the whole dedup suite exists to emit.
-    * (The anti-join keys on doc_id: clustered-docs is pair-sized,
-    * broadcastable at any corpus scale.) */
+    * (The anti-join keys on doc_id. The drop set is pair-sized on a
+    * typical corpus but corpus-FRACTION-sized on a dup-heavy one — e.g.
+    * a mirror-heavy crawl where most docs are non-representatives — so
+    * the broadcast is count-GUARDED: past ~5M ids the anti-join falls
+    * back to shuffle instead of OOMing the driver.) */
   val q48DedupCorpus: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val sh = d.select(col("doc_id"),
@@ -796,7 +805,8 @@ object DedupQueries {
     val dupes = Clusters.assign(pairs, "doc_a", "doc_b")
       .filter(!col("is_representative"))
       .select(col("id").as("doc_id"))
-    val kept = d.join(broadcast(dupes), Seq("doc_id"), "left_anti")
+    val kept = d.join(graft.ops.Checkpoints.guardedBroadcast(dupes),
+      Seq("doc_id"), "left_anti")
     d.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")), Seq("source"), "left")
       .select(col("source"), col("n_docs"),
@@ -966,9 +976,11 @@ object DedupQueries {
     * semantic dedup (the corpus every downstream consumer reads) — so
     * each expensive stage is computed once, never re-derived per
     * consumer; every "drop" set (near-dup members, semantic drops,
-    * contaminated docs) is pair-bounded and broadcast into a left-anti
-    * join, so no stage ever reshuffles the corpus by anything but its
-    * own keys. Proves the operators COMPOSE under staging: each stage's
+    * contaminated docs) is pair-bounded on this corpus and broadcast —
+    * count-GUARDED (dup-heavy corpora make drop sets corpus-fraction-
+    * sized; past ~5M ids the anti-join degrades to shuffle, not a driver
+    * OOM) — into a left-anti join, so no stage ever reshuffles the
+    * corpus by anything but its own keys. Proves the operators COMPOSE under staging: each stage's
     * oracle mirror is the same SQL that checks it standalone. */
   val q157CurationE2e: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
@@ -992,7 +1004,8 @@ object DedupQueries {
     val pairs = MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh", 64, 16, 0.8)
     val dupes = Clusters.assign(pairs, "doc_a", "doc_b")
       .filter(!col("is_representative")).select(col("id").as("doc_id"))
-    val s2 = s1.join(broadcast(dupes), Seq("doc_id"), "left_anti")
+    val s2 = s1.join(graft.ops.Checkpoints.guardedBroadcast(dupes),
+      Seq("doc_id"), "left_anti")
     // 4. semantic dedup over the survivors' embeddings (q65 semantics,
     //    k sized to the SURVIVOR corpus)
     val corpus = Tables(s, dir, "embeddings")
@@ -1008,7 +1021,8 @@ object DedupQueries {
       .select(col("vec_id").as("doc_id"))
     val s3 = graft.sinks.Sinks.stagedTable(s, s"graft_q157_dedup_$suffix",
       key = "doc_id", numBuckets = 8, sortCols = Seq("doc_id")) {
-      s2.join(broadcast(semDrops), Seq("doc_id"), "left_anti")
+      s2.join(graft.ops.Checkpoints.guardedBroadcast(semDrops),
+        Seq("doc_id"), "left_anti")
     }
     // 5. decontaminate the train split against the test split (q57)
     val bucket = pmod(TextOps.md5Int32(col("text")), lit(100))
@@ -1017,7 +1031,8 @@ object DedupQueries {
     val contaminated = graft.dedup.BloomDecontaminate.contaminationReport(
         train, testSplit, "doc_id", "text", n = 8, expectedEvalNgrams = 100000L)
       .select("doc_id")
-    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    train.join(graft.ops.Checkpoints.guardedBroadcast(contaminated),
+        Seq("doc_id"), "left_anti")
       .select("doc_id", "source")
       .orderBy("doc_id")
   }
@@ -1028,17 +1043,22 @@ object DedupQueries {
     * and writes the flagged pairs with `Sinks.idempotentAppend`; then
     * the ENTIRE stream is redelivered from a fresh checkpoint (q86's
     * strongest at-least-once shape — every batch delivered twice). The
-    * sink keys dynamic-partition overwrite on a batch-stable column, so
-    * redelivery replaces its own earlier output, and reading the sink
-    * back must equal the plain batch q59 result — which is exactly what
-    * the (ground-truth, all-pairs) DuckDB oracle checks. */
+    * sink keys dynamic-partition overwrite on the MICRO-BATCH id
+    * (batch-disjoint AND redelivery-stable — see [[neardupBatchToSink]]
+    * for why a content key is not enough), so redelivery replaces its
+    * own earlier output, and reading the sink back must equal the plain
+    * batch q59 result — which is exactly what the (ground-truth,
+    * all-pairs) DuckDB oracle checks. */
   val q147StreamingNeardup: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     // keyed + reused across runs: the sink is a dynamic-partition
     // overwrite keyed on a batch-stable column, so re-runs (= more
     // redeliveries) replace their own output — the very property this
     // query certifies; per-run checkpoints are deleted at the end
-    val tmp = curationTmp(s, "q147", dir)
+    // layout L2: the sink partition key changed pmod(doc_id,8) -> batch
+    // id (round 12); a reused L1 dir would keep stale pmod partitions
+    // alive under the new key's dynamic overwrite
+    val tmp = curationTmp(s, "q147", dir, layout = "L2")
     new java.io.File(tmp).mkdirs()
     val out = s"$tmp/sink"
     // history hashes AND the band index depend only on history: both
@@ -1060,15 +1080,8 @@ object DedupQueries {
     def deliverAll(run: String): Unit = {
       val q = Tables.stream(s, dir, "documents")
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.filter(col("source") =!= "src0")
-            .select(col("doc_id"),
-              graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
-          val flagged = MinHashLSH.nearDupAgainstBandRows(b, histBands, history,
-            "doc_id", "sh", numHashes = 64, numBands = 16, threshold = 0.8)
-          graft.sinks.Sinks.idempotentAppend(
-            flagged.withColumn("part", pmod(col("batch_id"), lit(8))),
-            out, Seq("part"))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          neardupBatchToSink(batch, histBands, history, out, batchId)
         }
         .option("checkpointLocation", s"$tmp/ckpt-$run-${System.nanoTime()}")
         .trigger(Trigger.AvailableNow())
@@ -1077,6 +1090,11 @@ object DedupQueries {
     }
     deliverAll("first")
     deliverAll("redelivery")
+    // the history checkpoints are read only inside the (now finished)
+    // stream lifetimes; the returned plan reads the parquet sink —
+    // release the blocks instead of waiting for a driver GC
+    graft.ops.Checkpoints.release(history)
+    graft.ops.Checkpoints.release(histBands)
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
@@ -1086,6 +1104,32 @@ object DedupQueries {
       .select(col("batch_id"), col("history_id"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("batch_id", "history_id")
+  }
+
+  /** q147's per-micro-batch step, extracted so the multi-batch spec can
+    * drive it through a rate-limited reader: hash the non-history docs,
+    * probe the prebuilt band index, write flagged pairs with the
+    * idempotent per-batch partition overwrite. The sink partition key is
+    * the MICRO-BATCH id — the K1 contract needs batch-disjoint AND
+    * redelivery-stable, and the previous `pmod(doc_id, 8)` key was only
+    * the latter: it survived solely because `Tables.stream` delivers the
+    * whole table in one batch today, and under any delivery split (a
+    * rate-limited reader, a multi-file layout) a later batch's dynamic
+    * overwrite would silently DELETE earlier batches' flagged pairs from
+    * the shared partitions — the exact q86 bug class (the oracle never
+    * varies delivery). `lit(batchId)` is batch-disjoint by construction
+    * and redelivery-stable because a fresh checkpoint over the same
+    * immutable files replays the same batch splits. */
+  private[graft] def neardupBatchToSink(batch: DataFrame, histBands: DataFrame,
+                                        history: DataFrame, out: String,
+                                        batchId: Long): Unit = {
+    val b = batch.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+    val flagged = MinHashLSH.nearDupAgainstBandRows(b, histBands, history,
+      "doc_id", "sh", numHashes = 64, numBands = 16, threshold = 0.8)
+    graft.sinks.Sinks.idempotentAppend(
+      flagged.withColumn("part", lit(batchId)), out, Seq("part"))
   }
 
   val defs: Map[String, Q] = Map(
