@@ -54,17 +54,27 @@ object NlpQueries {
   }
 
   /** N6: pairwise word similarity over the corpus vocabulary (edit
-    * distance ≤ 2). The vocabulary is aggregated first (tiny, broadcast);
-    * at scale the pair join gets a length-bucket prefilter. */
+    * distance ≤ 2). Candidate generation is a LENGTH-bucketed EQUI-join:
+    * side A keys on its own length, side B explodes to the five lengths
+    * lb−2..lb+2 it is compatible with, so each qualifying pair matches
+    * on exactly one key (no dedup) and the join is hash-partitioned —
+    * the previous spelling's all-non-equi condition planned as a
+    * BroadcastNestedLoopJoin that BROADCAST THE WHOLE VOCABULARY and
+    * evaluated levenshtein on every V² pair (fatal at a real corpus
+    * vocabulary; the length gate was applied per pair, never as a
+    * block). Residual cost is quadratic WITHIN a length class — the
+    * next tier for a 10M+ vocabulary is FastSS deletion-neighborhood
+    * blocking (pairs at lev ≤ 2 share a ≤2-deletion variant; equi-join
+    * on the variant hash), same verify. */
   val q32WordSimilarity: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val terms = d.select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
       .filter(length(col("term")) >= 3).distinct()
-    val a = terms.select(col("term").as("term_a"))
-    val b = terms.select(col("term").as("term_b"))
-    a.join(broadcast(b),
-        col("term_a") < col("term_b") &&
-        abs(length(col("term_a")) - length(col("term_b"))) <= 2 &&
+    val a = terms.select(col("term").as("term_a"), length(col("term")).as("lb"))
+    val b = terms.select(col("term").as("term_b"),
+        explode(sequence(length(col("term")) - 2, length(col("term")) + 2)).as("lb"))
+    a.join(b, Seq("lb"))
+      .filter(col("term_a") < col("term_b") &&
         levenshtein(col("term_a"), col("term_b")) <= 2)
       .select(col("term_a"), col("term_b"),
         levenshtein(col("term_a"), col("term_b")).as("lev"),

@@ -109,7 +109,9 @@ object TemporalQueries {
     * first-seen DAY, counted distinct per (cohort, day offset) — the
     * standard engagement matrix. Two aggregations: per-user first
     * sighting (a min), then a distinct count keyed by (cohort, offset);
-    * the first-sighting side is user-cardinality and broadcastable. */
+    * the first-sighting side is USER-cardinality — small on most event
+    * streams but unbounded in general, so the broadcast is count-GUARDED
+    * (past ~5M users the join degrades to shuffle, not a driver OOM). */
   val q63RetentionCohorts: Q = (s, dir) => {
     val base = lit(1704067200L) // 2024-01-01T00:00:00Z, the stream epoch
     val events = Tables(s, dir, "events")
@@ -117,7 +119,7 @@ object TemporalQueries {
         floor((col("ts").cast("double") - base) / 86400).cast("long").as("day"))
     val firstSeen = events.groupBy("user_id")
       .agg(min(col("day")).as("cohort_day"))
-    events.join(broadcast(firstSeen), Seq("user_id"))
+    events.join(graft.ops.Checkpoints.guardedBroadcast(firstSeen), Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
@@ -125,18 +127,23 @@ object TemporalQueries {
 
   /** Ordered event funnel: view -> click -> purchase, each step strictly
     * after the user's previous step (min-ts per stage, stage n joins
-    * stage n-1's timestamp — user-cardinality intermediates, broadcast
-    * joins all the way). The classic sequential-conversion report. */
+    * stage n-1's timestamp). The stage tables are USER-cardinality —
+    * count-GUARDED broadcasts (unbounded user domains degrade to a
+    * shuffle join, never a driver OOM), with the welcome side effect
+    * that each stage materializes once for both its consumers (the next
+    * stage's join and the final count). */
   val q64EventFunnel: Q = (s, dir) => {
     val events = Tables(s, dir, "events").select("user_id", "event_type", "ts")
-    val v = events.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val c = events.filter(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
-      .filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
+    val v = graft.ops.Checkpoints.guardedBroadcast(
+      events.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1")))
+    val c = graft.ops.Checkpoints.guardedBroadcast(
+      events.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2")))
     val p = events.filter(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min("ts").as("t3"))
     v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
