@@ -62,9 +62,18 @@ object Clusters {
           (col("nmin") < col("label")).as("__chg"))
       val mat = next.localCheckpoint(true)
       changed = mat.filter(col("__chg")).count()
+      // the eager checkpoint above fully materialized `mat`, so the
+      // PREVIOUS round's label blocks are dead — release them now
+      // instead of accumulating vertex-cardinality tables × rounds in
+      // executor storage until a driver GC + ContextCleaner pass (the
+      // round-11 ADVICE leak class, amplified by iteration)
+      graft.ops.Checkpoints.release(labels)
       labels = mat.drop("__chg")
       iter += 1
     }
+    // the returned plan reads only the FINAL label checkpoint; the edge
+    // table was a loop-only input
+    graft.ops.Checkpoints.release(und)
     labels.select(col("v"), col("label").as("component"))
   }
 
@@ -141,7 +150,11 @@ object Clusters {
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint(true)
+      // eager checkpoint: the previous round's edge blocks are dead —
+      // release per round instead of accumulating until a driver GC
+      graft.ops.Checkpoints.release(prev)
       val next = signature(e)
       converged = next == sig
       sig = next

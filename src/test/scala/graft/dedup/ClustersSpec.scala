@@ -22,6 +22,28 @@ class ClustersSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("iteration checkpoints are released per round, not accumulated " +
+       "until a driver GC (round-12 sweep: the ADVICE leak class x rounds)") {
+    // a 10-vertex path forces ~9 propagation rounds; each round eagerly
+    // checkpoints a label table. Only the FINAL checkpoint (which the
+    // returned plan reads) may remain registered when the call returns.
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = Clusters.connectedComponents(edges, "a", "b")
+    val afterCc = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterCc.size <= 1,
+      s"label propagation left ${afterCc.size} checkpoints registered " +
+        "(previous rounds' label/edge tables must be released in-loop)")
+    assert(cc.as[(Long, Long)].collect().forall(_._2 == 1L))
+    // star alternation: final edge forest + vertex table may remain
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val star = Clusters.connectedComponentsStar(edges, "a", "b")
+    val afterStar = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(afterStar.size <= 2,
+      s"star contraction left ${afterStar.size} checkpoints registered")
+    assert(star.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
   test("property: matches brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { trial =>
