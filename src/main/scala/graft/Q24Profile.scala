@@ -58,10 +58,16 @@ object Q24Profile {
       }
       println(f"Q24PROF $label%-10s min=${ts.min}%7.1f s  times=${ts.map(t => f"$t%.1f").mkString(",")}")
     }
+    // hypothesis variant: the global sort's range exchange SAMPLES its
+    // child for partition bounds, executing the whole cascade twice; an
+    // eager checkpoint between cascade and sort should cut the re-run
+    def fullCkpt() = cascade().localCheckpoint(true).orderBy("l_orderkey")
+
     SparkEntry.entry(spark).collect() // warmup
     time("reduced")(() => reduced().toDF())
     time("cascade")(() => cascade().toDF())
     time("full")(() => full().toDF())
+    time("fullCkpt")(() => fullCkpt().toDF())
     spark.stop()
   }
 }

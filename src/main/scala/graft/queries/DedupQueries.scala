@@ -885,6 +885,11 @@ object DedupQueries {
     // independent ground truth for Jaccard over gram keys.
     val sh = graft.expressions.WordGramKeys.word_gram_keys(col("text"), 3)
     PrefixFilterJoin.jaccardJoin(d, "doc_id", sh, tNum = 3, tDen = 5)
+      // eager checkpoint before the presentation sort: the range
+      // exchange's bounds-sampling pass executes its child twice, and
+      // here the child is the whole candidate-verify join (the q24
+      // lesson, Q24Profile) — ×100 28.95 -> 21.05 s min-of-2
+      .localCheckpoint(true)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -63,6 +63,17 @@ object EnrichQueries {
       .agg(SectorVote.hierarchicalAggWeighted().toColumn.name("v"))
       .select(col("key").as("l_orderkey"),
         col("v.sector").as("sector"), col("v.level").as("level"))
+      // eager checkpoint BEFORE the presentation sort: a global sort's
+      // range exchange runs a bounds-SAMPLING pass that executes its
+      // child plan a second time, and here the child is the whole typed
+      // cascade over the reduced rows — Q24Profile measured the re-run
+      // at ~19 s of q24's ~59 s ×100 wall (full 58.7 vs checkpointed
+      // 39.9 s min-of-2; the sort itself is ~free once its input is
+      // materialized). sf0.1 is unchanged within noise (~150k rows).
+      // The blocks are ContextCleaner-released once the returned plan
+      // is executed and dropped (the read case — NOT the release-now
+      // case of ops.Checkpoints.release).
+      .localCheckpoint(true)
       .orderBy("l_orderkey")
   }
 
