@@ -272,7 +272,20 @@ object MinHashLSH {
     * both forms ship the same arrays (in-band n·B of them, fetch 2C),
     * so per-array size cancels and κ is a ratio of per-array HANDLING
     * costs (window+sort vs hash-join) — consistent with the word-3
-    * point and the spec's word-3 routing corpora. */
+    * point and the spec's word-3 routing corpora.
+    *
+    * MIXED-density validation (round 12): κ was calibrated on uniform
+    * self-union corpora, so a 500k-doc `MixedCorpus` (half standard-salt
+    * dense — collision-amplified char-8 — half every-word-salt unique)
+    * probed whether one GLOBAL route survives intra-call mixing. The
+    * mixture measured ρ = 8.02 (C = 32.1M — the dense half dominates C,
+    * the sparse half only adds n·B band rows), routed InBandTwoTier,
+    * and min-of-2 alternating timings confirmed the routed form IS the
+    * fastest: two-tier 88.0 s vs classic in-band 104.5 s vs fetch
+    * 311.0 s, identical 13,720-pair outputs. Measured NEGATIVE for
+    * per-source routing: the cost model compares actual shipment counts
+    * (2C vs κ·n·B), both of which aggregate correctly over a mixture,
+    * so no per-source or per-partition-histogram split is needed. */
   val InBandCostFactor = 2.9
 
   /** Auto-route short-circuit: corpora at or below this many docs go
