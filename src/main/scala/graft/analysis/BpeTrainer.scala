@@ -107,8 +107,12 @@ object BpeTrainer {
         .collect().headOption
       best match {
         case Some((a, b, cnt)) if cnt >= 2 =>
+          val prev = words
           words = words.map(ws => ws.copy(syms = mergeOnce(ws.syms, a, b)))
             .localCheckpoint(true)
+          // the eager checkpoint makes the previous round's word table
+          // dead — release per round (the Clusters lesson)
+          graft.ops.Checkpoints.release(prev)
           val (nextSyms, nextChars) = totals(words)
           stats += MergeStat(a, b, cnt, curSyms, nextSyms, curChars, nextChars)
           curSyms = nextSyms; curChars = nextChars
@@ -116,6 +120,9 @@ object BpeTrainer {
         case _ => round = numMerges // nothing left worth merging
       }
     }
+    // the stats list is all the caller gets — the final word table's
+    // checkpoint is dead the moment the loop exits
+    graft.ops.Checkpoints.release(words)
     stats.toSeq
   }
 

@@ -63,10 +63,15 @@ object KCore {
       if (!converged) {
         val alive = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("a"))
+        val prev = e
         e = e.join(alive, Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
           .select("a", "b")
           .localCheckpoint(true)
+        // the eager checkpoint makes the previous round's blocks dead —
+        // release per round (the Clusters lesson), EXCEPT the caller's
+        // input `sym`, which q134-style callers share across several k
+        if (prev ne sym) graft.ops.Checkpoints.release(prev)
         val now = e.count()
         converged = now == remaining // fixpoint: every further round is a no-op
         remaining = now

@@ -74,6 +74,7 @@ object PageRank {
     val ids = nodes.select(col(idCol).as("__id")).localCheckpoint(true)
     val n = ids.count()
     var pr = ids.withColumn("__pr", lit(1.0 / n))
+    var lastCkpt: DataFrame = null
     for (round <- 1 to iters) {
       val in = e.join(pr.select(col("__id").as("__src"), col("__pr")), "__src")
         .select(col("__dst").as("__id"),
@@ -86,9 +87,19 @@ object PageRank {
       // checkpoint every OTHER round (and the last): caps lineage growth
       // at two join+agg layers while halving the eager materializations —
       // checkpoint cadence is a lineage concern only, the decimal
-      // quantization makes every round's VALUES partitioning-independent
-      if (round % 2 == 0 || round == iters) pr = pr.localCheckpoint(true)
+      // quantization makes every round's VALUES partitioning-independent.
+      // Each new eager checkpoint makes its PREDECESSOR's blocks dead —
+      // release per round instead of accumulating node-cardinality
+      // tables × rounds until a driver GC (the Clusters lesson).
+      if (round % 2 == 0 || round == iters) {
+        pr = pr.localCheckpoint(true)
+        if (lastCkpt != null) graft.ops.Checkpoints.release(lastCkpt)
+        lastCkpt = pr
+      }
     }
+    // the returned plan reads only the FINAL pr checkpoint (iters >= 1
+    // always checkpoints the last round); edges/ids were loop-only
+    if (iters >= 1) { Checkpoints.release(e); Checkpoints.release(ids) }
     pr.select(col("__id").as(idCol), col("__pr").as("pr"))
   }
 }

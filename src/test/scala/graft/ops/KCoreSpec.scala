@@ -67,6 +67,19 @@ class KCoreSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+  test("peel checkpoints are released per round; the shared symmetrize input survives") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sym = KCore.symmetrize(g, "src", "dst")
+    val core = KCore.kCoreOfSymmetrized(sym, k = 2, rounds = 8)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // retained: the caller-owned sym + the final peeled edge table the
+    // returned plan reads — never one checkpoint per peel round
+    assert(after.size <= 2,
+      s"kCore left ${after.size} checkpoints registered")
+    assert(core.count() == 3) // the triangle survives, sym still usable
+    assert(KCore.kCoreOfSymmetrized(sym, k = 3, rounds = 8).count() == 0)
+  }
+
   test("kCoreOfSymmetrized over one shared symmetrize equals kCore per k") {
     // q134's shape: three peels over the same graph share ONE
     // symmetrize/dedup/checkpoint; the split entry point must be

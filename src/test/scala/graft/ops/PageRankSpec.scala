@@ -8,6 +8,18 @@ class PageRankSpec extends SparkSpec {
 
   private def nodes(ids: Long*) = ids.map(Tuple1(_)).toDF("id")
 
+  test("iteration checkpoints are released per round (the Clusters leak class)") {
+    val n = nodes(0L, 1L, 2L, 3L)
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("s", "d")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pr = PageRank.run(n, "id", e, "s", "d", iters = 6)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1,
+      s"PageRank left ${after.size} checkpoints registered (only the final " +
+        "pr the returned plan reads may remain)")
+    assert(pr.count() == 4)
+  }
+
   test("a sink every node points at accumulates the highest rank") {
     // star: 1,2,3 → 0 (0 dangles — its mass drops, teleport keeps leaves alive)
     val e = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
