@@ -1124,7 +1124,17 @@ object DedupQueries {
     * the shared partitions — the exact q86 bug class (the oracle never
     * varies delivery). `lit(batchId)` is batch-disjoint by construction
     * and redelivery-stable because a fresh checkpoint over the same
-    * immutable files replays the same batch splits. */
+    * immutable files replays the same batch splits.
+    *
+    * Redelivery-stability PRECONDITION (deterministic listing):
+    * FileStreamSource orders files by modification time, and mtime TIES
+    * break on filesystem listing order — a multi-file layout with equal
+    * mtimes could redistribute rows across batch ids on redelivery,
+    * stranding stale rows in partitions the rerun never overwrites.
+    * Safe here because `Tables.stream` delivers the whole table in ONE
+    * AvailableNow batch; any caller that splits delivery (several files
+    * + maxFilesPerTrigger) must pin strictly increasing mtimes the way
+    * the q167 engine does (`TemporalQueries` staging, 1 s apart). */
   private[graft] def neardupBatchToSink(batch: DataFrame, histBands: DataFrame,
                                         history: DataFrame, out: String,
                                         batchId: Long): Unit = {

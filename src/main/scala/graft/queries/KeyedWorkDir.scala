@@ -27,13 +27,21 @@ import org.apache.spark.sql.SparkSession
   */
 object KeyedWorkDir {
 
-  /** MD5-derived 12-hex key over (dir, table fingerprint, layout tag). */
-  def keyed(spark: SparkSession, tag: String, dir: String, table: String,
-            layout: String): String = {
+  /** MD5-derived 12-hex key over (dir, table fingerprint, layout tag) —
+    * shared by [[keyed]] work dirs and content-keyed STAGED TABLE names
+    * (`SimilarityQueries.trainedCentroids`): any consumer that caches
+    * derived state per input corpus should key by content, not path. */
+  def contentKey(spark: SparkSession, dir: String, table: String,
+                 layout: String): String = {
     val fp = fingerprint(spark, s"$dir/$table.parquet")
     val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$fp|$layout".getBytes("UTF-8"))
+    md.digest(s"$dir|$fp|$layout".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
+  }
+
+  def keyed(spark: SparkSession, tag: String, dir: String, table: String,
+            layout: String): String = {
+    val key = contentKey(spark, dir, table, layout)
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
     val f = new java.io.File(p)
     f.mkdirs()

@@ -200,11 +200,24 @@ object SimilarityQueries {
     * it. First consumer trains and writes the (tiny) centroid table;
     * later consumers read it. Doubles round-trip parquet exactly, so
     * the collected literals — and every downstream oracle — are
-    * byte-identical either way. */
+    * byte-identical either way.
+    *
+    * The staged name is keyed by CORPUS CONTENT (the KeyedWorkDir
+    * fingerprint: every embeddings file's name/length/mtime), not by
+    * the dir string alone: a corpus regenerated at the same path within
+    * one session would otherwise silently reuse STALE centroids (the
+    * catalog remembers the dir-derived name), and two sessions pointed
+    * at different corpora under one recycled path would collide in the
+    * shared warehouse. Layout tag L1 — bump on any change to the seed
+    * rule or training rounds below. Concurrent WRITERS on the same
+    * (warehouse, corpus) remain single-writer by contract, like every
+    * stagedTable/mergeUpsert site: plain parquet has no transaction to
+    * serialize the stage-once write, so two simultaneous first
+    * consumers race; serialize deployments at the scheduler level. */
   private def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
     import s.implicits._
     val staged = graft.sinks.Sinks.stagedTable(s,
-      "graft_kmeans_cens" + dir.replaceAll("[^a-zA-Z0-9]", "_"),
+      "graft_kmeans_cens_" + KeyedWorkDir.contentKey(s, dir, "embeddings", "L1"),
       key = "cen_id", numBuckets = 1, sortCols = Seq("cen_id")) {
       val (_, corpus) = parts(s, dir)
       val seed = KMeans.collectSeed(

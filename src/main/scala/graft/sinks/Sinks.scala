@@ -209,12 +209,13 @@ object Sinks {
     * is a plain `repartition` round-robin, one total shuffle either way.
     * Writes to a HIDDEN sibling temp dir (`.compacting_<name>`) then
     * swaps, so a failed compaction never destroys the table — and
-    * because the scratch/backup names start with `_`, Hadoop's hidden
+    * because the scratch/backup names start with `.`, Hadoop's hidden
     * filter and Spark partition discovery ignore them even when they sit
     * inside a partitioned root: a crash between the rename-aside and the
     * final delete leaves `.old_<k=v>` behind as an inert hidden dir, not
     * a phantom partition that would silently duplicate rows on every
-    * subsequent read. Returns the output file count. */
+    * subsequent read. (A `_` prefix would NOT be safe here — see
+    * [[hiddenSibling]].) Returns the output file count. */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long,
               sortCol: Option[String] = None): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -231,6 +232,25 @@ object Sinks {
     // everything else; a MIXED layout (partition dirs alongside loose
     // data files or odd dirs) fails loudly rather than silently
     // compacting only the partition half.
+    // Legacy crash debris from the pre-hidden-naming compact (suffix
+    // `<name>__old` / `<name>__compacting` SIBLINGS, not hidden): an old
+    // `date=d0__old` still matches the strict partition shape (exactly
+    // one '='), so without this sweep compact would recurse into it and
+    // Spark discovery would read it as a phantom partition value
+    // `d0__old` — the exact bug class the hidden naming fixed, persisting
+    // for tables last compacted by the old code. Scratch is an
+    // incomplete rewrite → deleted; a backup holds real (already
+    // re-compacted) data → renamed to an inert hidden sibling rather
+    // than destroyed.
+    fs.listStatus(hPath).map(_.getPath)
+      .filter(p => p.getName.endsWith("__old") || p.getName.endsWith("__compacting"))
+      .foreach { p =>
+        if (p.getName.endsWith("__compacting")) fs.delete(p, true)
+        else if (!fs.rename(p, hiddenSibling(p, ".legacy_")))
+          throw new java.io.IOException(
+            s"compact: could not hide legacy backup $p; aborting rather " +
+              "than letting partition discovery read it as a phantom partition")
+      }
     val children = fs.listStatus(hPath)
       .filterNot(s => hiddenName(s.getPath.getName))
     val partitionDirs = children

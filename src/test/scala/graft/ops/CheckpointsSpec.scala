@@ -39,4 +39,30 @@ class CheckpointsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
     Checkpoints.release(Seq(1).toDF("x")) // non-checkpointed: must not throw
   }
+
+  test("release: a trivial unary wrapper over the checkpoint still releases") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size == 1)
+    // a thin projection/filter over the checkpoint is the documented
+    // acceptable call shape — the unary chain resolves to the root RDD
+    Checkpoints.release(ck.filter(col("x") > 0).select(col("x") * 2 as "y"))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
+  test("release: a DERIVED multi-input plan referencing a live checkpoint " +
+       "is a no-op — shared blocks must survive (round-12 ADVICE)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val shared = Seq((1, "a"), (2, "b")).toDF("k", "v").localCheckpoint(true)
+    val dead = Seq(1, 2).toDF("k").localCheckpoint(true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size == 2)
+    // the old release() walked EVERY LogicalRDD leaf: passing this join
+    // would have freed `shared` too, breaking the later action on it
+    Checkpoints.release(dead.join(shared, "k"))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size == 2,
+      "a multi-input plan is not a checkpoint; nothing may be freed")
+    assert(shared.count() == 2) // still readable
+    Checkpoints.release(shared); Checkpoints.release(dead)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
 }

@@ -26,6 +26,24 @@ class KeyedWorkDirSpec extends SparkSpec {
     assert(KeyedWorkDir.keyed(spark, tag, "/no/such/dir", "t", "v2") != a)
   }
 
+  test("contentKey rekeys when the corpus is REGENERATED at the same path " +
+       "(staged-table names must never reuse stale derived state)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kwd-ck").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val k1 = KeyedWorkDir.contentKey(spark, dir, "t", "L1")
+    assert(k1 == KeyedWorkDir.contentKey(spark, dir, "t", "L1"), "stable")
+    // regenerate in place: same path, different files/mtimes
+    Thread.sleep(1100) // fs mtime granularity
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(KeyedWorkDir.contentKey(spark, dir, "t", "L1") != k1,
+      "regenerated corpus must produce a fresh key")
+    // layout bump alone also rekeys
+    assert(KeyedWorkDir.contentKey(spark, dir, "t", "L2") !=
+      KeyedWorkDir.contentKey(spark, dir, "t", "L1"))
+  }
+
   /** Shift a dir's mtime past the eviction grace window while keeping a
     * deterministic LRU order (i higher = more recently used). */
   private def agePastGrace(dir: String, i: Int): Unit =

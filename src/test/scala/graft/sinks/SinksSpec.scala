@@ -195,6 +195,37 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 300)
   }
 
+  test("compact sweeps LEGACY crash debris (pre-hidden `__old`/`__compacting` " +
+       "suffix names) instead of recursing into it as a phantom partition") {
+    // Round-12 ADVICE: an old `date=d0__old` backup from the pre-fix
+    // naming still matches the strict one-'=' partition shape, so compact
+    // recursed into it and Spark discovery read partition value
+    // "d0__old" — the exact bug class the hidden naming fixed, persisting
+    // for tables last compacted by the OLD code.
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactl").toString + "/t"
+    (1 to 300).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "date")
+      .write.partitionBy("date").parquet(dir)
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // legacy backup: real (already re-compacted) data under the old name
+    val legacyOld = new org.apache.hadoop.fs.Path(dir, "date=d0__old")
+    (1 to 100).map(i => (i.toLong, "stale")).toDF("id", "v")
+      .write.parquet(legacyOld.toString)
+    // legacy scratch: an incomplete rewrite under the old name
+    val legacyTmp = new org.apache.hadoop.fs.Path(dir, "date=d1__compacting")
+    fs.mkdirs(legacyTmp)
+    val n = Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(n == 3, "debris must not be compacted as a fourth partition")
+    assert(!fs.exists(legacyTmp), "legacy scratch is worthless — deleted")
+    assert(!fs.exists(legacyOld) &&
+      fs.exists(new org.apache.hadoop.fs.Path(dir, ".legacy_date=d0__old")),
+      "legacy backup holds real data — hidden, not destroyed")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    assert(back.select("date").distinct().as[String].collect().toSet ==
+      Set("d0", "d1", "d2"), "no phantom d0__old partition value")
+  }
+
   test("compact fails loudly on a mixed layout instead of silently " +
        "compacting only the partition half") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compactm").toString + "/t"
