@@ -21,6 +21,57 @@ import org.apache.spark.sql.SparkSession
   * plus whole-surface totals and a pointer to the full per-query file.
   */
 object Bench {
+
+  /** Session-speed calibration (round-12 verdict #2): the round-over-round
+    * headline comparison had no denominator for BOX speed — round 12's
+    * +17% "regression" was pure session noise (the judge's geomean across
+    * 173 queries including untouched one-liners was 1.153), and the record
+    * had no way to show it. The bench now times a FIXED probe — a frozen
+    * q01-shaped scan-aggregate over sf0.1 lineitem, deliberately inlined
+    * so query-code evolution can never move the yardstick — 3×, takes the
+    * median, and reports `session_index` = median / [[NominalProbeSec]] in
+    * both JSON lines. An index of 1.15 tells the diff reader "this box ran
+    * 15% slow; divide the headline by that before believing a regression".
+    *
+    * [[NominalProbeSec]] provenance: mid of four fresh-JVM probe runs on
+    * the round-13 build session (0.344/0.319/0.335/0.329 s, min-of-8
+    * each), a session whose q92/q39/q48 A/B numbers sat at or below the
+    * round-11 committed bench values — i.e. a nominal-speed box.
+    * Re-baseline only if the probe itself changes (then re-measure,
+    * don't reinterpret history).
+    *
+    * The per-query FLAG thresholds already self-normalize via the median
+    * ratio (a uniformly slow session inflates every ratio, so r >
+    * 1.5×median flags nothing) — the session index additionally scales the
+    * ABSOLUTE slowdown guard (0.5 s on a nominal box is 0.575 s on a 1.15×
+    * box), and calibrates the headline, which the median ratio never
+    * touched. `runMain graft.Bench --probe-only` prints the raw probe for
+    * re-baselining a new box without a full bench. */
+  val NominalProbeSec: Double = 0.332
+
+  def probeSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), sum("l_extendedprice"),
+          avg("l_discount"), count(lit(1)))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // a single ~0.5 s shot varies ±20% ACROSS fresh JVMs (JIT state);
+    // discard two extra JIT-warm shots, then MIN-of-8 — the min is the
+    // least-noisy timing statistic (it strips GC/scheduler jitter but
+    // still rises under genuine box contention, which throttles every
+    // shot). Measured cross-JVM spread: median-of-8 ±11%, min-of-8 ±5%
+    // — the latter is the resolution the index needs (it exists to
+    // expose 15%+ box drift).
+    once(); once()
+    Vector.fill(8)(once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +99,22 @@ object Bench {
       try w() catch { case e: Exception =>
         System.err.println(s"[bench] warmup skipped: $e") }
     } }
+
+    // session-speed probe (after warmup, before any timed query; see
+    // probeSec's scaladoc). A probe failure must cost only calibration —
+    // index falls back to 1.0 and is reported as such.
+    val (probeMedianSec, sessionIndex): (Double, Double) =
+      try {
+        val p = probeSec(spark)
+        if (args.contains("--probe-only")) {
+          println(f"""{"probe_sec":$p%.3f,"nominal_sec":$NominalProbeSec%.3f,"session_index":${p / NominalProbeSec}%.3f}""")
+          spark.stop(); return
+        }
+        (p, p / NominalProbeSec)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] session probe failed, index=1.0: $e")
+        (-1.0, 1.0)
+      }
 
     // Variance protocol (round-10 verdict #3, sticky baseline round-12
     // verdict #2): the bench is single-shot, so on a box with documented
@@ -127,8 +194,12 @@ object Bench {
       if (ratios.isEmpty) Set.empty
       else {
         val medianRatio = ratios.map(_._2).sorted.apply(ratios.size / 2)
+        // the 0.5 s absolute guard is calibrated to a NOMINAL box — scale
+        // it by the session index (floored at 1: a fast box must not
+        // shrink the guard and flag sub-noise slowdowns)
+        val absGuard = 0.5 * math.max(sessionIndex, 1.0)
         ratios.collect {
-          case (k, r) if r > medianRatio * 1.5 && firstByName(k) - base(k) > 0.5 => k
+          case (k, r) if r > medianRatio * 1.5 && firstByName(k) - base(k) > absGuard => k
         }.toSet
       }
     }
@@ -161,7 +232,8 @@ object Bench {
         ",\"vs\":\"" + vsLabel(k) + "\"}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}"""
+    val cal = s""""session_index":${ms(sessionIndex)},"probe_sec":${ms(probeMedianSec)}"""
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$cal,"queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}"""
     println(fullLine) // human logs; too long for the driver's 2000-char tail
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -175,7 +247,7 @@ object Bench {
     val bqs = baseline11.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"baseline11_total","value":${ms(bSum)},"unit":"sec","queries":$bqs,""" +
+      s"""{"metric":"baseline11_total","value":${ms(bSum)},"unit":"sec",$cal,"queries":$bqs,""" +
       s""""surface":{"n":${results.size},"total_sec":${ms(total)},"errors":$errs},""" +
       s""""sf":"$sfDir","full_per_query":"BENCH.json"}"""
     println(compact)
