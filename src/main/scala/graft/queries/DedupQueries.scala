@@ -989,7 +989,10 @@ object DedupQueries {
     * oracle mirror is the same SQL that checks it standalone. */
   val q157CurationE2e: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // content-keyed staging suffix (the trainedCentroids argument — and
+    // the corpus-B run additionally caught mixed-case dir-derived names
+    // colliding with the catalog's lowercased managed locations)
+    val suffix = KeyedWorkDir.contentKey(s, dir, "documents", "L1")
     // 1. quality gate (integer-arithmetic thresholds, as q118)
     val toks = TextOps.tokens(col("text"))
     val gated = d.select(col("doc_id"), col("source"), col("text"),
@@ -1017,7 +1020,11 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").as("vec"))
       .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val k = math.max(16L, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
-    val centroids = corpus.filter(col("vec_id") < 10 + k)
+    // rank contract (corpus-B): centroids = the k LOWEST survivor
+    // vec_ids, not a literal id threshold tuned to dense-from-0 ids
+    val tauK = corpus.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(k.toInt).agg(max(col("vec_id"))).head().getLong(0)
+    val centroids = corpus.filter(col("vec_id") <= tauK)
       .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
     val cells = graft.similarity.IvfFlat.assign(
       corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
@@ -1369,8 +1376,10 @@ object DedupQueries {
                 WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.doc_id = s1.doc_id)),
          C AS (SELECT e2.vec_id, CAST(e2.embedding AS DOUBLE[]) AS cvec
                FROM embeddings e2 JOIN s2 ON s2.doc_id = e2.vec_id),
-         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C
-                 WHERE vec_id < 10 + (SELECT greatest(16,
+         cen AS (SELECT cen_id, cen_vec FROM (
+                 SELECT vec_id AS cen_id, cvec AS cen_vec,
+                   row_number() OVER (ORDER BY vec_id) AS __rn FROM C) __rc
+                 WHERE __rn <= (SELECT greatest(16,
                    CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM C)),
          cells AS (SELECT vec_id, cell FROM (
              SELECT c.vec_id, cen.cen_id AS cell,

@@ -324,19 +324,26 @@ object RelationalQueries {
     Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
     Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
     Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    // "late" is a DAY-granularity contract, stated identically on both
+    // sides of the comparison: `l_shipdate > date_add(o_orderdate, 60)`
+    // left l_shipdate a TIMESTAMP while date_add truncated the other
+    // side to DATE, so a shipdate with a time-of-day component counted
+    // as late 2 h before the oracle's date-vs-date compare did — found
+    // by the corpus-B probe (+26 h timestamp shift), invisible on the
+    // driver corpus's midnight-aligned timestamps.
     s.sql("""
       SELECT s_name, count(*) AS numwait
       FROM v_supplier JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
       JOIN v_orders o ON o_orderkey = l1.l_orderkey
       WHERE o_orderstatus = 'F'
-        AND l1.l_shipdate > date_add(o.o_orderdate, 60)
+        AND CAST(l1.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 60)
         AND EXISTS (SELECT 1 FROM v_lineitem l2
               WHERE l2.l_orderkey = l1.l_orderkey
                 AND l2.l_suppkey <> l1.l_suppkey)
         AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
               WHERE l3.l_orderkey = l1.l_orderkey
                 AND l3.l_suppkey <> l1.l_suppkey
-                AND l3.l_shipdate > date_add(o.o_orderdate, 60))
+                AND CAST(l3.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 60))
       GROUP BY s_name ORDER BY numwait DESC, s_name""")
   }
 

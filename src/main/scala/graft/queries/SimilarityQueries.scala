@@ -58,6 +58,19 @@ object SimilarityQueries {
        |   CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END))
        | FROM (SELECT count(*) // 20 AS m FROM $from))""".stripMargin
 
+  /** The n-th lowest id of `df.idCol` — the driver scalar that turns a
+    * RANK contract ("the 10 query vectors are the 10 lowest vec_ids")
+    * into a pushdown-able range filter. The old literal spellings
+    * (`vec_id < 10`, `< 26`) encoded the driver corpus's dense-from-0
+    * ids; the corpus-B probe (XOR-remapped ids) made every one of them
+    * empty — loud require failures in the k-means family, silently
+    * VACUOUS greens in the top-k family. One TakeOrdered job per call
+    * (single id column, no shuffle) is the cost of stating the contract
+    * on data rather than on an accident. */
+  private def nthLowestId(df: DataFrame, idCol: String, n: Int): Long =
+    df.select(col(idCol)).orderBy(col(idCol)).limit(n)
+      .agg(max(col(idCol))).head().getLong(0)
+
   // The float embedding column feeds the kernels directly: DotProduct /
   // L2Squared widen per element (exact), so no transform(cast) pass —
   // which would run interpreted AND knock the scan projection out of
@@ -65,8 +78,14 @@ object SimilarityQueries {
   private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
-    (e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10))
+    val tauQ = nthLowestId(e, "vec_id", 10)
+    (e.filter(col("vec_id") <= tauQ), e.filter(col("vec_id") > tauQ))
   }
+
+  /** The 16 k-means/IVF seed centroids = the 16 LOWEST corpus vec_ids
+    * (rank contract; ≡ the old `vec_id < 26` on the driver corpus). */
+  private def seedOf(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") <= nthLowestId(corpus, "vec_id", 16))
 
   /** Exact brute-force cosine top-5 for 10 query vectors. Selection runs
     * through the custom bounded-heap operator (`plans/BoundedTopK`) — the
@@ -111,7 +130,7 @@ object SimilarityQueries {
     * nprobe=4; oracle replicates the identical index + probe in DuckDB. */
   val q34AnnIvf: Q = (s, dir) => {
     val (queries, corpus) = parts(s, dir)
-    val centroids = corpus.filter(col("vec_id") < 26)
+    val centroids = seedOf(corpus)
       .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
     val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
     val probes = IvfFlat.probes(queries, "vec_id", "vec", centroids, "cen_id", "cen_vec", nprobe = 4)
@@ -183,7 +202,7 @@ object SimilarityQueries {
     * is per-cell membership + the first two centroid components. */
   val q49KmeansStep: Q = (s, dir) => {
     val (_, corpus) = parts(s, dir)
-    val centroids = corpus.filter(col("vec_id") < 26)
+    val centroids = seedOf(corpus)
       .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
     val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
     IvfFlat.recomputeCentroids(cells, corpus, "vec_id", "vec")
@@ -220,8 +239,7 @@ object SimilarityQueries {
       "graft_kmeans_cens_" + KeyedWorkDir.contentKey(s, dir, "embeddings", "L1"),
       key = "cen_id", numBuckets = 1, sortCols = Seq("cen_id")) {
       val (_, corpus) = parts(s, dir)
-      val seed = KMeans.collectSeed(
-        corpus.filter(col("vec_id") < 26), "vec_id", "vec")
+      val seed = KMeans.collectSeed(seedOf(corpus), "vec_id", "vec")
       KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
         .map { case (id, arr) => (id, arr.toSeq) }.toDF("cen_id", "cen_vec")
     }
@@ -354,7 +372,7 @@ object SimilarityQueries {
     * make the shortlist ranking association-free on both engines. */
   val q60AnnPq: Q = (s, dir) => {
     val (queries, corpus) = parts(s, dir)
-    val seed = corpus.filter(col("vec_id") < 26)
+    val seed = seedOf(corpus)
     ProductQuantizer.searchTop1(queries, corpus, seed, "vec_id", "vec",
         numSub = 8, subDim = 8, shortlist = 10)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
@@ -378,7 +396,8 @@ object SimilarityQueries {
     val (_, corpus) = parts(s, dir)
     val k = math.max(16L,
       math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
-    val centroids = corpus.filter(col("vec_id") < 10 + k)
+    val centroids = corpus
+      .filter(col("vec_id") <= nthLowestId(corpus, "vec_id", k.toInt))
       .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
     val cells = IvfFlat.assign(corpus, "vec_id", "vec", centroids, "cen_id", "cen_vec")
     SemanticDedup.dropReport(cells, corpus, "vec_id", "vec", tau = 0.3)
@@ -407,8 +426,11 @@ object SimilarityQueries {
     * identical either way (doubles round-trip parquet exactly), so the
     * generated unrolled oracles are untouched. */
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    // content-keyed like trainedCentroids (same staleness/collision
+    // argument — see its scaladoc); layout tag bumps with the edge
+    // construction (LSH params, k, rerank rule)
     graft.sinks.Sinks.stagedTable(s,
-      "graft_knn_edges" + dir.replaceAll("[^a-zA-Z0-9]", "_"),
+      "graft_knn_edges_" + KeyedWorkDir.contentKey(s, dir, "embeddings", "L1"),
       key = "src", numBuckets = 8, sortCols = Seq("src", "rank")) {
       knnTop3(s, dir).select(col("src"), col("rank"), col("dst"), col("sim"))
     }
@@ -578,9 +600,10 @@ object SimilarityQueries {
     * exact-cosine + salted-top-k machinery as q21. */
   val q135FilteredAnn: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val corpus = e.filter(col("vec_id") >= 10)
+    val tauQ = nthLowestId(e, "vec_id", 10) // rank contract, see parts()
+    val corpus = e.filter(col("vec_id") > tauQ)
       .select(col("vec_id"), col("embedding").as("vec"), col("label"))
-    val queries = e.filter(col("vec_id") < 10)
+    val queries = e.filter(col("vec_id") <= tauQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label"))
     val scored = corpus.join(broadcast(queries), "label")
@@ -718,11 +741,15 @@ object SimilarityQueries {
     sb.toString
   }
 
+  // rank-contract split (corpus-B): queries = the 10 LOWEST vec_ids,
+  // seeds = the 16 lowest corpus vec_ids — stated as data-derived taus
+  private val tauQSql = "(SELECT max(vec_id) FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10) __tq)"
+  private val tauSeedSql = "(SELECT max(vec_id) FROM (SELECT vec_id FROM C ORDER BY vec_id LIMIT 16) __ts)"
   private val cosineParts =
-    """Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-             FROM embeddings WHERE vec_id < 10),
+    s"""Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+             FROM embeddings WHERE vec_id <= $tauQSql),
        C AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
-             FROM embeddings WHERE vec_id >= 10)"""
+             FROM embeddings WHERE vec_id > $tauQSql)"""
 
   val oracles: Map[String, String] = Map(
     "q165_hard_negatives" ->
@@ -740,10 +767,10 @@ object SimilarityQueries {
            round(sim, 6) AS sim
          FROM hn WHERE rn = 1 ORDER BY src""",
     "q135_filtered_ann" ->
-      """WITH Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
-               label FROM embeddings WHERE vec_id < 10),
+      s"""WITH Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+               label FROM embeddings WHERE vec_id <= $tauQSql),
          C AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec, label
-               FROM embeddings WHERE vec_id >= 10),
+               FROM embeddings WHERE vec_id > $tauQSql),
          sims AS (SELECT q.query_id, c.vec_id, c.label,
              list_inner_product(q.qvec, c.cvec)
                / (sqrt(list_inner_product(q.qvec, q.qvec))
@@ -783,9 +810,9 @@ object SimilarityQueries {
     // recon list built with the kernel's pinned-association arithmetic,
     // then list_inner_product = the kernel's ascending within-row fold
     "q127_ann_sq8" ->
-      s"""WITH C AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+      s"""WITH C AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id > $tauQSql),
          Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
-               FROM embeddings WHERE vec_id < 10),
+               FROM embeddings WHERE vec_id <= $tauQSql),
          dims AS (SELECT unnest(generate_series(1, $Dims)) AS i),
          ex AS (SELECT c.vec_id, d.i, CAST(c.v[d.i] AS DOUBLE) AS x
                 FROM C c, dims d),
@@ -851,8 +878,10 @@ object SimilarityQueries {
     // within each cell only, keep-lowest-id
     "q65_semantic_dedup" ->
       s"""WITH $cosineParts,
-         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C
-                 WHERE vec_id < 10 + (SELECT greatest(16,
+         cen AS (SELECT cen_id, cen_vec FROM (
+                 SELECT vec_id AS cen_id, cvec AS cen_vec,
+                   row_number() OVER (ORDER BY vec_id) AS __rn FROM C) __rc
+                 WHERE __rn <= (SELECT greatest(16,
                    CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM C)),
          cells AS (SELECT vec_id, cell FROM (
              SELECT c.vec_id, cen.cen_id AS cell,
@@ -876,7 +905,7 @@ object SimilarityQueries {
     "q60_ann_pq" ->
       s"""WITH $cosineParts,
          cbseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, cvec
-                    FROM C WHERE vec_id < 26),
+                    FROM C WHERE vec_id <= $tauSeedSql),
          cb AS (SELECT r.range AS m, code_id,
                   cvec[r.range*8+1 : r.range*8+8] AS cw
                 FROM cbseed CROSS JOIN range(8) r),
@@ -920,7 +949,7 @@ object SimilarityQueries {
          SELECT query_id, cand_id AS vec_id, round(sim, 6) AS sim
          FROM fin WHERE rn = 1 ORDER BY query_id""",
     // generated unrolled Lloyd rounds — see KMeans.oracleSql
-    "q149_kmeans_train" -> KMeans.oracleSql(cosineParts, "vec_id < 26", rounds = 3),
+    "q149_kmeans_train" -> KMeans.oracleSql(cosineParts, s"vec_id <= $tauSeedSql", rounds = 3),
     // staged kNN edges -> neighbor-label majority (ties: lowest label)
     "q155_knn_label_agreement" ->
       s"""WITH ${knnCtes("")},
@@ -963,7 +992,7 @@ object SimilarityQueries {
     // trained-index assignment distances, then the q112 MAD-fence shape
     "q154_embedding_outliers" ->
       s"""WITH $cosineParts,
-         ${KMeans.trainCtes("vec_id < 26", rounds = 3)},
+         ${KMeans.trainCtes(s"vec_id <= $tauSeedSql", rounds = 3)},
          af AS MATERIALIZED (SELECT vec_id, cell, dist FROM (
              SELECT c.vec_id, cen.cen_id AS cell, ${KMeans.distSql("cen")} AS dist,
                row_number() OVER (PARTITION BY c.vec_id ORDER BY ${KMeans.distSql("cen")} ASC, cen.cen_id ASC) AS rn
@@ -984,7 +1013,7 @@ object SimilarityQueries {
     // cell-join candidates, exact cosine rerank to top-3
     "q150_ann_ivf_trained" ->
       s"""WITH $cosineParts,
-         ${KMeans.trainCtes("vec_id < 26", rounds = 3)},
+         ${KMeans.trainCtes(s"vec_id <= $tauSeedSql", rounds = 3)},
          af AS MATERIALIZED (SELECT vec_id, cell FROM (
              SELECT c.vec_id, cen.cen_id AS cell,
                row_number() OVER (PARTITION BY c.vec_id ORDER BY ${KMeans.distSql("cen")} ASC, cen.cen_id ASC) AS rn
@@ -1013,7 +1042,7 @@ object SimilarityQueries {
     // same deterministic assignment as q34's oracle, then per-cell means
     "q49_kmeans_step" ->
       s"""WITH $cosineParts,
-         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id < 26),
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id <= $tauSeedSql),
          cells AS (SELECT vec_id, cell FROM (
              SELECT c.vec_id, cen.cen_id AS cell,
                row_number() OVER (PARTITION BY c.vec_id ORDER BY
@@ -1065,7 +1094,7 @@ object SimilarityQueries {
            FROM dots GROUP BY 1, 2),
          cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cand_id
            FROM sigs qs JOIN sigs cs ON qs.t = cs.t AND qs.sig = cs.sig
-           WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
+           WHERE qs.vec_id <= $tauQSql AND cs.vec_id > $tauQSql),
          scored AS (SELECT cand.query_id, cand.cand_id,
              list_inner_product(q.qvec, c.cvec)
                / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))) AS sim
@@ -1103,7 +1132,7 @@ object SimilarityQueries {
     // (expanded form; gaps dwarf fp rounding), same nprobe, same top-1.
     "q34_ann_ivf" ->
       s"""WITH $cosineParts,
-         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id < 26),
+         cen AS (SELECT vec_id AS cen_id, cvec AS cen_vec FROM C WHERE vec_id <= $tauSeedSql),
          cells AS (SELECT vec_id, cell FROM (
              SELECT c.vec_id, cen.cen_id AS cell,
                row_number() OVER (PARTITION BY c.vec_id ORDER BY

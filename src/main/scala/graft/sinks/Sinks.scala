@@ -146,8 +146,14 @@ object Sinks {
       // directory survives, and saveAsTable fails with
       // LOCATION_ALREADY_EXISTS — the exact failure this cleanup exists
       // to prevent (see the fsFor scaladoc).
+      // the catalog lowercases unquoted identifiers, so the managed
+      // LOCATION is the lowercased name — probing with the caller's
+      // mixed-case spelling misses the stale dir and saveAsTable dies
+      // with LOCATION_ALREADY_EXISTS on the next JVM (found by the
+      // corpus-B run: a '/tmp/graft-corpusB'-derived staging suffix)
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT))
       val fs = fsFor(spark, loc)
       if (fs.exists(loc)) fs.delete(loc, true)
       bucketedWrite(build, table, key, numBuckets, sortCols)

@@ -38,7 +38,11 @@ def main():
         elif a.startswith("--only="): only = set(a[len("--only="):].split(","))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # a table may be a single parquet file (driver testdata) or a
+        # directory of part files (ScaleUp / CorpusB output)
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_fail = n_skip = 0
     for name in sorted(oracle):
