@@ -101,17 +101,20 @@ object Bench {
     } }
 
     // session-speed probe (after warmup, before any timed query; see
-    // probeSec's scaladoc). A probe failure must cost only calibration —
-    // index falls back to 1.0 and is reported as such.
+    // probeSec's scaladoc). --probe-only is handled OUTSIDE the try: a
+    // probe failure there must fail loudly and exit — falling through
+    // to a full bench would overwrite BENCH.json (and mint a sticky
+    // baseline) on exactly the broken-box run the flag exists for. In
+    // normal mode a probe failure costs only calibration — index falls
+    // back to 1.0 and is reported as such.
+    if (args.contains("--probe-only")) {
+      val p = probeSec(spark)
+      println(f"""{"probe_sec":$p%.3f,"nominal_sec":$NominalProbeSec%.3f,"session_index":${p / NominalProbeSec}%.3f}""")
+      spark.stop(); return
+    }
     val (probeMedianSec, sessionIndex): (Double, Double) =
-      try {
-        val p = probeSec(spark)
-        if (args.contains("--probe-only")) {
-          println(f"""{"probe_sec":$p%.3f,"nominal_sec":$NominalProbeSec%.3f,"session_index":${p / NominalProbeSec}%.3f}""")
-          spark.stop(); return
-        }
-        (p, p / NominalProbeSec)
-      } catch { case e: Exception =>
+      try { val p = probeSec(spark); (p, p / NominalProbeSec) }
+      catch { case e: Exception =>
         System.err.println(s"[bench] session probe failed, index=1.0: $e")
         (-1.0, 1.0)
       }

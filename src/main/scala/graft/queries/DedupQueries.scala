@@ -993,6 +993,10 @@ object DedupQueries {
     // the corpus-B run additionally caught mixed-case dir-derived names
     // colliding with the catalog's lowercased managed locations)
     val suffix = KeyedWorkDir.contentKey(s, dir, "documents", "L1")
+    // reap earlier generations' staged tables (see contentKeyedTable);
+    // both q157 prefixes share the suffix so one pass each suffices
+    KeyedWorkDir.contentKeyedTable(s, "graft_q157_keepers_", dir, "documents", "L1")
+    KeyedWorkDir.contentKeyedTable(s, "graft_q157_dedup_", dir, "documents", "L1")
     // 1. quality gate (integer-arithmetic thresholds, as q118)
     val toks = TextOps.tokens(col("text"))
     val gated = d.select(col("doc_id"), col("source"), col("text"),
@@ -1021,9 +1025,13 @@ object DedupQueries {
       .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val k = math.max(16L, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
     // rank contract (corpus-B): centroids = the k LOWEST survivor
-    // vec_ids, not a literal id threshold tuned to dense-from-0 ids
-    val tauK = corpus.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(k.toInt).agg(max(col("vec_id"))).head().getLong(0)
+    // vec_ids, not a literal id threshold tuned to dense-from-0 ids;
+    // null max (empty survivor set) -> MinValue = empty centroid frame
+    val tauK = {
+      val r = corpus.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(k.toInt).agg(max(col("vec_id"))).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }
     val centroids = corpus.filter(col("vec_id") <= tauK)
       .select(col("vec_id").as("cen_id"), col("vec").as("cen_vec"))
     val cells = graft.similarity.IvfFlat.assign(

@@ -39,6 +39,40 @@ object KeyedWorkDir {
       .map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Content-keyed STAGED TABLE name: `prefix` + 12-hex key, plus the
+    * same bounded-accumulation discipline [[pruneStale]] gives work
+    * dirs — every corpus regeneration mints a fresh key, and
+    * `Sinks.stagedTable`'s stale-location cleanup only probes the
+    * CURRENT name, so without a reaper the previous generations'
+    * managed directories pile up in the warehouse forever. Keeps the
+    * [[KeepPerTag]] most recently MODIFIED sibling tables of the same
+    * prefix (grace-windowed, exact `prefix<12 hex>` shape only) and
+    * drops the rest from both the catalog and the warehouse. */
+  def contentKeyedTable(spark: SparkSession, prefix: String, dir: String,
+                        table: String, layout: String): String = {
+    val name = prefix + contentKey(spark, dir, table, layout)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shape = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(prefix.toLowerCase(java.util.Locale.ROOT))
+        + "[0-9a-f]{12}")
+    val cutoff = System.currentTimeMillis() - GraceMs
+    if (fs.exists(wh)) {
+      val stale = fs.listStatus(wh)
+        .filter(s => s.isDirectory && shape.matcher(s.getPath.getName).matches())
+        .sortBy(-_.getModificationTime)
+        .drop(KeepPerTag)
+        .filter(s => s.getPath.getName != name.toLowerCase(java.util.Locale.ROOT)
+          && s.getModificationTime < cutoff)
+      stale.foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS `${s.getPath.getName}`")
+        fs.delete(s.getPath, true)
+      }
+    }
+    name
+  }
+
   def keyed(spark: SparkSession, tag: String, dir: String, table: String,
             layout: String): String = {
     val key = contentKey(spark, dir, table, layout)
@@ -69,8 +103,8 @@ object KeyedWorkDir {
     * inside the grace window is potentially in use and kept, while the
     * dirs the bound exists for (orphaned by regenerations days apart)
     * age past it naturally. */
-  private val KeepPerTag = 6
-  private val GraceMs = 6L * 3600 * 1000
+  private[queries] val KeepPerTag = 6
+  private[queries] val GraceMs = 6L * 3600 * 1000
   private def pruneStale(spark: SparkSession, tag: String, current: String): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val shape = java.util.regex.Pattern.compile(

@@ -66,10 +66,15 @@ object SimilarityQueries {
     * empty — loud require failures in the k-means family, silently
     * VACUOUS greens in the top-k family. One TakeOrdered job per call
     * (single id column, no shuffle) is the cost of stating the contract
-    * on data rather than on an accident. */
-  private def nthLowestId(df: DataFrame, idCol: String, n: Int): Long =
-    df.select(col(idCol)).orderBy(col(idCol)).limit(n)
-      .agg(max(col(idCol))).head().getLong(0)
+    * on data rather than on an accident. An EMPTY input returns
+    * Long.MinValue so `<= tau` filters stay empty — matching the old
+    * literals' clean empty-result behavior instead of NPE'ing on the
+    * null max. */
+  private def nthLowestId(df: DataFrame, idCol: String, n: Int): Long = {
+    val r = df.select(col(idCol)).orderBy(col(idCol)).limit(n)
+      .agg(max(col(idCol))).head()
+    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+  }
 
   // The float embedding column feeds the kernels directly: DotProduct /
   // L2Squared widen per element (exact), so no transform(cast) pass —
@@ -236,7 +241,7 @@ object SimilarityQueries {
   private def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Array[Double])] = {
     import s.implicits._
     val staged = graft.sinks.Sinks.stagedTable(s,
-      "graft_kmeans_cens_" + KeyedWorkDir.contentKey(s, dir, "embeddings", "L1"),
+      KeyedWorkDir.contentKeyedTable(s, "graft_kmeans_cens_", dir, "embeddings", "L1"),
       key = "cen_id", numBuckets = 1, sortCols = Seq("cen_id")) {
       val (_, corpus) = parts(s, dir)
       val seed = KMeans.collectSeed(seedOf(corpus), "vec_id", "vec")
@@ -430,7 +435,7 @@ object SimilarityQueries {
     // argument — see its scaladoc); layout tag bumps with the edge
     // construction (LSH params, k, rerank rule)
     graft.sinks.Sinks.stagedTable(s,
-      "graft_knn_edges_" + KeyedWorkDir.contentKey(s, dir, "embeddings", "L1"),
+      KeyedWorkDir.contentKeyedTable(s, "graft_knn_edges_", dir, "embeddings", "L1"),
       key = "src", numBuckets = 8, sortCols = Seq("src", "rank")) {
       knnTop3(s, dir).select(col("src"), col("rank"), col("dst"), col("sim"))
     }

@@ -244,14 +244,28 @@ object Sinks {
     // one '='), so without this sweep compact would recurse into it and
     // Spark discovery would read it as a phantom partition value
     // `d0__old` — the exact bug class the hidden naming fixed, persisting
-    // for tables last compacted by the old code. Scratch is an
-    // incomplete rewrite → deleted; a backup holds real (already
-    // re-compacted) data → renamed to an inert hidden sibling rather
-    // than destroyed.
+    // for tables last compacted by the old code. Debris-shape guard: the
+    // old compact only ever produced `X__old`/`X__compacting` NEXT TO
+    // the live `X` it was compacting, so the sweep requires that base
+    // sibling — a partition whose VALUE genuinely ends in '__old' with
+    // no base twin is left untouched and fails loudly below instead of
+    // being silently hidden (a value ending in '__old' WITH a
+    // coincidental base twin remains indistinguishable from debris; the
+    // rename preserves its data under `.legacy_*` for recovery, which
+    // is the residual this heuristic accepts). Scratch is an incomplete
+    // rewrite → deleted; a backup holds real (already re-compacted)
+    // data → renamed to an inert hidden sibling rather than destroyed.
     fs.listStatus(hPath).map(_.getPath)
       .filter(p => p.getName.endsWith("__old") || p.getName.endsWith("__compacting"))
       .foreach { p =>
-        if (p.getName.endsWith("__compacting")) fs.delete(p, true)
+        val base = new org.apache.hadoop.fs.Path(p.getParent,
+          p.getName.stripSuffix("__old").stripSuffix("__compacting"))
+        if (!fs.exists(base))
+          throw new java.io.IOException(
+            s"compact: $p looks like pre-fix crash debris but its base " +
+              s"sibling $base is missing — cannot distinguish debris from " +
+              "data; inspect and rename/remove it manually")
+        else if (p.getName.endsWith("__compacting")) fs.delete(p, true)
         else if (!fs.rename(p, hiddenSibling(p, ".legacy_")))
           throw new java.io.IOException(
             s"compact: could not hide legacy backup $p; aborting rather " +

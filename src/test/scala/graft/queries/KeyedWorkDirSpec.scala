@@ -44,6 +44,36 @@ class KeyedWorkDirSpec extends SparkSpec {
       KeyedWorkDir.contentKey(spark, dir, "t", "L1"))
   }
 
+  test("contentKeyedTable reaps earlier generations' staged warehouse dirs " +
+       "(LRU + grace, exact shape only) and never the current name") {
+    val prefix = s"graft_kwdreap${System.nanoTime()}_"
+    val wh = new File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    wh.mkdirs()
+    // 8 fake prior generations, aged past the grace window, oldest first
+    val old = (0 until 8).map { i =>
+      val d = new File(wh, prefix + f"$i%012d".map(c => if (c == '0') 'a' else c))
+      d.mkdirs()
+      d.setLastModified(System.currentTimeMillis() - 7L * 3600 * 1000 + i * 60000L)
+      d
+    }
+    // a same-prefix dir NOT matching the 12-hex shape must never be touched
+    val foreign = new File(wh, prefix + "not-a-key")
+    foreign.mkdirs()
+    val dir = java.nio.file.Files.createTempDirectory("kwd-ckt").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t.parquet")
+    val name = KeyedWorkDir.contentKeyedTable(spark, prefix, dir, "t", "L1")
+    assert(name.startsWith(prefix))
+    val survivors = old.filter(_.exists())
+    assert(survivors.size == KeyedWorkDir.KeepPerTag,
+      s"keep exactly KeepPerTag=${KeyedWorkDir.KeepPerTag}, got ${survivors.size}")
+    assert(survivors.map(_.getName).toSet ==
+      old.takeRight(KeyedWorkDir.KeepPerTag).map(_.getName).toSet,
+      "oldest generations reaped first")
+    assert(foreign.exists(), "non-shape siblings are never touched")
+  }
+
   /** Shift a dir's mtime past the eviction grace window while keeping a
     * deterministic LRU order (i higher = more recently used). */
   private def agePastGrace(dir: String, i: Int): Unit =

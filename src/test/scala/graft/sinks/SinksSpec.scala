@@ -226,6 +226,23 @@ class SinksSpec extends SparkSpec {
       Set("d0", "d1", "d2"), "no phantom d0__old partition value")
   }
 
+  test("compact refuses a suffix-named child with NO base sibling — a " +
+       "partition VALUE ending in __old must not be silently hidden") {
+    // The debris-shape guard: real crash debris always sits next to its
+    // re-compacted base twin; a lone `tag=v2__old` could be legitimate
+    // data whose value ends in '__old', so compact fails loudly instead
+    // of disappearing it from every subsequent read.
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactg").toString + "/t"
+    (1 to 90).map(i => (i.toLong, if (i % 2 == 0) "v1" else "v2__old"))
+      .toDF("id", "tag").write.partitionBy("tag").parquet(dir)
+    val e = intercept[java.io.IOException] {
+      Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("base") && e.getMessage.contains("v2__old"))
+    // data untouched by the refusal
+    assert(spark.read.parquet(dir).count() == 90)
+  }
+
   test("compact fails loudly on a mixed layout instead of silently " +
        "compacting only the partition half") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compactm").toString + "/t"
