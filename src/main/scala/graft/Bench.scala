@@ -28,10 +28,12 @@ object Bench {
     * 173 queries including untouched one-liners was 1.153), and the record
     * had no way to show it. The bench now times a FIXED probe — a frozen
     * q01-shaped scan-aggregate over sf0.1 lineitem, deliberately inlined
-    * so query-code evolution can never move the yardstick — 3×, takes the
-    * median, and reports `session_index` = median / [[NominalProbeSec]] in
-    * both JSON lines. An index of 1.15 tells the diff reader "this box ran
-    * 15% slow; divide the headline by that before believing a regression".
+    * so query-code evolution can never move the yardstick — discards two
+    * JIT-warm shots then takes the MIN of 8 (the statistic `probeSec`'s
+    * comment justifies: ±5% cross-JVM vs ±11% for the median), and reports
+    * `session_index` = min / [[NominalProbeSec]] in both JSON lines. An
+    * index of 1.15 tells the diff reader "this box ran 15% slow; divide
+    * the headline by that before believing a regression".
     *
     * [[NominalProbeSec]] provenance: mid of four fresh-JVM probe runs on
     * the round-13 build session (0.344/0.319/0.335/0.329 s, min-of-8
@@ -112,7 +114,7 @@ object Bench {
       println(f"""{"probe_sec":$p%.3f,"nominal_sec":$NominalProbeSec%.3f,"session_index":${p / NominalProbeSec}%.3f}""")
       spark.stop(); return
     }
-    val (probeMedianSec, sessionIndex): (Double, Double) =
+    val (probeMinSec, sessionIndex): (Double, Double) =
       try { val p = probeSec(spark); (p, p / NominalProbeSec) }
       catch { case e: Exception =>
         System.err.println(s"[bench] session probe failed, index=1.0: $e")
@@ -235,7 +237,7 @@ object Bench {
         ",\"vs\":\"" + vsLabel(k) + "\"}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val cal = s""""session_index":${ms(sessionIndex)},"probe_sec":${ms(probeMedianSec)}"""
+    val cal = s""""session_index":${ms(sessionIndex)},"probe_sec":${ms(probeMinSec)}"""
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$cal,"queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}"""
     println(fullLine) // human logs; too long for the driver's 2000-char tail
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

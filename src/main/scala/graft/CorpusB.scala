@@ -33,7 +33,27 @@ import org.apache.spark.sql.functions._
   * output must report 173/173, or the failing query has a corpus-
   * accident dependency to parameterize.
   *
-  * Usage: runMain graft.CorpusB [srcDir] [outDir] [seed]
+  * `--b2` (round-13 verdict #4) adds the two axes the XOR/drop/shift
+  * family cannot move, forming corpus-B2:
+  *
+  *   - every LONG-typed key is lifted by +3·2³¹ (≈6.4e9, past both 2³¹
+  *     and 2³²) AFTER the XOR, consistently across FK pairs — any code
+  *     path that truncates an id to 32 bits (a `.toInt` in a JVM
+  *     kernel, an int accumulator) breaks loudly or hash-mismatches;
+  *     int32-typed dim keys (nation/region) keep their schema width,
+  *     which IS the contract;
+  *   - every continuous MEASURE column is scaled ×7 (odd prime — moves
+  *     decimal/binary accidents alike), so magnitude-tuned constants
+  *     (bin widths, epsilons, a decimal(p,s) intermediate sized to
+  *     driver-corpus magnitudes) move while filter predicates on those
+  *     measures stay NON-VACUOUS (a ×1000 scale would push e.g. every
+  *     l_quantity past its literal thresholds and turn those greens
+  *     vacuous-empty — the exact failure mode corpus-B exists to kill).
+  *     Rate columns (l_discount, l_tax ∈ [0,1]) are semantic structure
+  *     and stay; embeddings stay (cosine is per-vector-scale-invariant,
+  *     so a uniform scale probes nothing there).
+  *
+  * Usage: runMain graft.CorpusB [srcDir] [outDir] [seed] [--b2]
   *        (defaults /root/testdata/sf0.01 → /tmp/graft-corpusB, 1337)
   */
 object CorpusB {
@@ -59,10 +79,22 @@ object CorpusB {
     * dimension joins keep full coverage). */
   private val droppable = Set("lineitem", "events", "documents", "embeddings")
 
+  /** Measure columns scaled ×[[ValueScale]] under `--b2`. */
+  val measureCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_acctbal"), "supplier" -> Seq("s_acctbal"),
+    "part" -> Seq("p_retailprice"), "orders" -> Seq("o_totalprice"),
+    "lineitem" -> Seq("l_quantity", "l_extendedprice"),
+    "events" -> Seq("value"))
+  val ValueScale = 7.0
+  val IdLift: Long = 3L << 31
+
   def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("/tmp/graft-corpusB")
-    val seed = args.lift(2).map(_.toLong).getOrElse(1337L)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val b2 = flags("--b2")
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos.lift(0).getOrElse("/root/testdata/sf0.01")
+    val out = pos.lift(1).getOrElse("/tmp/graft-corpusB")
+    val seed = pos.lift(2).map(_.toLong).getOrElse(1337L)
     // 30-bit XOR constant: bijective on every key domain, keeps int32
     // keys positive (max remapped value < 2^31), moves every literal
     val k: Long = (seed * 2654435761L) & 0x3FFFFFFFL
@@ -75,11 +107,34 @@ object CorpusB {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def remapKeys(name: String, df: DataFrame): DataFrame =
+    def remapKeys(name: String, df: DataFrame): DataFrame = {
+      // the 30-bit XOR is bijective and sign-preserving only while the
+      // source key domain sits inside the type's positive range with
+      // headroom for the flipped low bits — true for every current
+      // corpus; fail loudly (round-13 verdict nit) if corpus generation
+      // ever scales key domains instead of silently wrapping
+      val aggCols = keyCols(name).map(c => max(col(c).cast("long")).as(c))
+      val maxes = df.agg(aggCols.head, aggCols.tail: _*).head()
+      keyCols(name).zipWithIndex.foreach { case (c, i) =>
+        val bound = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.IntegerType => 1L << 30
+          case _ => 1L << 62
+        }
+        require(maxes.isNullAt(i) || maxes.getLong(i) < bound,
+          s"CorpusB: $name.$c max ${maxes.getLong(i)} exceeds the XOR-remap " +
+            s"domain bound $bound — widen the remap before trusting corpus-B")
+      }
       keyCols(name).foldLeft(df) { (d, c) =>
         val t = d.schema(c).dataType
-        d.withColumn(c, col(c).cast("long").bitwiseXOR(lit(k)).cast(t))
+        val remapped = col(c).cast("long").bitwiseXOR(lit(k))
+        // --b2: lift long-typed keys past 2³¹/2³² (int32 dim keys keep
+        // their schema width — that width IS the contract)
+        val lifted =
+          if (b2 && t == org.apache.spark.sql.types.LongType) remapped + lit(IdLift)
+          else remapped
+        d.withColumn(c, lifted.cast(t))
       }
+    }
 
     Tables.names.foreach { name =>
       var df = Tables(spark, src, name)
@@ -87,6 +142,9 @@ object CorpusB {
         df = df.filter(
           pmod(xxhash64(col(keyCols(name).head), lit(seed + 1)), lit(100)) >= 7)
       df = remapKeys(name, df)
+      if (b2) measureCols.getOrElse(name, Nil).foreach { c =>
+        df = df.withColumn(c, col(c) * lit(ValueScale))
+      }
       tsCols.get(name).foreach { c =>
         df = df.withColumn(c, col(c) + expr("INTERVAL 26 HOURS"))
       }
@@ -102,7 +160,7 @@ object CorpusB {
       val n = spark.read.parquet(s"$out/$name.parquet").count()
       println(f"CORPUSB $name%-12s rows=$n%9d")
     }
-    println(s"CORPUSB seed=$seed xor=0x${k.toHexString} at $out")
+    println(s"CORPUSB seed=$seed xor=0x${k.toHexString} b2=$b2 at $out")
     spark.stop()
   }
 }

@@ -477,9 +477,16 @@ object CurationQueries {
     // unchanged: rows carry no finer provenance than their table, so
     // the single-file spelling was a per-table assertion all along.
     Tables.names.map { t =>
+        // anchored to THIS branch's known stem, terminated by '/' or
+        // end-of-path (round-13 ADVICE: the old first-match-anywhere
+        // `/[a-z]+\.parquet` would mis-attribute every row to an
+        // ancestor directory whose own name is a lowercase .parquet
+        // stem, e.g. /data/corpus.parquet/documents.parquet/part-*).
+        // Test power is intact: a mis-attributed row extracts "" and
+        // breaks the per-table count against the oracle manifest.
         s.read.parquet(s"$dir/$t.parquet")
           .groupBy(regexp_extract(col("_metadata.file_path"),
-            "/([a-z]+\\.parquet)", 1).as("file_name"))
+            s"/($t\\.parquet)(?:/|$$)", 1).as("file_name"))
           .agg(count(lit(1)).as("n_rows"))
       }
       .reduce(_ unionByName _)

@@ -991,12 +991,17 @@ object DedupQueries {
     val d = Tables(s, dir, "documents")
     // content-keyed staging suffix (the trainedCentroids argument — and
     // the corpus-B run additionally caught mixed-case dir-derived names
-    // colliding with the catalog's lowercased managed locations)
-    val suffix = KeyedWorkDir.contentKey(s, dir, "documents", "L1")
+    // colliding with the catalog's lowercased managed locations) over
+    // BOTH input tables: the dedup stage reads `embeddings` too
+    // (round-13 ADVICE — regenerating embeddings in place while
+    // documents stay put must mint a fresh key, not reuse stale staged
+    // dedup output)
+    val stagingTables = Seq("documents", "embeddings")
+    val suffix = KeyedWorkDir.contentKey(s, dir, stagingTables, "L1")
     // reap earlier generations' staged tables (see contentKeyedTable);
     // both q157 prefixes share the suffix so one pass each suffices
-    KeyedWorkDir.contentKeyedTable(s, "graft_q157_keepers_", dir, "documents", "L1")
-    KeyedWorkDir.contentKeyedTable(s, "graft_q157_dedup_", dir, "documents", "L1")
+    KeyedWorkDir.contentKeyedTable(s, "graft_q157_keepers_", dir, stagingTables, "L1")
+    KeyedWorkDir.contentKeyedTable(s, "graft_q157_dedup_", dir, stagingTables, "L1")
     // 1. quality gate (integer-arithmetic thresholds, as q118)
     val toks = TextOps.tokens(col("text"))
     val gated = d.select(col("doc_id"), col("source"), col("text"),

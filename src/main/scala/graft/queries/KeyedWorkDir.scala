@@ -27,17 +27,27 @@ import org.apache.spark.sql.SparkSession
   */
 object KeyedWorkDir {
 
-  /** MD5-derived 12-hex key over (dir, table fingerprint, layout tag) —
+  /** MD5-derived 12-hex key over (dir, table fingerprints, layout tag) —
     * shared by [[keyed]] work dirs and content-keyed STAGED TABLE names
     * (`SimilarityQueries.trainedCentroids`): any consumer that caches
-    * derived state per input corpus should key by content, not path. */
-  def contentKey(spark: SparkSession, dir: String, table: String,
+    * derived state per input corpus should key by content, not path.
+    *
+    * `tables` must name EVERY input table the cached content derives
+    * from (round-13 ADVICE: q157's dedup staging depends on `documents`
+    * AND `embeddings` — fingerprinting only one lets an in-place
+    * regeneration of the other silently reuse stale staged output, the
+    * exact staleness class content keying exists to eliminate). */
+  def contentKey(spark: SparkSession, dir: String, tables: Seq[String],
                  layout: String): String = {
-    val fp = fingerprint(spark, s"$dir/$table.parquet")
+    val fp = tables.map(t => fingerprint(spark, s"$dir/$t.parquet")).mkString(";")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s"$dir|$fp|$layout".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
   }
+
+  def contentKey(spark: SparkSession, dir: String, table: String,
+                 layout: String): String =
+    contentKey(spark, dir, Seq(table), layout)
 
   /** Content-keyed STAGED TABLE name: `prefix` + 12-hex key, plus the
     * same bounded-accumulation discipline [[pruneStale]] gives work
@@ -49,29 +59,28 @@ object KeyedWorkDir {
     * prefix (grace-windowed, exact `prefix<12 hex>` shape only) and
     * drops the rest from both the catalog and the warehouse. */
   def contentKeyedTable(spark: SparkSession, prefix: String, dir: String,
-                        table: String, layout: String): String = {
-    val name = prefix + contentKey(spark, dir, table, layout)
+                        tables: Seq[String], layout: String): String = {
+    val name = prefix + contentKey(spark, dir, tables, layout)
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shape = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(prefix.toLowerCase(java.util.Locale.ROOT))
-        + "[0-9a-f]{12}")
-    val cutoff = System.currentTimeMillis() - GraceMs
     if (fs.exists(wh)) {
-      val stale = fs.listStatus(wh)
-        .filter(s => s.isDirectory && shape.matcher(s.getPath.getName).matches())
-        .sortBy(-_.getModificationTime)
-        .drop(KeepPerTag)
-        .filter(s => s.getPath.getName != name.toLowerCase(java.util.Locale.ROOT)
-          && s.getModificationTime < cutoff)
-      stale.foreach { s =>
-        spark.sql(s"DROP TABLE IF EXISTS `${s.getPath.getName}`")
-        fs.delete(s.getPath, true)
+      val siblings = fs.listStatus(wh).filter(_.isDirectory)
+      pruneLru(siblings, prefix.toLowerCase(java.util.Locale.ROOT),
+        current = name.toLowerCase(java.util.Locale.ROOT),
+        nameOf = (s: org.apache.hadoop.fs.FileStatus) => s.getPath.getName,
+        mtimeOf = (s: org.apache.hadoop.fs.FileStatus) => s.getModificationTime) {
+        s =>
+          spark.sql(s"DROP TABLE IF EXISTS `${s.getPath.getName}`")
+          fs.delete(s.getPath, true)
       }
     }
     name
   }
+
+  def contentKeyedTable(spark: SparkSession, prefix: String, dir: String,
+                        table: String, layout: String): String =
+    contentKeyedTable(spark, prefix, dir, Seq(table), layout)
 
   def keyed(spark: SparkSession, tag: String, dir: String, table: String,
             layout: String): String = {
@@ -105,17 +114,37 @@ object KeyedWorkDir {
     * age past it naturally. */
   private[queries] val KeepPerTag = 6
   private[queries] val GraceMs = 6L * 3600 * 1000
+
+  /** The ONE bounded-retention sweep both reapers share (round-13 verdict
+    * #6 — tmp work dirs and warehouse staged tables are the same LRU
+    * algorithm; a third hand-copy was the next bug). Among `entries`
+    * whose name matches exactly `prefix` + 12 hex, keeps the
+    * [[KeepPerTag]] most recently modified, then deletes the rest —
+    * except the caller's `current` key and anything touched inside
+    * [[GraceMs]] (a concurrently-running JVM may still be reading a dir
+    * it keyed minutes ago; only generations orphaned long ago age out).
+    * Entries whose name doesn't match the shape are never candidates —
+    * foreign tmpdirs / unrelated tables are untouchable by construction. */
+  private def pruneLru[A](entries: Seq[A], prefix: String, current: String,
+                          nameOf: A => String, mtimeOf: A => Long)
+                         (delete: A => Unit): Unit = {
+    val shape = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(prefix) + "[0-9a-f]{12}")
+    val cutoff = System.currentTimeMillis() - GraceMs
+    entries.filter(e => shape.matcher(nameOf(e)).matches())
+      .sortBy(e => -mtimeOf(e))
+      .drop(KeepPerTag)
+      .filter(e => nameOf(e) != current && mtimeOf(e) < cutoff)
+      .foreach(delete)
+  }
+
   private def pruneStale(spark: SparkSession, tag: String, current: String): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val shape = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(s"graft-$tag-") + "[0-9a-f]{12}")
-    val cutoff = System.currentTimeMillis() - GraceMs
-    val keyedDirs = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && shape.matcher(d.getName).matches())
-      .sortBy(-_.lastModified())
-    keyedDirs.drop(KeepPerTag)
-      .filter(d => d.getName != current && d.lastModified() < cutoff)
-      .foreach { d =>
+    val dirs = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq
+    pruneLru(dirs, s"graft-$tag-", current,
+      nameOf = (d: java.io.File) => d.getName,
+      mtimeOf = (d: java.io.File) => d.lastModified()) { d =>
       val hp = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }

@@ -255,7 +255,14 @@ object Sinks {
     // is the residual this heuristic accepts). Scratch is an incomplete
     // rewrite → deleted; a backup holds real (already re-compacted)
     // data → renamed to an inert hidden sibling rather than destroyed.
+    // Hidden names are excluded FIRST: the sweep's own `.legacy_X__old`
+    // rename still ends in `__old`, so without this filter the NEXT
+    // compact of a once-swept table would match the hidden backup, find
+    // no `.legacy_X` base sibling, and throw the cannot-distinguish
+    // error forever — hidden entries are already invisible to partition
+    // discovery, which is all the sweep exists to guarantee.
     fs.listStatus(hPath).map(_.getPath)
+      .filterNot(p => hiddenName(p.getName))
       .filter(p => p.getName.endsWith("__old") || p.getName.endsWith("__compacting"))
       .foreach { p =>
         val base = new org.apache.hadoop.fs.Path(p.getParent,

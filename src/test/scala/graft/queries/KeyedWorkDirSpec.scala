@@ -44,6 +44,28 @@ class KeyedWorkDirSpec extends SparkSpec {
       KeyedWorkDir.contentKey(spark, dir, "t", "L1"))
   }
 
+  test("multi-table contentKey rekeys when ANY input table is regenerated " +
+       "(round-13 ADVICE: q157's dedup staging reads embeddings too)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kwd-ck2").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/docs.parquet")
+    Seq((1L, 0.5)).toDF("id", "x").write.parquet(s"$dir/embs.parquet")
+    // the one-table overload is the Seq form — existing staged names stay
+    assert(KeyedWorkDir.contentKey(spark, dir, "docs", "L1") ==
+      KeyedWorkDir.contentKey(spark, dir, Seq("docs"), "L1"))
+    val k1 = KeyedWorkDir.contentKey(spark, dir, Seq("docs", "embs"), "L1")
+    assert(k1 == KeyedWorkDir.contentKey(spark, dir, Seq("docs", "embs"), "L1"))
+    // regenerate ONLY the second table: the combined key must move
+    Thread.sleep(1100) // fs mtime granularity
+    Seq((1L, 0.5), (2L, 0.7)).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/embs.parquet")
+    assert(KeyedWorkDir.contentKey(spark, dir, Seq("docs", "embs"), "L1") != k1,
+      "a staged output derived from two tables must rekey when either moves")
+    assert(KeyedWorkDir.contentKey(spark, dir, Seq("docs"), "L1") ==
+      KeyedWorkDir.contentKey(spark, dir, "docs", "L1"),
+      "the untouched table's single-table key is unaffected")
+  }
+
   test("contentKeyedTable reaps earlier generations' staged warehouse dirs " +
        "(LRU + grace, exact shape only) and never the current name") {
     val prefix = s"graft_kwdreap${System.nanoTime()}_"

@@ -224,6 +224,15 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 300)
     assert(back.select("date").distinct().as[String].collect().toSet ==
       Set("d0", "d1", "d2"), "no phantom d0__old partition value")
+    // Round-13 ADVICE (medium): the swept `.legacy_date=d0__old` backup
+    // still ENDS in "__old" — a second compact of the same table must
+    // skip it as hidden, not re-match it, fail the `.legacy_date=d0`
+    // base-sibling probe, and throw the cannot-distinguish error forever.
+    val n2 = Sinks.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(n2 == 3, "second compact of a once-swept table must succeed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, ".legacy_date=d0__old")),
+      "hidden legacy backup survives repeated compacts untouched")
+    assert(spark.read.parquet(dir).count() == 300)
   }
 
   test("compact refuses a suffix-named child with NO base sibling — a " +
