@@ -64,28 +64,37 @@ object ScaleRehearsal {
     * Queries that throw come back with `error` set, never aborting the
     * sweep. */
   def measure(spark: SparkSession, sfDir: String, names: Seq[String]): Seq[QM] = {
+    val known = names.filter(SparkEntry.queries.contains)
+    val measured = measureThunks(spark,
+        known.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))))
+      .map(q => q.name -> q).toMap
+    names.map(n =>
+      measured.getOrElse(n, QM(n, 0, 0, 0, 0, 0, 0, 0, Some("unknown query"))))
+  }
+
+  /** [[measure]] over arbitrary plan thunks instead of registered query
+    * names — the probe mains (SessionizeSkewProbe) A/B operator FORMS
+    * that are deliberately not part of the query surface. */
+  def measureThunks(spark: SparkSession,
+      thunks: Seq[(String, () => org.apache.spark.sql.DataFrame)]): Seq[QM] = {
     val m = new Metrics
     spark.sparkContext.addSparkListener(m)
-    try names.map { name =>
-      SparkEntry.queries.get(name) match {
-        case None => QM(name, 0, 0, 0, 0, 0, 0, 0, Some("unknown query"))
-        case Some(fn) =>
-          System.gc(); m.reset()
-          val t0 = System.nanoTime()
-          try {
-            val obs = new org.apache.spark.sql.Observation()
-            fn(spark, sfDir).observe(obs, org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)).as("n"))
-              .write.format("noop").mode("overwrite").save()
-            val rows = obs.get("n").asInstanceOf[Long]
-            val sec = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(300) // listener bus drains asynchronously
-            QM(name, sec, m.shuffleRead.sum, m.shuffleWrite.sum,
-              m.spillDisk.sum, m.peakExecMem, m.tasks.sum, rows, None)
-          } catch { case e: Throwable =>
-            QM(name, (System.nanoTime() - t0) / 1e9, 0, 0, 0, 0, 0, 0,
-              Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
-          }
+    try thunks.map { case (name, mk) =>
+      System.gc(); m.reset()
+      val t0 = System.nanoTime()
+      try {
+        val obs = new org.apache.spark.sql.Observation()
+        mk().observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        val rows = obs.get("n").asInstanceOf[Long]
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus drains asynchronously
+        QM(name, sec, m.shuffleRead.sum, m.shuffleWrite.sum,
+          m.spillDisk.sum, m.peakExecMem, m.tasks.sum, rows, None)
+      } catch { case e: Throwable =>
+        QM(name, (System.nanoTime() - t0) / 1e9, 0, 0, 0, 0, 0, 0,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
     } finally spark.sparkContext.removeSparkListener(m)
   }

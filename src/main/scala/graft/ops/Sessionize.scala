@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB: the per-key ordered scan means one key's events are one
   * task's work; keys here are users (high cardinality, bounded per-key
-  * volume). For degenerate keys (a bot with 10⁹ events) shard the window
-  * q98-style: (key, day) partials + boundary fix-up across day edges.
+  * volume). For degenerate keys (a bot with 10⁹ events) [[assignSharded]]
+  * is the wired escape — (key, time-bucket) partials + boundary fix-up
+  * across bucket edges — and the [[Form.Auto]] rollup default routes to
+  * it when a per-key count pass finds a hotter key than
+  * [[AutoHotKeyEvents]].
   */
 object Sessionize {
 
@@ -43,10 +46,116 @@ object Sessionize {
       .drop("brk")
   }
 
+  /** [[assign]] with the per-key ordered window SHARDED by time bucket —
+    * the degenerate-hot-key escape the plain form's scaladoc names
+    * (round-13 verdict #3 wires it in). The plain window makes one key's
+    * events one task's sort; under a planted hot key that task's runtime
+    * grows linearly with the key's volume while every other core idles.
+    * Decomposition (the [[ShardedRangeFrame]] owned+context idea adapted
+    * to RUNNING state instead of a bounded frame):
+    *
+    *  1. bucket every row by `floor(us / shardUs)` — ties share a
+    *     bucket by construction, so the plain form's tied-row proof
+    *     carries over unchanged;
+    *  2. within (key, bucket): ordinary lag/running-sum sessionization,
+    *     with the bucket-first row's break provisionally 0;
+    *  3. per (key, bucket) summary (first/last us, local break count —
+    *     rows = non-empty buckets per key, smaller than the events by
+    *     the mean bucket occupancy): one ordered window over BUCKETS
+    *     computes each bucket's boundary break (first_us vs the
+    *     previous non-empty bucket's last_us — empty buckets in between
+    *     are handled by construction, so `shardUs` need not exceed
+    *     `gapUs`) and the running break offset before the bucket;
+    *  4. join the per-bucket offset back on (key, bucket) — the build
+    *     side is the small summary, hinted shuffle_hash so the fat side
+    *     reuses its window partitioning instead of re-sorting for SMJ.
+    *
+    * sess(r) = offset(bucket) + local_sess(r), exactly the plain
+    * ordinal: every break is counted once (in-bucket breaks locally,
+    * boundary breaks at bucket grain) and RANGE-frame tie peers still
+    * share their ordinal. Parallelism now grows with the key's time
+    * span ÷ shardUs instead of being pinned at 1 task per key; the
+    * price is the summary aggregation + one co-partitioned join. */
+  def assignSharded(events: DataFrame, keyCol: String, usCol: String,
+      gapUs: Long, shardUs: Long): DataFrame = {
+    require(shardUs > 0, s"shardUs must be positive (got $shardUs)")
+    val bkt = expr(s"(`$usCol` - pmod(`$usCol`, ${shardUs}L)) div ${shardUs}L")
+    val wb = Window.partitionBy(col(keyCol), col("__bkt")).orderBy(usCol)
+    val local = events.withColumn("__bkt", bkt)
+      .withColumn("__brk",
+        when(col(usCol) - lag(col(usCol), 1).over(wb) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__lsess", sum(col("__brk")).over(wb))
+    val wk = Window.partitionBy(keyCol).orderBy("__bkt")
+    val offsets = local.groupBy(col(keyCol), col("__bkt"))
+      .agg(min(col(usCol)).as("__first_us"), max(col(usCol)).as("__last_us"),
+        sum(col("__brk")).as("__nbrk"))
+      .withColumn("__fbrk",
+        when(col("__first_us") - lag(col("__last_us"), 1).over(wk) > gapUs,
+          1L).otherwise(0L))
+      // breaks in strictly-earlier buckets + this bucket's boundary break
+      .withColumn("__off",
+        sum(col("__nbrk") + col("__fbrk")).over(wk) - col("__nbrk"))
+      .select(col(keyCol), col("__bkt"), col("__off"))
+    local.join(offsets.hint("shuffle_hash"), Seq(keyCol, "__bkt"))
+      .withColumn("sess", col("__off") + col("__lsess"))
+      .drop("__bkt", "__brk", "__lsess", "__off")
+  }
+
+  /** Window form selector: [[Form.Plain]] is the single-exchange per-key
+    * window (right up to multi-million-event keys — see the measured
+    * envelope in assignSharded's scaladoc); [[Form.Sharded]] forces the
+    * time-bucket decomposition; [[Form.Auto]] (default for the rollups)
+    * spends one map-side-combined per-key count pass to route: hottest
+    * key ≤ [[AutoHotKeyEvents]] → Plain, above → Sharded with the bucket
+    * width sized so the hottest key splits into ~[[AutoShardTarget]]
+    * buckets of its own time span (the MinHashLSH VerifyForm.Auto
+    * pattern: measure the cheap statistic, run the form that wins). */
+  sealed trait Form
+  object Form {
+    case object Plain extends Form
+    final case class Sharded(shardUs: Long) extends Form
+    case object Auto extends Form
+  }
+
+  /** Auto-route threshold: the ×100 planted-hot-key probe (round 14)
+    * measured the plain form degrading smoothly — the hot task is a
+    * per-key sort, linear in key volume — with the sharded form winning
+    * once one key holds a few million events. Below this the routing
+    * pass costs more than it saves. */
+  val AutoHotKeyEvents: Long = 2000000L
+
+  /** Sharded bucket-width target: the hot key's span splits into about
+    * this many buckets (tasks), enough to spread one degenerate key
+    * across a big executor fleet without minting millions of
+    * near-empty per-key buckets. */
+  val AutoShardTarget: Long = 256L
+
+  private def routed(events: DataFrame, keyCol: String, usCol: String,
+      gapUs: Long, form: Form): DataFrame = form match {
+    case Form.Plain => assign(events, keyCol, usCol, gapUs)
+    case Form.Sharded(w) => assignSharded(events, keyCol, usCol, gapUs, w)
+    case Form.Auto =>
+      // one pass, two statistics: hottest-key volume (route) and the
+      // events' time span (bucket width). Key-cardinality shuffle with
+      // map-side combine — never the bottleneck it protects against.
+      val r = events.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("c"), min(col(usCol)).as("lo"),
+          max(col(usCol)).as("hi"))
+        .agg(max(col("c")), min(col("lo")), max(col("hi"))).head()
+      val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (hottest <= AutoHotKeyEvents) assign(events, keyCol, usCol, gapUs)
+      else {
+        val span = math.max(1L, r.getLong(2) - r.getLong(1))
+        val shardUs = math.max(1L, span / AutoShardTarget)
+        assignSharded(events, keyCol, usCol, gapUs, shardUs)
+      }
+  }
+
   /** Session-grain rollup: events per session, span in micros. */
   def sessions(events: DataFrame, keyCol: String, usCol: String,
-      gapUs: Long): DataFrame =
-    assign(events, keyCol, usCol, gapUs)
+      gapUs: Long, form: Form = Form.Auto): DataFrame =
+    routed(events, keyCol, usCol, gapUs, form)
       .groupBy(col(keyCol), col("sess"))
       .agg(count(lit(1)).as("n_ev"),
         (max(col(usCol)) - min(col(usCol))).as("dur_us"))
@@ -54,8 +163,8 @@ object Sessionize {
   /** Per-key rollup over sessions — the analytics-facing summary. All
     * columns integer-exact except the mean (double, rounded). */
   def keyStats(events: DataFrame, keyCol: String, usCol: String,
-      gapUs: Long): DataFrame =
-    sessions(events, keyCol, usCol, gapUs)
+      gapUs: Long, form: Form = Form.Auto): DataFrame =
+    sessions(events, keyCol, usCol, gapUs, form)
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_sessions"),

@@ -531,7 +531,14 @@ object RelationalQueries {
     val nat = Tables(s, dir, "nation")
     val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast("decimal(28,12)")
-    val asiaNat = nat.filter(col("n_regionkey") === 2)
+    // region stated by NAME, not key literal (corpus-B vacuity audit,
+    // round 14: `n_regionkey === 2` matched nothing on any key-remapped
+    // corpus, leaving q130 a vacuous green on corpus-B since round 13 —
+    // names survive remaps, key literals are corpus accidents)
+    val asiaNat = nat
+      .join(broadcast(Tables(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("c_nk"))
     val suppNat = nat.select(col("n_nationkey").as("s_nk"),
       col("n_name").as("supp_nation"))
@@ -585,10 +592,15 @@ object RelationalQueries {
   }
 
   /** Ungrouped scalar subquery + correlated NOT EXISTS (TPC-H Q22
-    * shape): above-average-balance customers with no high-value orders.
+    * shape): above-average-balance customers with no TOP-5%-value order.
     * The average becomes a broadcast single-row aggregate; the NOT
-    * EXISTS becomes a left-anti join (no per-row probes). The order
-    * filter inside the EXISTS keeps the result non-empty at sf0.01 —
+    * EXISTS becomes a left-anti join (no per-row probes). "High-value"
+    * is a DATA-DERIVED contract — the 95th-percentile order price
+    * (percentile_disc, an order statistic, engine-exact) — not a
+    * magnitude literal: the corpus-B2 value-scale probe (round 14)
+    * zeroed the old `> 300000.0` filter (×7 prices put nearly every
+    * customer over it), the magnitude-accident twin of the q149 seed
+    * literal. The filter also keeps the result non-empty at sf0.01 —
     * the unfiltered form returns 0 rows, a vacuous pass (the q05
     * lesson). */
   val q107NoOrderCustomers: Q = (s, dir) => {
@@ -602,7 +614,9 @@ object RelationalQueries {
           SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,12))) AS DOUBLE) / count(*)
           FROM v_customer c2 WHERE c2.c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM v_orders o
-                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > (
+                          SELECT percentile_disc(0.95) WITHIN GROUP (ORDER BY o2.o_totalprice)
+                          FROM v_orders o2))
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
   }
 
@@ -981,7 +995,8 @@ object RelationalQueries {
            JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
            JOIN orders o ON o.o_orderkey = l.l_orderkey
            JOIN customer c ON c.c_custkey = o.o_custkey
-           JOIN nation nc ON nc.n_nationkey = c.c_nationkey AND nc.n_regionkey = 2
+           JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+           JOIN region rg ON rg.r_regionkey = nc.n_regionkey AND rg.r_name = 'ASIA'
            JOIN supplier s ON s.s_suppkey = l.l_suppkey
            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
          GROUP BY 1 ORDER BY 1""",
@@ -1074,7 +1089,9 @@ object RelationalQueries {
              SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,12))) AS DOUBLE) / count(*)
              FROM customer c2 WHERE c2.c_acctbal > 0.0)
            AND NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > (
+                             SELECT percentile_disc(0.95) WITHIN GROUP (ORDER BY o2.o_totalprice)
+                             FROM orders o2))
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     "q108_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,

@@ -61,4 +61,44 @@ class SessionizeSpec extends SparkSpec {
     assert(stats(a) == stats(b))
     assert(stats(a) == Set((1L, 2L, 3L, 2L, 0L, 1.5)))
   }
+
+  test("assignSharded equals assign for every shard width — including " +
+       "widths below the gap, boundary-straddling sessions, and ties") {
+    // deterministic pseudo-random events: 5 keys × ~100 rows, inter-event
+    // deltas straddling the gap, duplicate timestamps planted every 7th
+    // row, so bucket boundaries of EVERY width cut through sessions
+    val rows = for {
+      key <- 1L to 5L
+      i <- 0 until 100
+    } yield {
+      val h = (key * 1315423911L + i * 2654435761L) & 0x7FFFFFFFL
+      val us = (h % 97) * (i + 1) + (h % 3) * 150L // non-monotone, with ties
+      (key, us)
+    }
+    val ev = rows.toDF("user_id", "us")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "us", "sess").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+    val plain = canon(Sessionize.assign(ev, "user_id", "us", Gap))
+    for (w <- Seq(1L, 7L, Gap, Gap + 1, 256L, 5000L, Long.MaxValue / 4))
+      assert(canon(Sessionize.assignSharded(ev, "user_id", "us", Gap, w))
+        == plain, s"shard width $w diverged from the plain window")
+  }
+
+  test("Form.Auto routes a hot key to the sharded form with an unchanged " +
+       "rollup; cold corpora stay on the plain plan") {
+    // hot corpus: one key exceeding AutoHotKeyEvents, plus a cold key —
+    // Auto must route (threshold strictly exceeded) and the key-grain
+    // rollup must equal the plain form's bit for bit
+    val n = Sessionize.AutoHotKeyEvents + 1
+    val hot = spark.range(n).selectExpr("1L AS user_id", "id * 60L AS us")
+      .unionByName(Seq((2L, 5L), (2L, 500L)).toDF("user_id", "us"))
+    def stats(form: Sessionize.Form) =
+      Sessionize.keyStats(hot, "user_id", "us", gapUs = 59L, form = form)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(stats(Sessionize.Form.Auto) == stats(Sessionize.Form.Plain))
+    // every 60-us step exceeds the 59-us gap: n single-event sessions
+    assert(stats(Sessionize.Form.Auto).contains(
+      (1L, n, n, 1L, 0L, 1.0)))
+  }
 }
