@@ -118,12 +118,24 @@ object Sessionize {
     case object Auto extends Form
   }
 
-  /** Auto-route threshold: the ×100 planted-hot-key probe (round 14)
-    * measured the plain form degrading smoothly — the hot task is a
-    * per-key sort, linear in key volume — with the sharded form winning
-    * once one key holds a few million events. Below this the routing
-    * pass costs more than it saves. */
-  val AutoHotKeyEvents: Long = 2000000L
+  /** Auto-route threshold — the measured ×100 crossover
+    * (`SessionizeSkewProbe`, round 14, two runs, /tmp/graft-sf10 events
+    * ≈ 10M rows, planted hot keys, session_index 1.04/1.15):
+    *
+    *   hot key | plain s     | sharded s   | plain peak task
+    *   2.5M    | 10.05/10.41 | 16.90/15.87 | 0.16 GiB
+    *   5.0M    | 13.13/13.24 |  9.26/10.76 | 0.28 GiB
+    *   9.0M    | 22.50/22.72 |  8.55/ 9.30 | 0.52 GiB
+    *
+    * No cliff: plain degrades LINEARLY in hot-key volume (one task
+    * sorts the key; zero spill even at 9M, peak task memory growing
+    * ~55 MB/M events — extrapolated OOM onset sits near 10⁸ events/key
+    * on an 8 GiB-heap executor, far past where sharded already wins).
+    * The crossover is ~3.5–4M events on one key; below it the sharded
+    * form's extra summary aggregation + offset join cost more than the
+    * hot task (2.5M: plain wins 1.6×), above it parallelism wins (9M:
+    * sharded wins 2.5×). */
+  val AutoHotKeyEvents: Long = 4000000L
 
   /** Sharded bucket-width target: the hot key's span splits into about
     * this many buckets (tasks), enough to spread one degenerate key
