@@ -65,11 +65,13 @@ object ScaleRehearsal {
     * sweep. */
   def measure(spark: SparkSession, sfDir: String, names: Seq[String]): Seq[QM] = {
     val known = names.filter(SparkEntry.queries.contains)
-    val measured = measureThunks(spark,
-        known.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))))
-      .map(q => q.name -> q).toMap
+    // positional zip-back, not a by-name map: a caller measuring the
+    // same query twice (an inline A/B) must get both measurements
+    val it = measureThunks(spark,
+      known.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))).iterator
     names.map(n =>
-      measured.getOrElse(n, QM(n, 0, 0, 0, 0, 0, 0, 0, Some("unknown query"))))
+      if (SparkEntry.queries.contains(n)) it.next()
+      else QM(n, 0, 0, 0, 0, 0, 0, 0, Some("unknown query")))
   }
 
   /** [[measure]] over arbitrary plan thunks instead of registered query

@@ -717,12 +717,13 @@ object DedupQueries {
 
   /** CROSS-SOURCE DUPLICATION MATRIX — "which crawls overlap?": q18's
     * near-dup pairs joined to each side's source and rolled up to
-    * (source_a, source_b) with pair count and mean Jaccard, the
+    * (source_a, source_b) with pair count and summed Jaccard mass, the
     * corpus-observability view that tells a curation team which feeds
     * to dedup against each other first (and which mirror each other
     * wholesale). Source pairs are normalized lexicographically so both
-    * directions fold together; means are decimal quantize-then-sum over
-    * the per-pair 4-decimal Jaccard (the grain q18 certifies). Scale:
+    * directions fold together; the published statistic is the decimal
+    * sum of the per-pair 4-decimal Jaccard grain (the grain q18
+    * certifies) — the mean is (sum ÷ n) reader-side. Scale:
     * the pair table is the banded-join output (bounded), the source
     * lookup is a doc-count equi-join, the matrix is |sources|² rows. */
   val q162DupSourceMatrix: Q = (s, dir) => {
@@ -741,8 +742,15 @@ object DedupQueries {
         round(col("jaccard"), 4).as("j"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("j").cast(dec)).cast("double") / count(lit(1)), 4)
-          .as("mean_jaccard"))
+        // SUM, not mean (×30 finding): the mean of 4-dp Jaccards is a
+        // rational with TRUE ties at the display rounding (56769/60000
+        // = .94615 exactly), and the two engines' round() disagree on
+        // the non-representable tie double (Spark rounds the double's
+        // exact expansion, DuckDB re-multiplies in double). The sum of
+        // the 4-dp grain is decimal-exact at any pair count; a reader
+        // derives the mean from (sum, n) at whatever precision they
+        // need.
+        round(sum(col("j").cast(dec)).cast("double"), 4).as("sum_jaccard"))
       .orderBy("source_a", "source_b")
   }
 
@@ -1637,8 +1645,8 @@ object DedupQueries {
                JOIN documents da ON da.doc_id = p.doc_a
                JOIN documents db ON db.doc_id = p.doc_b)
          SELECT source_a, source_b, count(*) AS n_pairs,
-           round(CAST(sum(CAST(jaccard AS DECIMAL(28,12))) AS DOUBLE)
-             / count(*), 4) AS mean_jaccard
+           round(CAST(sum(CAST(round(jaccard, 4) AS DECIMAL(28,12))) AS DOUBLE), 4)
+             AS sum_jaccard
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "q19_simhash" ->
       s"""WITH $simhashCte

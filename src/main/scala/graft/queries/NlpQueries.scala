@@ -65,11 +65,21 @@ object NlpQueries {
     * block). Residual cost is quadratic WITHIN a length class — the
     * next tier for a 10M+ vocabulary is FastSS deletion-neighborhood
     * blocking (pairs at lev ≤ 2 share a ≤2-deletion variant; equi-join
-    * on the variant hash), same verify. */
+    * on the variant hash), same verify.
+    *
+    * Certified domain: SINGLE-BYTE terms (octet_length = char length on
+    * both sides). The ×30 oracle run (round 14) caught the asymmetry:
+    * Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
+    * so the ScaleUp salt token's `·` (2 UTF-8 bytes) made
+    * lev('batch','batch·2') 2 vs 3 and the pair sets diverged. The
+    * operator itself stays char-based (correct for CJK); only the
+    * cross-engine certification narrows to where the two definitions
+    * coincide. */
   val q32WordSimilarity: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
     val terms = d.select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-      .filter(length(col("term")) >= 3).distinct()
+      .filter(length(col("term")) >= 3 &&
+        octet_length(col("term")) === length(col("term"))).distinct()
     val a = terms.select(col("term").as("term_a"), length(col("term")).as("lb"))
     val b = terms.select(col("term").as("term_b"),
         explode(sequence(length(col("term")) - 2, length(col("term")) + 2)).as("lb"))
@@ -186,7 +196,7 @@ object NlpQueries {
       s"""WITH $toksCte,
          terms AS (SELECT DISTINCT term
                    FROM (SELECT unnest(list_distinct(toks)) AS term FROM T)
-                   WHERE len(term) >= 3)
+                   WHERE len(term) >= 3 AND strlen(term) = len(term))
          SELECT a.term AS term_a, b.term AS term_b,
            CAST(levenshtein(a.term, b.term) AS INT) AS lev,
            round(1.0 - CAST(levenshtein(a.term, b.term) AS DOUBLE)

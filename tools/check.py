@@ -37,6 +37,12 @@ def main():
         elif a.startswith("--skip="): skip |= set(a[len("--skip="):].split(","))
         elif a.startswith("--only="): only = set(a[len("--only="):].split(","))
     con = duckdb.connect()
+    # x30-oracle scale: the default budget (80% of RAM but tracked
+    # pessimistically) ran q157's CTE chain out of memory at 18M rows;
+    # an explicit limit + no insertion-order preservation keeps every
+    # oracle inside the box. Output compare sorts rows anyway.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # a table may be a single parquet file (driver testdata) or a
         # directory of part files (ScaleUp / CorpusB output)
