@@ -18,36 +18,43 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Decimal-exact measure terms for the revenue-sum family. The ×30
-    * oracle run (round 14) caught the raw-double sums drifting past the
-    * 4-dp output rounding at 3M-row groups — and the repo's previous
-    * remedy (cast the double PRODUCT to decimal(28,12)) is itself only
-    * engine-exact while |v|·10¹² fits 2⁵³: DuckDB casts double→decimal
-    * by multiplying in double, so a 1e5-scale product's low digits are
-    * noise there while Spark's cast is exact. The engine-exact form is
-    * to quantize the FACTORS at their source granularity (every measure
-    * column is 2-dp-valued, so the scale-2 cast is a within-ulp integer
-    * round both engines agree on) and multiply/sum in DECIMAL — integer
-    * arithmetic, bit-identical at any row count. */
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  private def disc2(c: Column): Column =
-    lit(1).cast("decimal(9,2)") - c.cast("decimal(9,2)")
+  /** Integer CENT-unit measure terms for the revenue-sum family. The
+    * ×30 oracle run (round 14) caught the raw-double sums drifting past
+    * the 4-dp output rounding at 3M-row groups — and the repo's
+    * previous remedy (cast the double PRODUCT to decimal(28,12)) is
+    * itself only engine-exact while |v|·10¹² fits 2⁵³: DuckDB casts
+    * double→decimal by multiplying in double, so a 1e5-scale product's
+    * low digits are noise there while Spark's cast is exact. The
+    * engine-exact AND codegen-fast form: every measure column is
+    * 2-dp-valued at source, so `round(v·100)` is a within-ulp integer
+    * round both engines agree on — multiply and sum in plain LONG
+    * arithmetic (whole-stage-codegen primitive path; the decimal-sum
+    * spelling was bit-exact too but cost q01/q03/q08 ~1 s each at
+    * sf0.1 in Decimal boxing). Unit algebra: cents × (100 − disc_cents)
+    * = value·disc̄·10⁴. Width: ≤1.05e9/row, ≤6e17 summed at ×100 —
+    * inside long; at ~×1000 the sum would need widening and ANSI mode
+    * fails it LOUDLY (overflow error, never a silent wrap). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def discBar(c: Column): Column = lit(100L) - cents(c)
 
   /** TPC-H Q1-shaped pricing summary: map-side partial agg, one shuffle on
     * the two low-cardinality keys. Reference analog: success/fail tallies
     * A3 (`src/base.py:94-97`) generalized to full agg. Sums are
-    * decimal-exact (see [[dec2]] — the ×30 finding). */
+    * integer-exact in cent units (see [[cents]] — the ×30 finding). */
   val q01PricingSummary: Q = (s, dir) => {
     val li = Tables(s, dir, "lineitem")
     val n = count(lit(1))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(dec2(col("l_quantity"))).cast("double"), 4).as("sum_qty"),
-        round(sum(dec2(col("l_extendedprice"))).cast("double"), 4).as("sum_base_price"),
-        round(sum(dec2(col("l_extendedprice")) * disc2(col("l_discount")))
-          .cast("double"), 4).as("sum_disc_price"),
-        round(sum(dec2(col("l_quantity"))).cast("double") / n, 4).as("avg_qty"),
-        round(sum(col("l_discount").cast("decimal(9,2)")).cast("double") / n, 4)
+        round(sum(cents(col("l_quantity"))).cast("double") / 100.0, 4)
+          .as("sum_qty"),
+        round(sum(cents(col("l_extendedprice"))).cast("double") / 100.0, 4)
+          .as("sum_base_price"),
+        round(sum(cents(col("l_extendedprice")) * discBar(col("l_discount")))
+          .cast("double") / 10000.0, 4).as("sum_disc_price"),
+        round(sum(cents(col("l_quantity"))).cast("double") / 100.0 / n, 4)
+          .as("avg_qty"),
+        round(sum(cents(col("l_discount"))).cast("double") / 100.0 / n, 4)
           .as("avg_disc"),
         n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -62,8 +69,8 @@ object RelationalQueries {
         col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(dec2(col("l_extendedprice")) * col("l_discount").cast("decimal(9,2)"))
-        .cast("double"), 4).as("revenue"))
+      .agg(round(sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+        .cast("double") / 10000.0, 4).as("revenue"))
   }
 
   /** Revenue per region/nation: three broadcast hash joins against small
@@ -78,8 +85,8 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(dec2(col("l_extendedprice")) * disc2(col("l_discount")))
-             .cast("double"), 4).as("revenue"),
+      .agg(round(sum(cents(col("l_extendedprice")) * discBar(col("l_discount")))
+             .cast("double") / 10000.0, 4).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -153,10 +160,10 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      // decimal-exact revenue term (the x30 finding, see dec2): the
-      // rollup re-aggregates rev, so it stays DECIMAL through every
-      // level and is cast to double only at the display round
-      .agg(sum(dec2(col("l_extendedprice")) * disc2(col("l_discount"))).as("rev"))
+      // integer-exact revenue term (the x30 finding, see cents): the
+      // rollup re-aggregates rev, so it stays a LONG unit sum through
+      // every level and converts to currency only at the display round
+      .agg(sum(cents(col("l_extendedprice")) * discBar(col("l_discount"))).as("rev"))
     val byRegion = detail.groupBy("r_name")
       .agg(sum("rev").as("rev")).withColumn("n_name", lit(null).cast("string"))
     val grand = detail.agg(sum("rev").as("rev"))
@@ -165,7 +172,7 @@ object RelationalQueries {
     detail.unionByName(byRegion.select("r_name", "n_name", "rev"))
       .unionByName(grand.select("r_name", "n_name", "rev"))
       .select(col("r_name"), col("n_name"),
-        round(col("rev").cast("double"), 4).as("revenue"))
+        round(col("rev").cast("double") / 10000.0, 4).as("revenue"))
       .orderBy("r_name", "n_name")
   }
 
@@ -1191,18 +1198,22 @@ object RelationalQueries {
            round(sum(value), 4) AS sum_value
          FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE), 4) AS sum_disc_price,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-         round(CAST(sum(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      """WITH u AS (SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_u,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_u,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_u
+           FROM lineitem)
+         SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(qty_u) AS DOUBLE) / 100.0, 4) AS sum_qty,
+         round(CAST(sum(price_u) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+         round(CAST(sum(price_u * (100 - disc_u)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+         round(CAST(sum(qty_u) AS DOUBLE) / 100.0 / count(*), 4) AS avg_qty,
+         round(CAST(sum(disc_u) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
          count(*) AS count_order
-         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_filtered_revenue" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE), 4) AS revenue
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1210,8 +1221,8 @@ object RelationalQueries {
            AND l_quantity < 24""",
     "q03_region_revenue" ->
       """SELECT r_name, n_name,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE), 4) AS revenue,
+         round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0, 4) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -1245,19 +1256,19 @@ object RelationalQueries {
     "q08_rollup_revenue" ->
       """WITH detail AS (
            SELECT r_name, n_name,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS rev
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev
            FROM lineitem
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY 1, 2)
-         SELECT r_name, n_name, round(CAST(rev AS DOUBLE), 4) AS revenue FROM detail
+         SELECT r_name, n_name, round(CAST(rev AS DOUBLE) / 10000.0, 4) AS revenue FROM detail
          UNION ALL
-         SELECT r_name, NULL AS n_name, round(CAST(sum(rev) AS DOUBLE), 4) AS revenue
+         SELECT r_name, NULL AS n_name, round(CAST(sum(rev) AS DOUBLE) / 10000.0, 4) AS revenue
          FROM detail GROUP BY 1
          UNION ALL
-         SELECT NULL AS r_name, NULL AS n_name, round(CAST(sum(rev) AS DOUBLE), 4) AS revenue
+         SELECT NULL AS r_name, NULL AS n_name, round(CAST(sum(rev) AS DOUBLE) / 10000.0, 4) AS revenue
          FROM detail
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q09_events_hourly" ->

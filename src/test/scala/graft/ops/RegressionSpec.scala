@@ -37,7 +37,11 @@ class RegressionSpec extends SparkSpec {
       val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
       val icpt = (sy - slope * sx) / n
       assert(math.abs(out(g).getAs[Double]("slope") - slope) < 1e-8, g)
-      assert(math.abs(out(g).getAs[Double]("intercept") - icpt) < 1e-8, g)
+      // the intercept publishes at InterceptScale=4 (see Regression's
+      // determinism note: DuckDB's two-rounding decimal→double cast
+      // bounds its certifiable cross-engine precision), so the
+      // closed-form comparison tolerance is the 4-dp half-ulp
+      assert(math.abs(out(g).getAs[Double]("intercept") - icpt) < 5e-5 + 1e-8, g)
     }
   }
 
