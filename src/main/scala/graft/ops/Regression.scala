@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * ≈ 1e12 → cast noise ≈ 2e-4/term). The scale-6 input quantization
   * keeps the cast inside double-exact range for |v| ≤ ~9e9 and is a
   * stated granularity contract, mirrored in the oracle. The final
-  * divisions run in double off the exact sums. Keep |x|,|y| within the
-  * (18,6) width (≤ ~1e11) — pass day/hour indexes, not raw epoch
-  * seconds.
+  * divisions run in double off the exact sums. Keep |x|,|y| within
+  * ~9e9 — the (18,6) width physically admits ~1e11, but above ~9e9
+  * (2⁵³/10⁶) the quantization cast itself re-enters DuckDB's
+  * double-multiply noise zone, so ~9e9 is the certified input bound —
+  * pass day/hour indexes, not raw epoch seconds.
   *
   * Output precision is part of the contract: slope and R² are RATIOS
   * (sum magnitudes cancel) and certify at 8 dp, but the INTERCEPT
@@ -56,8 +58,10 @@ object Regression {
     * decimal→double conversion, not by the exact sums. */
   val InterceptScale = 4
 
-  /** Fit y ~ x per group. Output: groupCols..., n, slope, intercept, r2
-    * (doubles rounded to `scale` digits). */
+  /** Fit y ~ x per group. Output: groupCols..., n, slope, intercept, r2.
+    * slope and r2 are doubles rounded to `scale` digits; the intercept
+    * ALWAYS publishes at the fixed [[InterceptScale]] = 4 regardless of
+    * `scale` (see the cross-engine precision note above). */
   def fitPerGroup(df: DataFrame, groupCols: Seq[String], x: Column,
                   y: Column, scale: Int = 8): DataFrame = {
     val xq = x.cast("double").cast(DecIn)

@@ -151,9 +151,11 @@ object Sessionize {
       // one pass, two statistics: hottest-key volume (route) and the
       // events' time span (bucket width). Key-cardinality shuffle with
       // map-side combine — never the bottleneck it protects against.
+      // lo/hi cast to long so any integer-typed usCol (assign's stated
+      // domain) survives the getLong below.
       val r = events.groupBy(col(keyCol))
-        .agg(count(lit(1)).as("c"), min(col(usCol)).as("lo"),
-          max(col(usCol)).as("hi"))
+        .agg(count(lit(1)).as("c"), min(col(usCol)).cast("long").as("lo"),
+          max(col(usCol)).cast("long").as("hi"))
         .agg(max(col("c")), min(col("lo")), max(col("hi"))).head()
       val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
       if (hottest <= AutoHotKeyEvents) assign(events, keyCol, usCol, gapUs)
@@ -164,7 +166,16 @@ object Sessionize {
       }
   }
 
-  /** Session-grain rollup: events per session, span in micros. */
+  /** Session-grain rollup: events per session, span in micros.
+    *
+    * NOTE [[Form.Auto]] (the default) is EAGER: it runs the routing
+    * statistic — a map-side-combined per-key count/min/max over
+    * `events` — as a Spark job at CALL time (one extra read of the
+    * input) before returning the still-lazy routed plan. Pass
+    * [[Form.Plain]] / [[Form.Sharded]] to keep construction fully lazy
+    * when the skew regime is known. Measured overhead of the extra pass
+    * on the uniform (unskewed) ×100 corpus is recorded in
+    * [[AutoHotKeyEvents]]'s scaladoc table context. */
   def sessions(events: DataFrame, keyCol: String, usCol: String,
       gapUs: Long, form: Form = Form.Auto): DataFrame =
     routed(events, keyCol, usCol, gapUs, form)
@@ -173,7 +184,8 @@ object Sessionize {
         (max(col(usCol)) - min(col(usCol))).as("dur_us"))
 
   /** Per-key rollup over sessions — the analytics-facing summary. All
-    * columns integer-exact except the mean (double, rounded). */
+    * columns integer-exact except the mean (double, rounded).
+    * [[Form.Auto]] (default) is eager at call time — see [[sessions]]. */
   def keyStats(events: DataFrame, keyCol: String, usCol: String,
       gapUs: Long, form: Form = Form.Auto): DataFrame =
     sessions(events, keyCol, usCol, gapUs, form)
