@@ -53,7 +53,22 @@ import org.apache.spark.sql.functions._
   *     and stay; embeddings stay (cosine is per-vector-scale-invariant,
   *     so a uniform scale probes nothing there).
   *
-  * Usage: runMain graft.CorpusB [srcDir] [outDir] [seed] [--b2]
+  * `--b3` (round-14 verdict #2) adds the NULL-injection axis — the one
+  * perturbation family XOR/drop/shift/scale never exercises. Cross-
+  * engine null semantics (null ordering inside windows, null keys in
+  * grouping/joins, null propagation through string/array expression
+  * chains) are classic both-engines-agree-by-accident territory:
+  *
+  *   - a seeded [[NullPct]]% of every NON-KEY column's values go NULL
+  *     (keys and FK pairs stay intact — join/dedup identity is semantic
+  *     structure, not an accident to move); the draw is per (row-key,
+  *     column, seed), so columns null independently;
+  *   - ARRAY-typed columns (embeddings.embedding) get the EMPTY array
+  *     instead of NULL for half the drawn rows and NULL for the other
+  *     half — malformed-vector rows probe zero-norm/empty-reduce paths
+  *     that plain NULL (which aggregates simply skip) never reaches.
+  *
+  * Usage: runMain graft.CorpusB [srcDir] [outDir] [seed] [--b2|--b3]
   *        (defaults /root/testdata/sf0.01 → /tmp/graft-corpusB, 1337)
   */
 object CorpusB {
@@ -88,9 +103,13 @@ object CorpusB {
   val ValueScale = 7.0
   val IdLift: Long = 3L << 31
 
+  /** --b3 null-injection rate (percent of values per non-key column). */
+  val NullPct = 5
+
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
     val b2 = flags("--b2")
+    val b3 = flags("--b3")
     val pos = args.filterNot(_.startsWith("--"))
     val src = pos.lift(0).getOrElse("/root/testdata/sf0.01")
     val out = pos.lift(1).getOrElse("/tmp/graft-corpusB")
@@ -154,13 +173,35 @@ object CorpusB {
             when(pmod(xxhash64(col("doc_id"), lit(seed + 2)), lit(10)) === 0,
               concat(col("text"), lit(s" zb$seed"))).otherwise(col("text")))
           .withColumn("n_chars", length(col("text")))
+      if (b3) {
+        import org.apache.spark.sql.types.ArrayType
+        val keyHead = col(keyCols(name).head)
+        df.schema.fields.filterNot(f => keyCols(name).contains(f.name))
+          .foreach { f =>
+            // per-(row, column) draw: NullPct% of values move; array
+            // columns split the draw between NULL and the EMPTY array
+            val draw = pmod(xxhash64(keyHead, lit(f.name), lit(seed + 3)),
+              lit(200))
+            val nulled = f.dataType match {
+              case _: ArrayType =>
+                when(draw < NullPct, lit(null).cast(f.dataType))
+                  .when(draw >= lit(100) && draw < lit(100 + NullPct),
+                    array().cast(f.dataType))
+                  .otherwise(col(f.name))
+              case _ =>
+                when(draw < 2 * NullPct, lit(null).cast(f.dataType))
+                  .otherwise(col(f.name))
+            }
+            df = df.withColumn(f.name, nulled)
+          }
+      }
       // hash order: nothing downstream may lean on driver file order
       df.repartition(4, xxhash64(col(keyCols(name).head)))
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       val n = spark.read.parquet(s"$out/$name.parquet").count()
       println(f"CORPUSB $name%-12s rows=$n%9d")
     }
-    println(s"CORPUSB seed=$seed xor=0x${k.toHexString} b2=$b2 at $out")
+    println(s"CORPUSB seed=$seed xor=0x${k.toHexString} b2=$b2 b3=$b3 at $out")
     spark.stop()
   }
 }

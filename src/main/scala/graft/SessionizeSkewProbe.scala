@@ -49,6 +49,10 @@ object SessionizeSkewProbe {
     val GapUs = 21600000000L // the q128 contract: 6 h
 
     def corpusFor(frac: Double): String = {
+      // frac 0 = the UNSKEWED common case (round-14 verdict #3): read the
+      // source events as-is and A/B plain vs auto to price Auto's routing
+      // pass when the answer is "stay plain".
+      if (frac <= 0) return src
       val out = s"/tmp/graft-hotkey-${(frac * 100).round}"
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -17,6 +17,21 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     normalize(spark.read.parquet(s"$dir/$name.parquet"), name)
 
+  /** The embeddings table restricted to WELL-FORMED vectors (non-null,
+    * non-empty embedding). The similarity/clustering operators' input
+    * domain is real vectors; at 100 TB a corpus always carries some
+    * malformed rows (a failed encoder, a truncated write), and the
+    * uniform policy — here and in every oracle's mirrored
+    * `WHERE embedding IS NOT NULL AND len(embedding) > 0` — is to DROP
+    * them rather than crash (the multimodal corrupt→quarantine
+    * precedent). On a null-free corpus the filter is a no-op that
+    * parquet prunes at scan time (IsNotNull pushes down). */
+  def vectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    apply(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+  }
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
     * generations (Spark's vectorized reader rejects it; with
     * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as raw long

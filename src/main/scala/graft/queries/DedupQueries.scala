@@ -1033,7 +1033,7 @@ object DedupQueries {
       Seq("doc_id"), "left_anti")
     // 4. semantic dedup over the survivors' embeddings (q65 semantics,
     //    k sized to the SURVIVOR corpus)
-    val corpus = Tables(s, dir, "embeddings")
+    val corpus = Tables.vectors(s, dir)
       .select(col("vec_id"), col("embedding").as("vec"))
       .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val k = math.max(16L, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
@@ -1396,7 +1396,7 @@ object DedupQueries {
          s2 AS (SELECT s1.* FROM s1
                 WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.doc_id = s1.doc_id)),
          C AS (SELECT e2.vec_id, CAST(e2.embedding AS DOUBLE[]) AS cvec
-               FROM embeddings e2 JOIN s2 ON s2.doc_id = e2.vec_id),
+               FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e2 JOIN s2 ON s2.doc_id = e2.vec_id),
          cen AS (SELECT cen_id, cen_vec FROM (
                  SELECT vec_id AS cen_id, cvec AS cen_vec,
                    row_number() OVER (ORDER BY vec_id) AS __rn FROM C) __rc

@@ -76,7 +76,7 @@ object SearchQueries {
         groupCols = Nil, order = Seq(col("score").desc, col("doc_id").asc),
         k = n, saltOn = col("doc_id"), rankCol = "lex_rank")
       .select(col("doc_id"), col("lex_rank"))
-    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
+    val e = Tables.vectors(s, dir).select(col("vec_id"), col("embedding").as("vec"))
     val qv = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
     val sims = e.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"), Cosine.cosine(col("vec"), col("qvec")).as("sim"))
@@ -178,13 +178,13 @@ object SearchQueries {
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
                  FROM p QUALIFY lex_rank <= 100),
          qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
-                FROM embeddings WHERE vec_id = 0),
+                FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id = 0),
          sims AS (SELECT e.vec_id AS doc_id,
              list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
                / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
                                           CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_inner_product(q.qvec, q.qvec))) AS sim
-           FROM embeddings e, qv q),
+           FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e, qv q),
          vec AS (SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
                  FROM sims QUALIFY vec_rank <= 100)

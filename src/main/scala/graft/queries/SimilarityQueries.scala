@@ -81,7 +81,7 @@ object SimilarityQueries {
   // which would run interpreted AND knock the scan projection out of
   // whole-stage codegen — ever touches the corpus.
   private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables(s, dir, "embeddings")
+    val e = Tables.vectors(s, dir)
       .select(col("vec_id"), col("embedding").as("vec"))
     val tauQ = nthLowestId(e, "vec_id", 10)
     (e.filter(col("vec_id") <= tauQ), e.filter(col("vec_id") > tauQ))
@@ -165,7 +165,7 @@ object SimilarityQueries {
     * divergence at scale, exactly the class the ×30 gate exists for.
     * Bucket size is an exact integer, so the mirror is engine-exact. */
   val q37CosineNearDup: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
       .select(col("vec_id"), col("embedding").as("vec"))
     val cands = RandomHyperplaneLSH.selfCandidates(all, "vec_id", "vec",
       NumTables, adaptiveNearDupBits(all), Dims, ordered = true)
@@ -346,7 +346,7 @@ object SimilarityQueries {
     * identical formula tree in the oracle. */
   val q159EmbeddingDrift: Q = (s, dir) => {
     val dec = "decimal(28,12)"
-    val x = Tables(s, dir, "embeddings")
+    val x = Tables.vectors(s, dir)
       .select(pmod(col("vec_id"), lit(2)).as("cohort"),
         posexplode(col("embedding")).as(Seq("dim", "vf")))
       .select(col("cohort"), col("dim"), col("vf").cast("double").as("v"))
@@ -448,7 +448,7 @@ object SimilarityQueries {
     * round 14 the oracle CTEs model the cap exactly (`bsz`/`capped` in
     * [[knnCtes]]) — the ×30 run proved it binds at 60k vectors. */
   private def knnTop3(s: SparkSession, dir: String): DataFrame = {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
       .select(col("vec_id"), col("embedding").as("vec"))
     // FETCH form, kept after measuring the in-band alternative (the q35
     // in-band-verify lesson does NOT transfer here): scoring inside the
@@ -482,7 +482,7 @@ object SimilarityQueries {
     * rebuild. Vectors with no bucket-mates emit no vote (mirrored by
     * the oracle). */
   val q155KnnLabelAgreement: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
     val edges = knnEdges(s, dir).select("src", "dst")
     val votes = edges
       .join(all.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
@@ -505,7 +505,7 @@ object SimilarityQueries {
     * the GENERATED unrolled-round mirror over the same edge CTEs
     * (`ops/PageRank` holds the determinism contract). */
   val q104Pagerank: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
     val edges = knnEdges(s, dir).select("src", "dst")
     PageRank.run(all.select("vec_id"), "vec_id", edges, "src", "dst",
         iters = 5)
@@ -518,7 +518,7 @@ object SimilarityQueries {
     * neighborhoods pull ahead of equally-connected loose ones —
     * the soft-density refinement of q104's structural centrality. */
   val q109WeightedPagerank: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
     val edges = knnEdges(s, dir).select("src", "dst", "sim")
     PageRank.runWeighted(all.select("vec_id"), "vec_id", edges,
         "src", "dst", "sim", iters = 5)
@@ -531,7 +531,7 @@ object SimilarityQueries {
     * the GENERATED unrolled-CTE mirror (`Pca.oracleSql`) — decimal sums
     * make every round bit-identical cross-engine. */
   val q94PcaProject: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
     // Array-form rounds (round-7 redesign): s is a per-row codegen dot
     // against the literal round vector, so NO corpus-sized exchange or
     // broadcast exists anywhere — each round's only shuffle is the
@@ -551,7 +551,7 @@ object SimilarityQueries {
     * The oracle finds the same (orientation-invariant) triangle set via
     * id-ordered joins. */
   val q113Triangles: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
     val edges = knnEdges(s, dir).select("src", "dst")
     Triangles.countPerNode(all.select("vec_id"), "vec_id", edges,
         "src", "dst")
@@ -605,7 +605,7 @@ object SimilarityQueries {
     * search-then-filter plan would over-fetch k and still miss). Same
     * exact-cosine + salted-top-k machinery as q21. */
   val q135FilteredAnn: Q = (s, dir) => {
-    val e = Tables(s, dir, "embeddings")
+    val e = Tables.vectors(s, dir)
     val tauQ = nthLowestId(e, "vec_id", 10) // rank contract, see parts()
     val corpus = e.filter(col("vec_id") > tauQ)
       .select(col("vec_id"), col("embedding").as("vec"), col("label"))
@@ -633,7 +633,7 @@ object SimilarityQueries {
     * with (sim DESC, dst ASC) tie order — never a window over the
     * corpus-sized edge join. */
   val q165HardNegatives: Q = (s, dir) => {
-    val all = Tables(s, dir, "embeddings")
+    val all = Tables.vectors(s, dir)
     val lbl = all.select(col("vec_id"), col("label"))
     val hn = knnEdges(s, dir).select("src", "dst", "sim")
       .join(lbl.select(col("vec_id").as("src"), col("label").as("anchor_label")), "src")
@@ -684,7 +684,7 @@ object SimilarityQueries {
                / 2147483648.0 - 1.0 AS w
            FROM range(0, $NumTables) t, range(0, 16) b, range(0, $Dims) d
            WHERE b.range < ${bitsCte("embeddings")}),
-         allv AS $mat(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         allv AS $mat(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
          dots AS $mat(SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
            FROM allv a, pl p GROUP BY 1, 2, 3),
          sigs AS $mat(SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
@@ -753,19 +753,19 @@ object SimilarityQueries {
 
   // rank-contract split (corpus-B): queries = the 10 LOWEST vec_ids,
   // seeds = the 16 lowest corpus vec_ids — stated as data-derived taus
-  private val tauQSql = "(SELECT max(vec_id) FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10) __tq)"
+  private val tauQSql = "(SELECT max(vec_id) FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 ORDER BY vec_id LIMIT 10) __tq)"
   private val tauSeedSql = "(SELECT max(vec_id) FROM (SELECT vec_id FROM C ORDER BY vec_id LIMIT 16) __ts)"
   private val cosineParts =
     s"""Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-             FROM embeddings WHERE vec_id <= $tauQSql),
+             FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id <= $tauQSql),
        C AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
-             FROM embeddings WHERE vec_id > $tauQSql)"""
+             FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id > $tauQSql)"""
 
   val oracles: Map[String, String] = Map(
     "q165_hard_negatives" ->
       s"""WITH ${knnCtes("MATERIALIZED ")},
          e AS (SELECT src, dst, sim FROM ranked WHERE rank <= 3),
-         lab AS (SELECT vec_id, label FROM embeddings),
+         lab AS (SELECT vec_id, label FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
          hn AS (SELECT e.src, la.label AS anchor_label, e.dst,
              lb.label AS neg_label, e.sim,
              row_number() OVER (PARTITION BY e.src
@@ -778,9 +778,9 @@ object SimilarityQueries {
          FROM hn WHERE rn = 1 ORDER BY src""",
     "q135_filtered_ann" ->
       s"""WITH Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
-               label FROM embeddings WHERE vec_id <= $tauQSql),
+               label FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id <= $tauQSql),
          C AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec, label
-               FROM embeddings WHERE vec_id > $tauQSql),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id > $tauQSql),
          sims AS (SELECT q.query_id, c.vec_id, c.label,
              list_inner_product(q.qvec, c.cvec)
                / (sqrt(list_inner_product(q.qvec, q.qvec))
@@ -820,9 +820,9 @@ object SimilarityQueries {
     // recon list built with the kernel's pinned-association arithmetic,
     // then list_inner_product = the kernel's ascending within-row fold
     "q127_ann_sq8" ->
-      s"""WITH C AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id > $tauQSql),
+      s"""WITH C AS (SELECT vec_id, embedding AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id > $tauQSql),
          Q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
-               FROM embeddings WHERE vec_id <= $tauQSql),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND vec_id <= $tauQSql),
          dims AS (SELECT unnest(generate_series(1, $Dims)) AS i),
          ex AS (SELECT c.vec_id, d.i, CAST(c.v[d.i] AS DOUBLE) AS x
                 FROM C c, dims d),
@@ -982,7 +982,7 @@ object SimilarityQueries {
       """WITH x AS (SELECT vec_id % 2 AS cohort,
              unnest(range(0, len(embedding))) AS dim,
              unnest(CAST(embedding AS DOUBLE[])) AS v
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
          g AS (SELECT dim,
              CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
              CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
@@ -1097,7 +1097,7 @@ object SimilarityQueries {
              CAST(('0x' || substr(md5('rp:' || t.range || ':' || b.range || ':' || d.range), 1, 8)) AS BIGINT)
                / 2147483648.0 - 1.0 AS w
            FROM range(0, 8) t, range(0, 6) b, range(0, 64) d),
-         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
          dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
            FROM allv a, pl p GROUP BY 1, 2, 3),
          sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig
@@ -1124,7 +1124,7 @@ object SimilarityQueries {
                / 2147483648.0 - 1.0 AS w
            FROM range(0, 8) t, range(0, 16) b, range(0, 64) d
            WHERE b.range < ${bitsCte("embeddings")}),
-         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
          dots AS (SELECT a.vec_id, p.t, p.b, sum(a.v[p.d + 1] * p.w) AS dp
            FROM allv a, pl p GROUP BY 1, 2, 3),
          sigs AS (SELECT vec_id, t, sum(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS sig

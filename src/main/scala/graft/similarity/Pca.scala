@@ -107,7 +107,7 @@ object Pca {
     // (-5e-5, 0) rounds to -0.0 in DuckDB (sign-preserving) but 0.0 in
     // Spark (BigDecimal), and the hash compare is on strings.
     val sb = new StringBuilder
-    sb ++= s"""WITH allv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sb ++= s"""WITH allv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
       x AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS xv FROM allv),
       mu AS MATERIALIZED (SELECT d, CAST(sum(CAST(xv AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
              FROM x GROUP BY d),

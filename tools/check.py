@@ -99,8 +99,11 @@ def main():
     # queries with no oracle → rows-only check
     for name in sorted(os.listdir(outdir)):
         if name not in oracle and os.path.isdir(f"{outdir}/{name}"):
-            n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
-            print(f"rows {name}: {n} rows (no oracle)")
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+                print(f"rows {name}: {n} rows (no oracle)")
+            except Exception as e:
+                print(f"rows {name}: unreadable ({e})")
     with open(f"{outdir}/rows.json", "w") as f:
         json.dump(row_counts, f, indent=0, sort_keys=True)
     n_vac = vacuity(baseline, row_counts) if baseline else 0
