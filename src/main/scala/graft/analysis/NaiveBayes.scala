@@ -41,13 +41,28 @@ object NaiveBayes {
   def train(docs: DataFrame, labelCol: String, textCol: String): (DataFrame, DataFrame) = {
     val toks = docs.select(col(labelCol).as("label"),
       explode(TextOps.tokens(col(textCol))).as("token"))
+    // The ONE corpus-sized pass, materialized ONCE: every downstream
+    // table (label totals, vocab, the model's smoothed deltas) re-derives
+    // from `pair`, and without the checkpoint each consumer re-runs the
+    // corpus explode+aggregation — q90's composed train+classify plan
+    // measured 56 Exchanges / 20 joins from exactly this duplication.
+    // `pair` is (label, token, cnt): vocabulary × label-density rows, the
+    // size the scaladoc's sparsity argument already bounds, so the
+    // checkpoint is safe at any corpus scale. Blocks are
+    // ContextCleaner-released once the returned plans are dropped.
     val pair = toks.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // label totals + global vocab + global doc counts: all label-cardinality
     val labelTok = pair.groupBy("label").agg(sum("cnt").as("total_l"))
     val vocab = pair.select("token").distinct().agg(count(lit(1)).as("vocab"))
     val nDocs = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs_l"))
-    val nAll = docs.agg(count(lit(1)).as("n_docs"))
+    // N = Σ per-label doc counts (labels are values of a non-null column
+    // here; grouping loses no row) — derived from nDocs instead of a
+    // second full scan of `docs`.
+    val nAll = nDocs.agg(sum(col("n_docs_l")).as("n_docs"))
 
+    // |L| rows; materialized so the model below and the returned stats
+    // don't each re-run the labelTok/vocab/nDocs lineage.
     val stats = labelTok
       .join(nDocs, Seq("label"))
       .crossJoin(broadcast(vocab))
@@ -58,6 +73,7 @@ object NaiveBayes {
         (-log(col("n_docs_l") / col("n_docs"))).cast("decimal(16,12)").as("prior_nll"),
         (-log(lit(1.0) / (col("total_l") + col("vocab")))).cast("decimal(16,12)").as("unseen_nll"),
         col("n_docs_l"), col("total_l"), col("vocab"))
+      .localCheckpoint(true)
 
     val model = pair.join(broadcast(stats), Seq("label"))
       .select(col("label"), col("token"),
@@ -80,8 +96,16 @@ object NaiveBayes {
     val sparse = toks.join(model.hint("shuffle_hash"), Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum("delta").as("sum_delta"))
-    // dense term: every doc × |L| labels via broadcast
-    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    // dense term: every doc × |L| labels via broadcast. n_tokens is the
+    // scan-side array length — NOT a second explode+groupBy over the
+    // token rows (that shape paid a corpus-sized exchange keyed by doc
+    // for a count the array already knows). The `> 0` filter preserves
+    // the zero-token-docs-are-absent contract the exploded groupBy gave
+    // for free (explode of an empty array emits no rows).
+    val docLen = docs
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
     // every decimal operand re-capped at (28,12) before the adds: keeps
     // Spark's and DuckDB's width-overflow rules out of play (a 39-wide
     // intermediate makes each engine reduce scale its own way)

@@ -148,34 +148,52 @@ object Sessionize {
     case Form.Plain => assign(events, keyCol, usCol, gapUs)
     case Form.Sharded(w) => assignSharded(events, keyCol, usCol, gapUs, w)
     case Form.Auto =>
-      // one pass, two statistics: hottest-key volume (route) and the
-      // events' time span (bucket width). Key-cardinality shuffle with
-      // map-side combine — never the bottleneck it protects against.
-      // lo/hi cast to long so any integer-typed usCol (assign's stated
-      // domain) survives the getLong below.
-      val r = events.groupBy(col(keyCol))
-        .agg(count(lit(1)).as("c"), min(col(usCol)).cast("long").as("lo"),
-          max(col(usCol)).cast("long").as("hi"))
-        .agg(max(col("c")), min(col("lo")), max(col("hi"))).head()
-      val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
-      if (hottest <= AutoHotKeyEvents) assign(events, keyCol, usCol, gapUs)
-      else {
-        val span = math.max(1L, r.getLong(2) - r.getLong(1))
-        val shardUs = math.max(1L, span / AutoShardTarget)
-        assignSharded(events, keyCol, usCol, gapUs, shardUs)
-      }
+      // Short-circuit (the MinHashLSH AutoSmallCorpusN pattern): when the
+      // WHOLE input has ≤ AutoHotKeyEvents rows, no key can be hot, so
+      // Plain is provably the routed answer without the per-key pass.
+      // The count itself is the cheapest possible statistic — on an
+      // unfiltered parquet scan it lowers to footer row-count metadata
+      // (no data read), and on filtered inputs it is still a shuffle-free
+      // scan where the per-key pass pays scan + key-cardinality exchange.
+      // Callers that know their regime pass Form.Plain/Sharded and skip
+      // even this.
+      if (events.count() <= AutoHotKeyEvents) assign(events, keyCol, usCol, gapUs)
+      else routedByStats(events, keyCol, usCol, gapUs)
+  }
+
+  private def routedByStats(events: DataFrame, keyCol: String, usCol: String,
+      gapUs: Long): DataFrame = {
+    // one pass, two statistics: hottest-key volume (route) and the
+    // events' time span (bucket width). Key-cardinality shuffle with
+    // map-side combine — never the bottleneck it protects against.
+    // lo/hi cast to long so any integer-typed usCol (assign's stated
+    // domain) survives the getLong below.
+    val r = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("c"), min(col(usCol)).cast("long").as("lo"),
+        max(col(usCol)).cast("long").as("hi"))
+      .agg(max(col("c")), min(col("lo")), max(col("hi"))).head()
+    val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (hottest <= AutoHotKeyEvents) assign(events, keyCol, usCol, gapUs)
+    else {
+      val span = math.max(1L, r.getLong(2) - r.getLong(1))
+      val shardUs = math.max(1L, span / AutoShardTarget)
+      assignSharded(events, keyCol, usCol, gapUs, shardUs)
+    }
   }
 
   /** Session-grain rollup: events per session, span in micros.
     *
-    * NOTE [[Form.Auto]] (the default) is EAGER: it runs the routing
-    * statistic — a map-side-combined per-key count/min/max over
-    * `events` — as a Spark job at CALL time (one extra read of the
-    * input) before returning the still-lazy routed plan. Pass
-    * [[Form.Plain]] / [[Form.Sharded]] to keep construction fully lazy
-    * when the skew regime is known. Measured overhead of the extra pass
-    * on the uniform (unskewed) ×100 corpus is recorded in
-    * [[AutoHotKeyEvents]]'s scaladoc table context. */
+    * NOTE [[Form.Auto]] (the default) is EAGER: it runs a routing
+    * statistic as a Spark job at CALL time before returning the
+    * still-lazy routed plan — first a total row COUNT (metadata-cheap on
+    * unfiltered parquet scans; ≤ [[AutoHotKeyEvents]] rows total proves
+    * no key is hot and routes Plain with no per-key pass), and only past
+    * that bound the map-side-combined per-key count/min/max pass (one
+    * extra read of the input). Pass [[Form.Plain]] / [[Form.Sharded]] to
+    * keep construction fully lazy when the skew regime is known.
+    * Measured overhead of the per-key pass on the uniform (unskewed)
+    * ×100 corpus is recorded in [[AutoHotKeyEvents]]'s scaladoc table
+    * context. */
   def sessions(events: DataFrame, keyCol: String, usCol: String,
       gapUs: Long, form: Form = Form.Auto): DataFrame =
     routed(events, keyCol, usCol, gapUs, form)

@@ -283,7 +283,7 @@ object DedupQueries {
     // groups on both sides of the kill boundary (sf0.01's corpus has no
     // exact-dup pairs outside src0 at all; sf0.1 and the rehearsal
     // corpora do, and the driver verifies there too).
-    val streamPath = s"$tmp/stream"
+    val streamPath = curationStagePath(s, dir)
     val fs = new org.apache.hadoop.fs.Path(streamPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(streamPath))
@@ -397,8 +397,23 @@ object DedupQueries {
     * predicate, files-per-trigger, staging repartition count, or sink
     * partitioning changes. */
   private def curationTmp(s: SparkSession, tag: String, dir: String,
-                          layout: String = "L1"): String =
+                          layout: String = "L2"): String =
     KeyedWorkDir.keyed(s, tag, dir, "documents", layout)
+
+  /** The staged stream corpus SHARED by q167/q171/q173 (and the specs):
+    * all three harnesses stage the identical input (same filter, same
+    * 8-way doc_id-range layout, same pinned mtimes), and the staged dir
+    * is strictly IMMUTABLE once its `_GRAFT_STAGED` marker exists — so
+    * one content-keyed copy serves every harness instead of three
+    * (round-14 verdict "Next #7": on a fresh environment each staging
+    * write was a full corpus-sized range write ×3; at the ×100 gates the
+    * duplication was proportionally larger). Every MUTABLE artifact
+    * (kept/seen tables, checkpoints, non-vacuity flags) stays in the
+    * per-query [[curationTmp]] dir, so concurrent harnesses never write
+    * into the shared dir — the per-tag layout was bumped L1→L2 when
+    * staging moved out, orphaning old combined dirs to the LRU reaper. */
+  private def curationStagePath(s: SparkSession, dir: String): String =
+    s"${KeyedWorkDir.keyed(s, "curstage", dir, "documents", "L1")}/stream"
 
   /** q167's engine, parameterized by working dir so the spec can run the
     * WHOLE stream a second time against the same kept/seen tables (a
@@ -438,7 +453,7 @@ object DedupQueries {
                                               (Int, Long, Long, Long, Long)]] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val d = Tables(s, dir, "documents")
-    val streamPath = s"$tmp/stream"
+    val streamPath = curationStagePath(s, dir)
     val sp = new org.apache.hadoop.fs.Path(streamPath)
     val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
     // reuse gates on the _GRAFT_STAGED marker, NOT _SUCCESS: the parquet
