@@ -27,6 +27,15 @@ object PlanPeek {
           graft.expressions.NgramHashes.char_ngram_hashes(col("text"), 8).as("sh"))
         graft.dedup.MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
           64, 16, 0.7, verify = form).explain("formatted")
+      } else if (name == "starround") {
+        // the connected-components star loop body (q92): invisible in the
+        // final plan because every round sits behind a localCheckpoint
+        import org.apache.spark.sql.functions._
+        val sh = Tables(spark, dir, "documents").select(col("doc_id"),
+          graft.expressions.NgramHashes.word_ngram_hashes(col("text"), 3).as("sh"))
+        val pairs = graft.dedup.MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
+          64, 16, 0.8).select(col("doc_a").as("u"), col("doc_b").as("v"))
+        graft.dedup.Clusters.starRound(pairs).explain("formatted")
       } else SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()

@@ -88,13 +88,18 @@ object Clusters {
 
   /** Large-star: for each vertex u, link every LARGER neighbor to the
     * min of u's closed neighborhood. Connectivity-preserving; shrinks
-    * tall structures toward their minimum. */
+    * tall structures toward their minimum.
+    *
+    * The per-u neighborhood min is a WINDOW over the same `u` the old
+    * groupBy+join form shuffled on (the capBuckets lesson: the window
+    * slots into one exchange+sort where aggregate-then-join-back pays
+    * the aggregation exchange AND a join per round — measured on q92
+    * this halved the per-round stage count; identical row set). */
   private def largeStar(e: DataFrame): DataFrame = {
-    val und = e.select("u", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = und.groupBy("u").agg(min("v").as("__mn"))
-      .select(col("u"), least(col("u"), col("__mn")).as("m"))
-    und.join(mins, "u")
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -102,19 +107,32 @@ object Clusters {
   }
 
   /** Small-star: direct every edge large→small, then link each vertex's
-    * smaller neighbors (and itself) to the neighborhood minimum. */
+    * smaller neighbors (and itself) to the neighborhood minimum. Same
+    * windowed-min shape as [[largeStar]]; the one (u → m) self row the
+    * old form unioned in (a second pass over the aggregate) is emitted
+    * from the single row whose v IS the minimum (`dir` is distinct, so
+    * exactly one row per u qualifies) — one pass, no union, no join. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val mins = dir.groupBy("u").agg(min("v").as("m"))
-    dir.join(mins, "u")
-      .select(col("v").as("n"), col("m"))
-      .union(mins.select(col("u").as("n"), col("m")))
-      .filter(col("n") =!= col("m"))
-      .select(col("n").as("u"), col("m").as("v"))
+      .withColumn("m", min(col("v")).over(w))
+      .select(explode(when(col("v") === col("m"),
+          array(struct(col("v").as("n"), col("m")),
+            struct(col("u").as("n"), col("m"))))
+        .otherwise(array(struct(col("v").as("n"), col("m"))))).as("nm"))
+      .select(col("nm.n").as("u"), col("nm.m").as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
   }
+
+  /** One large-star + small-star round over an (u, v) edge frame —
+    * exposed for plan inspection (PlanPeek `starround`): the loop-body
+    * shape never appears in the final query's explain because each round
+    * materializes behind a localCheckpoint. */
+  private[graft] def starRound(e: DataFrame): DataFrame =
+    smallStar(largeStar(e))
 
   /** Connected components by the large-star/small-star alternation
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —

@@ -142,7 +142,16 @@ object DedupQueries {
       TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("grams"))
     val base = sh.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), pmod(TextOps.md5Int60(col("g")), lit(P)).as("h"))
+    // materialize the signatures ONCE: they feed FOUR consumers (both
+    // sides of the banded self-join and both fetch joins below), and
+    // each re-derivation re-runs the gram explode + per-gram md5 + the
+    // 32-min aggregation over the corpus — the captured plan showed the
+    // scan→Generate→HashAggregate signature subtree four times (22
+    // Exchanges total). Signatures are 32 longs/doc (corpus-bounded,
+    // way under the gram arrays), so the checkpoint is scale-safe;
+    // blocks are ContextCleaner-released once the returned plan drops.
     val sigs = MinHashLSH.signaturesFromBaseRows(base, "doc_id", "h", nh)
+      .localCheckpoint(true)
     val bandRows = sigs.select(col("doc_id"), explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           array_join(transform(slice(col("__sig"), j * rpb + 1, rpb),
