@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * 24 materialized no-op rounds at ×100 cost ~35 s of pure overhead.
   * The per-round count() reads an already-materialized localCheckpoint.
   *
-  * Scale per round: one map-side-combined degree agg + two semi-joins,
-  * all keyed shuffles on node id; `localCheckpoint` truncates the
+  * Scale per round: two windowed degree counts (one exchange per edge
+  * endpoint — deg(x) is the row count of x on either side of a
+  * symmetrized edge list), no joins; `localCheckpoint` truncates the
   * iterative lineage (the `Clusters` lesson). Edge state only ever
   * shrinks.
   */
@@ -59,13 +60,21 @@ object KCore {
     var e = sym
     var remaining = e.count()
     var converged = false
+    // Per-round degrees as WINDOW counts over the two exchanges the
+    // round pays anyway (the Clusters.largeStar lesson): in a
+    // symmetrized graph the a-side row count of node x IS deg(x), and so
+    // is the b-side count, so `deg(a) >= k AND deg(b) >= k` filters the
+    // same edge set the old degree-agg + two semi-joins kept — at two
+    // exchanges and zero joins per round instead of three exchanges and
+    // two joins.
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("b")
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        val alive = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select(col("a"))
         val prev = e
-        e = e.join(alive, Seq("a"), "left_semi")
-          .join(alive.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        e = e.withColumn("__da", count(lit(1)).over(wa))
+          .withColumn("__db", count(lit(1)).over(wb))
+          .filter(col("__da") >= k && col("__db") >= k)
           .select("a", "b")
           .localCheckpoint(true)
         // the eager checkpoint makes the previous round's blocks dead —
