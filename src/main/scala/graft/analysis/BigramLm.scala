@@ -48,10 +48,18 @@ object BigramLm {
     * token-for-token by the oracle SQL. */
   def train(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = pairs(docs, idCol, textCol)
+    // Both model-sized aggregates materialized ONCE (the NaiveBayes.train
+    // lesson): c12 feeds the w1 rollup AND the final projection — without
+    // the checkpoint each re-runs the corpus bigram explode+agg; uni
+    // feeds the 1-row stats AND the interpolation join. Both are
+    // Zipf-bounded (bigram types / vocab), so the checkpoints are
+    // scale-safe; blocks release with the returned model plan.
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val uni = docs.select(explode(TextOps.tokens(col(textCol))).as("w2"))
       .groupBy("w2").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
     val stats = uni.agg(sum("cu").as("total"), count(lit(1)).as("vocab"))
     c12
       .join(c1.hint("shuffle_hash"), Seq("w1"))

@@ -36,9 +36,13 @@ object Dsir {
                     isTarget: Column): DataFrame = {
     val t = docs.select(isTarget.as("is_t"),
       explode(TextOps.tokens(col(textCol))).as("token"))
+    // vocab-sized; materialized once — the 1-row stats and the final
+    // log-ratio projection would otherwise each re-run the corpus
+    // explode+agg (the NaiveBayes.train lesson)
     val m = t.groupBy("token").agg(
       count(lit(1)).as("c_r"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint(true)
     val st = m.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"),
       count(lit(1)).as("v"))
     m.crossJoin(broadcast(st)).select(col("token"),

@@ -194,8 +194,15 @@ object TextAnalysis {
   def distributionDrift(docs: DataFrame, groupCol: String,
                         textCol: String): DataFrame = {
     val t = docs.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    // (group, token) counts materialized once — they feed the per-group
+    // totals, the corpus rollup AND the grid join below (the
+    // NaiveBayes.train lesson); vocab × groups rows, scale-safe.
     val cs = t.groupBy(groupCol, "token").agg(count(lit(1)).as("c_s"))
-    val ct = t.groupBy("token").agg(count(lit(1)).as("c_r"))
+      .localCheckpoint(true)
+    // corpus counts ROLL UP from the group counts (groupCol is a value
+    // column — no rows lost), replacing a second full corpus
+    // explode+aggregation with a vocab×groups-sized one.
+    val ct = cs.groupBy("token").agg(sum("c_s").as("c_r"))
     val ts = cs.groupBy(groupCol).agg(sum("c_s").as("t_s"))
     val st = ct.agg(sum("c_r").as("total"), count(lit(1)).as("vocab"))
     val pS = (col("c_s") + lit(1.0)) / (col("t_s") + col("vocab"))
@@ -233,10 +240,16 @@ object TextAnalysis {
         slice(col("ts"), lit(2), size(col("ts")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // bigram-type / vocab-sized aggregates materialized once: cb feeds
+    // the 1-row total and the PMI projection; cu feeds its total and BOTH
+    // unigram joins — un-checkpointed, the corpus explode+agg re-ran per
+    // consumer (the NaiveBayes.train lesson).
     val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
     val bt = cb.agg(sum("c_ab").as("b"))
     val cu = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val ut = cu.agg(sum("cnt").as("t"))
     val ratio = (col("c_ab").cast("double") / col("b")) *
       (col("t").cast("double") / col("c_a")) *

@@ -29,7 +29,12 @@ object UnigramLm {
   /** (token, nll DECIMAL(28,12)) model table: nll = -ln p(token). */
   def train(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    // Vocab-sized counts, materialized ONCE: both consumers below (the
+    // 1-row stats and the per-token nll projection) would otherwise each
+    // re-run the corpus explode+aggregation (the NaiveBayes.train
+    // lesson). Blocks are ContextCleaner-released with the model plan.
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // One-row stats: total tokens + vocab size, broadcast back onto the
     // vocab-sized model — exchanges carry |V| + 1 rows, never the corpus.
     val stats = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))

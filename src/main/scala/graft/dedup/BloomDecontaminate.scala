@@ -42,7 +42,10 @@ object BloomDecontaminate {
     val grams = (d: DataFrame) => d.select(col(idCol),
       explode(graft.expressions.NgramHashes.word_ngram_hashes(col(textCol), n)).as("g"))
 
-    val evalGrams = grams(eval).select("g").distinct()
+    // small by construction; materialized once — it feeds BOTH the
+    // driver-side Bloom build (an eager action) and the exact-verify
+    // semi-join, which otherwise re-runs the eval gram explode+distinct
+    val evalGrams = grams(eval).select("g").distinct().localCheckpoint(true)
     val bloom: BloomFilter = evalGrams.stat.bloomFilter("g", expectedEvalNgrams, fpp)
     // Native probe, not a UDF: serialize the driver-built filter and hand
     // the bytes to Spark's own codegen'd BloomFilterMightContain (the
