@@ -61,7 +61,13 @@ object Bm25 {
     // (query-term frequency weighting is a different feature).
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "Bm25.topK needs at least one query term")
+    // Query-term-bounded (docs containing a query term × |terms|), and
+    // consumed TWICE (df aggregation + scoring join): materialize once.
+    // The isin filter cannot push below the Generate (term is the
+    // generated column), so without this each consumer re-ran the full
+    // corpus explode + tf aggregation (the NaiveBayes.train lesson).
     val tf = termFreqs(docs, idCol, textCol).filter(col("term").isin(terms: _*))
+      .localCheckpoint(true)
 
     // Corpus stats: N and avgdl in one pass over doc lengths (map-side
     // combine; the result is a single row, crossJoin'd as a literal-like
@@ -130,7 +136,11 @@ object PhraseSearch {
   def phraseCount(docs: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
+    // Phrase-term-bounded postings consumed once per phrase term (the
+    // base + every adjacency join): materialize once instead of
+    // re-running the corpus posexplode+filter scan n times.
     val postings = positionalPostings(docs, idCol, textCol, phrase)
+      .localCheckpoint(true)
     val base = postings.filter(col("term") === phrase.head)
       .select(col(idCol), col("pos"))
     val matched = phrase.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
