@@ -64,18 +64,69 @@ object Pca {
   /** Dominant principal component by `iters` fixed power-iteration
     * rounds from the uniform start 1/√dims. Sign-canonicalized: the
     * largest-|component| entry is non-negative (ties to the lowest
-    * dim). One job per round; no corpus-sized exchange in any of them. */
+    * dim). One job per round; no corpus-sized exchange in any of them.
+    *
+    * Round form (r15 optimization): each round is a `treeAggregate` over
+    * the checkpointed corpus instead of a per-round DataFrame
+    * (dot → posexplode → decimal hash agg). The DataFrame form paid
+    * ~0.3 s/round of Catalyst analysis+planning+codegen on a BRAND-NEW
+    * plan per round (the round vector is a literal, so no plan is ever
+    * reused), vs 0.04 s to re-execute an already-planned identical query
+    * — measured in Q94Profile at sf0.1. The aggregate ships only the
+    * d-vector of partial sums per partition (depth-2 tree), strictly
+    * less traffic than the old dims×partitions shuffle, and the RDD is
+    * built from `xca` ONCE so the row-decode plan is compiled once.
+    *
+    * Bit-exactness vs the old form (and the DuckDB oracle): per term the
+    * engine computed `cast(x*s as decimal(28,12))` summed per dim, where
+    * s is the sequential-fold [[Cosine.dot]] against the round vector.
+    * This replays exactly that: s is the same left-to-right double fold;
+    * a row contributes iff dot would be non-null (length == dims, no
+    * null element — null s poisons every term of the row in the old
+    * form); each term is `BigDecimal.valueOf(x*s)` (Spark's non-ANSI
+    * double→decimal cast: Double.toString-based valueOf, then
+    * setScale(12, HALF_UP); non-finite or >28-digit values cast to null,
+    * i.e. the term is skipped). Decimal addition is exact and
+    * associative, so partition order cannot move the sum. */
   def principalComponent(xca: DataFrame, dims: Int, iters: Int): Array[Double] = {
+    val rows = xca.select(col("xv")).rdd
+    def round(v: Array[Double]): Array[java.math.BigDecimal] = {
+      val zero = Array.fill(dims)(java.math.BigDecimal.ZERO)
+      rows.treeAggregate(zero)(
+        (acc, row) => {
+          if (!row.isNullAt(0)) {
+            val xv = row.getSeq[Any](0)
+            if (xv.length == dims && !xv.contains(null)) {
+              // s: same sequential fold as the codegen dot kernel
+              var s = 0.0
+              var d = 0
+              while (d < dims) {
+                s += xv(d).asInstanceOf[Double] * v(d); d += 1
+              }
+              d = 0
+              while (d < dims) {
+                val t = xv(d).asInstanceOf[Double] * s
+                // Spark double→decimal(28,12) cast: null (skip) when
+                // non-finite or the quantized value exceeds precision
+                if (java.lang.Double.isFinite(t) && math.abs(t) < 1e16) {
+                  acc(d) = acc(d).add(java.math.BigDecimal.valueOf(t)
+                    .setScale(12, java.math.RoundingMode.HALF_UP))
+                }
+                d += 1
+              }
+            }
+          }
+          acc
+        },
+        (a, b) => {
+          var d = 0
+          while (d < dims) { a(d) = a(d).add(b(d)); d += 1 }
+          a
+        })
+    }
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 0 until iters) {
-      val vLit = array(v.map(lit): _*)
-      val u = xca
-        .select(Cosine.dot(col("xv"), vLit).as("s"), col("xv"))
-        .select(col("s"), posexplode(col("xv")).as(Seq("d", "x")))
-        .groupBy("d")
-        .agg(sum((col("x") * col("s")).cast(DecTerm)).cast("double").as("u"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val uArr = Array.tabulate(dims)(d => u.getOrElse(d, 0.0))
+      val uArr = round(v).map(_.doubleValue())
       // norm² as the same decimal sum the oracle uses (HALF_UP per term)
       val n2 = uArr.map(x => new java.math.BigDecimal(x * x)
           .setScale(12, java.math.RoundingMode.HALF_UP))
