@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** r15 optimization-round scratch probes: stage-attributed timings for
+  * the queries under the knife this round. One subcommand per
+  * investigation; numbers land in OPTIMIZATION_r15.md.
+  *
+  * Usage: runMain graft.R15Probe <probe> [sfDir] [reps]
+  */
+object R15Probe {
+  def main(args: Array[String]): Unit = {
+    val probe = args(0)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: () => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        f()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"R15PROBE $label%-14s min=${ts.min}%6.2f s  times=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    SparkEntry.entry(spark).collect() // warmup
+    probe match {
+      case "q58" =>
+        import graft.text.TextOps
+        val d = Tables(spark, dir, "documents")
+        println(s"R15PROBE docs=${d.count()}")
+        time("full")(() =>
+          SparkEntry.queries("q58_sketch_stats")(spark, dir).collect())
+        time("vocab")(() => noop(
+          d.select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+            .groupBy("source")
+            .agg(approx_count_distinct(col("token"), rsd = 0.01).as("approx_vocab"),
+              countDistinct(col("token")).as("exact_vocab"))))
+        time("vocab_hll")(() => noop(
+          d.select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+            .groupBy("source")
+            .agg(approx_count_distinct(col("token"), rsd = 0.01).as("approx_vocab"))))
+        time("vocab_exact")(() => noop(
+          d.select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+            .groupBy("source")
+            .agg(countDistinct(col("token")).as("exact_vocab"))))
+        time("tokens_only")(() => noop(
+          d.select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))))
+        time("lengths")(() => noop(
+          d.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000)).as("ps"),
+              expr("percentile(n_chars, 0.5)").as("ex50"),
+              expr("percentile(n_chars, 0.95)").as("ex95"),
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("d50"),
+              expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("d95"))))
+      case other => sys.error(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+}

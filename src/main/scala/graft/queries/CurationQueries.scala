@@ -76,11 +76,20 @@ object CurationQueries {
     * error independently. */
   val q58SketchStats: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
+    // r15: dedup (source, token) FIRST, then sketch + count the distinct
+    // rows. HLL is duplicate-insensitive (registers max-merge), so the
+    // sketch over distinct tokens is bit-identical to the sketch over
+    // every occurrence — but updates n_distinct times instead of
+    // n_tokens times, and the mixed distinct+non-distinct aggregate
+    // rewrite (which re-aggregated the full token stream) disappears.
+    // count(token) over the distinct rows ≡ countDistinct(token) (both
+    // skip nulls). Measured sf0.1: vocab subtree 1.66 s -> ~0.45 s.
     val vocab = d
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(lit(1))
       .groupBy("source")
       .agg(approx_count_distinct(col("token"), rsd = 0.01).as("approx_vocab"),
-        countDistinct(col("token")).as("exact_vocab"))
+        count(col("token")).as("exact_vocab"))
     val lengths = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
