@@ -66,6 +66,27 @@ object R15Probe {
               expr("percentile(n_chars, 0.95)").as("ex95"),
               expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("d50"),
               expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("d95"))))
+      case "q120" =>
+        val li = Tables(spark, dir, "lineitem")
+        println(s"R15PROBE li=${li.count()}")
+        time("full")(() =>
+          SparkEntry.queries("q120_lateral_top_order")(spark, dir).collect())
+        time("agg_dec")(() => noop(
+          li.groupBy(col("l_suppkey"), col("l_orderkey"))
+            .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(28,12)")).cast("double"), 4).as("revenue"))))
+        time("agg_dbl")(() => noop(
+          li.groupBy(col("l_suppkey"), col("l_orderkey"))
+            .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))))
+        time("agg_top1")(() => noop {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("l_suppkey")
+            .orderBy(col("revenue").desc, col("l_orderkey"))
+          li.groupBy(col("l_suppkey"), col("l_orderkey"))
+            .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(28,12)")).cast("double"), 4).as("revenue"))
+            .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        })
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

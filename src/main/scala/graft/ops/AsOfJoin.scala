@@ -101,21 +101,55 @@ object AsOfJoin {
               key: String, leftId: String, leftTime: String, rightTime: String,
               rightPayload: Seq[String],
               rightTieBreak: Option[String] = None): DataFrame = {
+    // r15 form: ONE tagged union and ONE key exchange carrying BOTH
+    // directions — the backward window (time asc) and the forward window
+    // (time desc) share the hash partitioning, so the second window adds
+    // only a sort, and the chooser runs inline on the left rows. The old
+    // form composed [[backward]] + [[forward]] + two id equi-joins back
+    // to `left`: 2 extra scans of each input, 2 window exchanges and a
+    // join exchange, all shuffling the same |left|+|right| rows this
+    // single pass shuffles once. Ordering parity: the forward pass used
+    // to run [[backward]] on a NEGATED double time axis — `desc_nulls_
+    // first` on the raw time column is the same total order (and exact
+    // on timestamps where the double cast could in principle collide).
+    // `leftId` is retained for API stability (the old form joined on it;
+    // this form never needs it).
     val pw = (rightTime +: rightPayload).distinct
-    val b = backward(left, right, key, leftTime, rightTime, pw, rightTieBreak)
-      .select(col(leftId) +: pw.map(p => col(p).as(s"__b_$p")): _*)
-    val f = forward(left, right, key, leftTime, rightTime, pw, rightTieBreak)
-      .select(col(leftId) +: pw.map(p => col(p).as(s"__f_$p")): _*)
-    val bT = col(s"__b_$rightTime").cast("double")
-    val fT = col(s"__f_$rightTime").cast("double")
-    val lT = col(leftTime).cast("double")
+    val rightDedup = rightTieBreak match {
+      case Some(tb) =>
+        val payloadStruct = struct(pw.map(col): _*)
+        right.groupBy(col(key), col(rightTime))
+          .agg(max_by(payloadStruct, col(tb)).as("__p"))
+      case None =>
+        right.select(col(key), col(rightTime),
+          struct(pw.map(col): _*).as("__p"))
+    }
+    val leftCols = left.columns.toSeq
+    val rTagged = rightDedup.select(
+      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+        col("__p")) ++ leftCols.map(c => lit(null).as(s"__l_$c")): _*)
+    val lTagged = left.select(
+      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+        lit(null).as("__p")) ++ leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc_nulls_first, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bT = col("__bp").getField(rightTime).cast("double")
+    val fT = col("__fp").getField(rightTime).cast("double")
+    val lT = col("__t").cast("double")
     val pickPast = bT.isNotNull && (fT.isNull || (lT - bT) <= (fT - lT))
     val direction = when(pickPast, lit("past"))
       .when(fT.isNotNull, lit("future"))
-    left.join(b, Seq(leftId)).join(f, Seq(leftId))
-      .select(left.columns.map(col) ++
-        pw.map(p => when(pickPast, col(s"__b_$p"))
-          .otherwise(col(s"__f_$p")).as(p)) :+
+    rTagged.unionByName(lTagged)
+      .withColumn("__bp", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__fp", last(col("__p"), ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        pw.map(p => when(pickPast, col("__bp").getField(p))
+          .otherwise(col("__fp").getField(p)).as(p)) :+
         direction.as("direction"): _*)
   }
 
@@ -215,17 +249,21 @@ object AsOfJoin {
 
     // 2. Bucket summaries: final right payload per (key, bucket) — __t is
     // unique per key after the dedup above, so max_by is deterministic.
-    val summary = rTagged.withColumn("__b", bucket(col("__t")))
-      .groupBy(col("__k"), col("__b"))
-      .agg(max_by(col("__p"), col("__t")).as("__pb"))
-    // Carry = latest payload from STRICTLY EARLIER buckets, computed over
-    // every (key, bucket) either side touches. The window is per-key but
-    // each key contributes one row per bucket, not per event.
-    val allBuckets = tagged.select(col("__k"), col("__b")).distinct()
+    // ONE aggregation over the tagged union produces the summary AND the
+    // full (key, bucket) domain either side touches: left rows carry a
+    // null ordering expression, so max_by ignores them and a left-only
+    // bucket yields __pb = null — exactly the old
+    // allBuckets-LEFT-JOIN-summary rows, without the third full pass
+    // over both inputs (allBuckets .distinct()) and the join the old
+    // form paid (r15; results identical, equivalence-spec'd vs plain).
+    // Carry = latest payload from STRICTLY EARLIER buckets. The window
+    // is per-key but each key contributes one row per bucket, not per
+    // event.
     val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = allBuckets
-      .join(summary, Seq("__k", "__b"), "left")
+    val carry = tagged
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__p"), when(col("__tag") === 0, col("__t"))).as("__pb"))
       .withColumn("__carry", last(col("__pb"), ignoreNulls = true).over(wCarry))
       .select(col("__k"), col("__b"), col("__carry"))
 
