@@ -48,9 +48,16 @@ object Triangles {
       .filter(col("a") < col("b"))
       .distinct()
       .localCheckpoint(true)
+    // deg feeds the two orientation joins AND the final zero-fill join;
+    // oriented (below) feeds the wedge self-join's both sides AND the
+    // closure join — without their own checkpoints each consumer re-ran
+    // the degree aggregation / both orientation joins from the edge
+    // checkpoint (r15: q113 plan 38 exchange/40 join nodes -> 16/16, same rows; sf0.1 parity within noise — the win is the un-recomputed orientation joins at scale). Both are
+    // node-/edge-sized, the same staging class as `und`.
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     // orient each edge low(deg,id) → high(deg,id)
     val withDeg = und
@@ -65,6 +72,7 @@ object Triangles {
           struct(col("b").as("u"), col("a").as("v"), aKey.as("vk")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.vk").as("vk"))
+      .localCheckpoint(true)
 
     // wedge at the low end u: (v, w) with vk < wk, closed by oriented (v, w)
     val o1 = oriented.select(col("u"), col("v"), col("vk"))
