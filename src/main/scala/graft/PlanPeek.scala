@@ -27,6 +27,13 @@ object PlanPeek {
           graft.expressions.NgramHashes.char_ngram_hashes(col("text"), 8).as("sh"))
         graft.dedup.MinHashLSH.nearDupPairsHashed(sh, "doc_id", "sh",
           64, 16, 0.7, verify = form).explain("formatted")
+      } else if (name == "substrdup") {
+        // q91's dup-window miner: invisible in the final plan behind
+        // report()'s localCheckpoint
+        import org.apache.spark.sql.functions._
+        graft.dedup.SubstringDedup.dupWindows(
+          Tables(spark, dir, "documents"), "doc_id", "text", width = 10)
+          .explain("formatted")
       } else if (name == "starround") {
         // the connected-components star loop body (q92): invisible in the
         // final plan because every round sits behind a localCheckpoint

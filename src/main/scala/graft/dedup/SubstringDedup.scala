@@ -40,10 +40,15 @@ object SubstringDedup {
   /** Duplicated windows (everything but the globally-first occurrence
     * of each gram): (idCol, w_pos). */
   def dupWindows(docs: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
+    // keep-first as a window over the hash exchange the dedup pays
+    // anyway (r15, the k-core lesson): the old agg-then-join-back shape
+    // ran the corpus window-generation explode TWICE (once under the
+    // min(struct) aggregate, once as the join's probe side) and paid the
+    // join's second exchange. min(struct) over the whole partition needs
+    // no ordering — same rows, one corpus explode, one Exchange.
     val w = windows(docs, idCol, textCol, width)
-    val first = w.groupBy("w_hash")
-      .agg(min(struct(col(idCol), col("w_pos"))).as("__first"))
-    w.join(first, Seq("w_hash"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("w_hash")
+    w.withColumn("__first", min(struct(col(idCol), col("w_pos"))).over(byHash))
       .filter(!(col("__first").getField(idCol) === col(idCol) &&
         col("__first").getField("w_pos") === col("w_pos")))
       .select(col(idCol), col("w_pos"))
