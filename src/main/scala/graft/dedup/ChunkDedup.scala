@@ -50,10 +50,17 @@ object ChunkDedup {
   /** Mark each chunk kept/dropped under global keep-first. Returns
     * (id, chunk_idx, chunk, is_kept). */
   def keepFirst(chunked: DataFrame, idCol: String): DataFrame = {
-    val firstPerHash = chunked
-      .groupBy(col("chunk_hash"))
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
-    chunked.join(firstPerHash, Seq("chunk_hash"))
+    // keep-first as a window over the hash exchange (r15, the
+    // SubstringDedup.dupWindows move): the old min(struct) aggregate +
+    // join-back ran the chunk-generation explode twice and paid the
+    // join's second exchange; min(struct) over the whole partition needs
+    // no ordering. Same rows, one corpus explode, one Exchange. NOTE:
+    // column order differs from the old join form (which moved
+    // chunk_hash first); keepFirst's contract is by-name.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
+    chunked
+      .withColumn("__first",
+        min(struct(col(idCol), col("chunk_idx"))).over(byHash))
       .withColumn("is_kept",
         col("__first").getField(idCol) === col(idCol) &&
           col("__first").getField("chunk_idx") === col("chunk_idx"))
