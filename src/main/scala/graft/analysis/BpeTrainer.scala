@@ -72,22 +72,37 @@ object BpeTrainer {
                         numMerges: Int, measure: Boolean): Seq[MergeStat] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // tier 1: corpus → word-frequency table, split to character symbols
-    var words: Dataset[WordSyms] = docs
+    // tier 1: corpus → word-frequency table, split to character symbols.
+    // The merge loop runs over an RDD (r15, the q94 Pca lesson): every
+    // round's pair-count/argmax, merge-apply and totals used to be
+    // brand-new Dataset plans — numMerges × 2-3 full Catalyst
+    // analysis/optimization/codegen passes for vocabulary-sized work
+    // whose shape never changes. As RDD ops (flatMap+reduceByKey+
+    // takeOrdered / map / aggregate) the rounds pay no per-round
+    // planning; the arithmetic is the same exact integer sums, the
+    // argmax the same total order (count desc, then pair asc), the merge
+    // the same mergeOnce — bit-identical merges and stats
+    // (BpeTrainerSpec pins train ≡ reference). Lineage per round is
+    // truncated the same way (localCheckpoint + release of the previous
+    // round's blocks).
+    var words: org.apache.spark.rdd.RDD[WordSyms] = docs
       .select(explode(graft.text.TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => WordSyms(toSymbols(w), f) }
-      .localCheckpoint(true)
+      .rdd
+    words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.localCheckpoint()
+    words.count()
 
     // (total symbol occurrences, total character mass), freq-weighted;
     // skipped entirely when the caller doesn't need the audit columns
-    def totals(ws: Dataset[WordSyms]): (Long, Long) = {
+    def totals(ws: org.apache.spark.rdd.RDD[WordSyms]): (Long, Long) = {
       if (!measure) return (0L, 0L)
-      val r = ws.map(w => (w.syms.length.toLong * w.freq,
-          w.syms.iterator.map(cpLen).sum * w.freq))
-        .toDF("s", "c").agg(sum("s"), sum("c")).head()
-      (r.getLong(0), r.getLong(1))
+      ws.aggregate((0L, 0L))(
+        (acc, w) => (acc._1 + w.syms.length.toLong * w.freq,
+          acc._2 + w.syms.iterator.map(cpLen).sum * w.freq),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
     }
 
     val stats = scala.collection.mutable.ArrayBuffer[MergeStat]()
@@ -95,24 +110,24 @@ object BpeTrainer {
     var round = 0
     while (round < numMerges) {
       // adjacent-pair counts weighted by word frequency (q71's statistic);
-      // argmax pulls ONE row to the driver: count desc, then pair asc
+      // argmax pulls ONE element to the driver: count desc, then pair asc
       val best = words
         .flatMap(ws => ws.syms.iterator.zip(ws.syms.iterator.drop(1))
-          .map { case (a, b) => (a, b, ws.freq) })
-        .toDF("a", "b", "f")
-        .groupBy("a", "b").agg(sum("f").as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect().headOption
+          .map { case (a, b) => ((a, b), ws.freq) })
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(Ordering.by[((String, String), Long), (Long, String, String)](
+          t => (-t._2, t._1._1, t._1._2)))
+        .headOption
       best match {
-        case Some((a, b, cnt)) if cnt >= 2 =>
+        case Some(((a, b), cnt)) if cnt >= 2 =>
           val prev = words
           words = words.map(ws => ws.copy(syms = mergeOnce(ws.syms, a, b)))
-            .localCheckpoint(true)
+          words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          words.localCheckpoint()
+          words.count()
           // the eager checkpoint makes the previous round's word table
           // dead — release per round (the Clusters lesson)
-          graft.ops.Checkpoints.release(prev)
+          prev.unpersist(blocking = false)
           val (nextSyms, nextChars) = totals(words)
           stats += MergeStat(a, b, cnt, curSyms, nextSyms, curChars, nextChars)
           curSyms = nextSyms; curChars = nextChars
@@ -121,8 +136,8 @@ object BpeTrainer {
       }
     }
     // the stats list is all the caller gets — the final word table's
-    // checkpoint is dead the moment the loop exits
-    graft.ops.Checkpoints.release(words)
+    // blocks are dead the moment the loop exits
+    words.unpersist(blocking = false)
     stats.toSeq
   }
 
