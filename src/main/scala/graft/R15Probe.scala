@@ -87,6 +87,32 @@ object R15Probe {
               .cast("decimal(28,12)")).cast("double"), 4).as("revenue"))
             .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         })
+      case "q149" =>
+        import graft.similarity.{Cosine, KMeans}
+        val corpus = Tables.vectors(spark, dir)
+          .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("vec"))
+        val seed = KMeans.collectSeed(
+          corpus.filter(col("vec_id") < 26), "vec_id", "vec")
+        var cens: Seq[(Long, Array[Double])] = null
+        time("train_rdd")(() => {
+          cens = KMeans.train(corpus, "vec_id", "vec", seed, rounds = 3)
+        })
+        time("train_rel")(() => {
+          KMeans.trainRelationalForSpec(corpus, "vec_id", "vec", seed, rounds = 3)
+        })
+        time("assign")(() => noop(
+          KMeans.assignCells(corpus, "vec_id", "vec", cens)))
+        time("full_cold")(() => {
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+          new java.io.File("spark-warehouse").listFiles().toSeq
+            .filter(_.getName.startsWith("graft_kmeans_cens_"))
+            .foreach { f =>
+              spark.sql(s"DROP TABLE IF EXISTS `${f.getName}`")
+              org.apache.commons.io.FileUtils.deleteDirectory(f)
+            }
+          SparkEntry.queries("q149_kmeans_train")(spark, dir).collect(): Unit
+        })
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

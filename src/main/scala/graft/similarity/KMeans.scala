@@ -86,9 +86,130 @@ object KMeans {
 
   /** `rounds` Lloyd iterations from `seed`; returns the trained
     * centroids (driver-side, k×d doubles — the index you then persist
-    * or hand to `IvfFlat`). */
+    * or hand to `IvfFlat`).
+    *
+    * Physical form (r15): on a UNIFORM-dims corpus (one cheap min/max
+    * size aggregate proves it) the rounds run as RDD treeAggregates —
+    * the relational round embedded k×d centroid LITERALS per round, so
+    * every round was a brand-new plan paying full Catalyst analysis +
+    * a large codegen compile (the q94 Pca finding; q149's cold shot was
+    * ~6.9 s vs ~0.7 s warm, almost all per-round planning). The RDD
+    * round replays the engine arithmetic exactly: dist =
+    * ((x·x − 2·(x·c)) + c·c) with the same sequential-fold dots and the
+    * same double-comparison semantics as least(struct(dist, cell))
+    * (NaN largest, ties → lower cell id), per-(cell,dim) means as the
+    * same BigDecimal.valueOf+setScale(12, HALF_UP) quantize-then-sum
+    * over member count. Rows with a null element are skipped (they fail
+    * the __xx IS NOT NULL gate in the relational form). Corpora with
+    * VARIABLE vector lengths (where the relational form's null-dist
+    * struct ordering semantics bind) keep the relational rounds —
+    * routing never changes results (KMeansSpec pins equality). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             seed: Seq[(Long, Array[Double])], rounds: Int): Seq[(Long, Array[Double])] = {
+    if (seed.size >= 2 && rounds > 0) {
+      val dims = seed.head._2.length
+      if (seed.forall(_._2.length == dims)) {
+        val mm = corpus.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+        if (!mm.isNullAt(0) && mm.getInt(0) == dims && mm.getInt(1) == dims)
+          return trainRdd(corpus, vecCol, seed, rounds, dims)
+      }
+    }
+    trainRelational(corpus, idCol, vecCol, seed, rounds)
+  }
+
+  /** Spark SQL's total order on doubles (SQLOrderingUtil /
+    * nanSafeCompareDoubles): NaN is largest, NaN equals NaN, -0.0 equals
+    * 0.0 — the ordering least(struct(dist, cell)) compares dist with. */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+    else if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
+    else -1
+
+  private def trainRdd(corpus: DataFrame, vecCol: String,
+                       seed: Seq[(Long, Array[Double])], rounds: Int,
+                       dims: Int): Seq[(Long, Array[Double])] = {
+    // one conversion plan, built once: widen to double exactly as the
+    // kernels do per element (ieee-exact float→double)
+    val rows = corpus.select(col(vecCol).cast("array<double>")).rdd
+    var cens = seed
+    var round = 0
+    while (round < rounds && cens.size >= 2) {
+      val sorted = cens.sortBy(_._1)
+      val k = sorted.size
+      val cIds = sorted.map(_._1).toArray
+      val cVecs = sorted.map(_._2).toArray
+      val cc = cVecs.map(selfDot)
+      val (sums, cnts) = rows.treeAggregate(
+        (Array.fill(k * dims)(java.math.BigDecimal.ZERO), new Array[Long](k)))(
+        (acc, row) => {
+          if (!row.isNullAt(0)) {
+            val xv = row.getSeq[Any](0)
+            if (xv.length == dims && !xv.contains(null)) {
+              val x = new Array[Double](dims)
+              var d = 0
+              while (d < dims) { x(d) = xv(d).asInstanceOf[Double]; d += 1 }
+              var xx = 0.0
+              d = 0
+              while (d < dims) { xx += x(d) * x(d); d += 1 }
+              var best = 0
+              var bestDist = 0.0
+              var j = 0
+              while (j < k) {
+                val cv = cVecs(j)
+                var dp = 0.0
+                d = 0
+                while (d < dims) { dp += x(d) * cv(d); d += 1 }
+                val dist = (xx - (2.0 * dp)) + cc(j)
+                if (j == 0 || cmpDouble(dist, bestDist) < 0) {
+                  best = j; bestDist = dist
+                }
+                j += 1
+              }
+              val base = best * dims
+              d = 0
+              while (d < dims) {
+                val t = x(d)
+                // Spark double→decimal(28,12) cast: null (skip) when
+                // non-finite or past precision; the row still counts
+                if (java.lang.Double.isFinite(t) && math.abs(t) < 1e16) {
+                  acc._1(base + d) = acc._1(base + d).add(
+                    java.math.BigDecimal.valueOf(t)
+                      .setScale(12, java.math.RoundingMode.HALF_UP))
+                }
+                d += 1
+              }
+              acc._2(best) += 1L
+            }
+          }
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < k * dims) { a._1(i) = a._1(i).add(b._1(i)); i += 1 }
+          i = 0
+          while (i < k) { a._2(i) += b._2(i); i += 1 }
+          a
+        })
+      cens = (0 until k).collect {
+        case j if cnts(j) > 0 =>
+          cIds(j) -> Array.tabulate(dims)(d =>
+            sums(j * dims + d).doubleValue() / cnts(j))
+      }
+      round += 1
+    }
+    cens
+  }
+
+  /** Spec hook: the relational rounds, callable directly so the fast
+    * path can be pinned bit-equal against them. */
+  private[graft] def trainRelationalForSpec(corpus: DataFrame, idCol: String,
+      vecCol: String, seed: Seq[(Long, Array[Double])],
+      rounds: Int): Seq[(Long, Array[Double])] =
+    trainRelational(corpus, idCol, vecCol, seed, rounds)
+
+  private def trainRelational(corpus: DataFrame, idCol: String, vecCol: String,
+                              seed: Seq[(Long, Array[Double])],
+                              rounds: Int): Seq[(Long, Array[Double])] = {
     var cens = seed
     // Collapse guard: a round can starve cells (all vectors assigned to
     // one centroid, or an empty/all-null corpus yielding none). Stopping

@@ -44,6 +44,36 @@ class KMeansSpec extends SparkSpec {
     assert(s.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
   }
 
+  test("RDD fast-path rounds are bit-identical to the relational rounds") {
+    // r15: uniform-dims corpora route to trainRdd; pin it against the
+    // relational form via the package-private entry on the same seed
+    val n = 40
+    val data = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (i % 3 == 0) 1.0f else if (i % 3 == 1) -2.0f else 5.0f) * (d + 1) + i * 0.01f))
+    }
+    val df = spark.createDataFrame(data).toDF("vec_id", "vec").repartition(5)
+    val seed = KMeans.collectSeed(df.filter(col("vec_id") < 4), "vec_id", "vec")
+    val fast = KMeans.train(df, "vec_id", "vec", seed, rounds = 3)
+    val slow = KMeans.trainRelationalForSpec(df, "vec_id", "vec", seed, rounds = 3)
+    assert(fast.map(_._1) == slow.map(_._1))
+    fast.zip(slow).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("variable-length corpora keep the relational rounds (routing only)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 1.0f)),
+      (3L, Seq(9.0f, 9.0f)), (4L, Seq(8.0f))).toDF("vec_id", "vec")
+    val seed = KMeans.collectSeed(df.filter(col("vec_id") <= 2), "vec_id", "vec")
+    // just proves the guarded route still trains without throwing and
+    // matches the relational form it falls back to
+    val got = KMeans.train(df, "vec_id", "vec", seed, rounds = 2)
+    val ref = KMeans.trainRelationalForSpec(df, "vec_id", "vec", seed, rounds = 2)
+    assert(got.map(_._1) == ref.map(_._1))
+    got.zip(ref).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+  }
+
   test("centroids are bit-identical under any partitioning") {
     val df = corpus(100)
     val seed = seedOf(df, 0L, 1L, 2L)
